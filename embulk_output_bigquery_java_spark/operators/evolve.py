@@ -1,0 +1,123 @@
+"""D5 — schema evolution emitter (SURVEY.md §2.8, §4.3 item 5).
+
+Reference behavior being generalized: BigQuery `schema_update_options`
+(README.md:113) + the replace-mode metadata-retention patch
+(`buildPatchSchema`, BigqueryClient.java:230-287): columns can be added,
+legally widened, and column descriptions survive a replace.
+
+Engine form: before each merge batch, diff the batch's data schema against
+the table schema and emit the DDL-equivalent actions:
+
+- new column            -> ADD COLUMN c <type>   (nullable; old rows read NULL)
+- int->long, float->double, decimal precision growth -> WIDEN c
+- same type             -> no-op
+- anything else         -> SchemaEvolutionError (fail fast; the reference
+                           would produce a load-job error)
+
+Actions apply as a metadata-only snapshot commit (`LakeTable.update_schema`);
+existing files are reconciled at read time (lake/table.py::read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from ..config import ColumnOption
+from ..lake import LakeTable
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+#: legal widenings: (from, to) by simpleString prefix
+_WIDEN_OK = {
+    ("integer", "long"),
+    ("integer", "double"),  # int -> double is lossless
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (
+            dst.precision >= src.precision
+            and dst.scale == src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+    return (src.simpleString(), dst.simpleString()) in _WIDEN_OK
+
+
+def diff_schemas(
+    current: T.StructType, incoming: T.StructType
+) -> tuple[list[str], T.StructType]:
+    """Return (DDL-like action strings, evolved schema).
+
+    Columns present in `current` but absent from `incoming` are kept (a batch
+    may legitimately not carry every column); new columns append at the end.
+    """
+    actions: list[str] = []
+    cur = {f.name: f for f in current.fields}
+    fields = list(current.fields)
+    for f in incoming.fields:
+        if f.name not in cur:
+            nf = T.StructField(f.name, f.dataType, True, f.metadata)
+            fields.append(nf)
+            actions.append(f"ADD COLUMN {f.name} {f.dataType.simpleString()}")
+            continue
+        old = cur[f.name]
+        if old.dataType == f.dataType:
+            continue
+        if _is_widening(old.dataType, f.dataType):
+            idx = [x.name for x in fields].index(f.name)
+            fields[idx] = T.StructField(f.name, f.dataType, old.nullable, old.metadata)
+            actions.append(
+                f"WIDEN COLUMN {f.name} "
+                f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+            )
+            continue
+        if _is_widening(f.dataType, old.dataType):
+            # incoming is narrower — table schema already covers it; cast up
+            continue
+        raise SchemaEvolutionError(
+            f"incompatible type change for {f.name}: "
+            f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+        )
+    return actions, T.StructType(fields)
+
+
+def ensure_schema(table: LakeTable, incoming: T.StructType) -> list[str]:
+    """Evolve the table to accept `incoming`; returns emitted actions."""
+    actions, evolved = diff_schemas(table.schema(), incoming)
+    if actions:
+        table.update_schema(evolved)
+    return actions
+
+
+def patch_schema_metadata(
+    pre_replace: T.StructType,
+    new_schema: T.StructType,
+    column_options: dict[str, ColumnOption] | None = None,
+    *,
+    retain_descriptions: bool = True,
+) -> T.StructType:
+    """`buildPatchSchema` analog (BigqueryClient.java:230-287).
+
+    On replace with retention enabled, column descriptions (and other field
+    metadata) from the pre-replace schema carry over to same-named columns;
+    descriptions given in column_options win over the cached ones
+    (BigqueryClient.java:259-287 precedence).
+    """
+    cached = {f.name: f.metadata for f in pre_replace.fields}
+    out = []
+    for f in new_schema.fields:
+        meta = dict(f.metadata)
+        if retain_descriptions and f.name in cached:
+            for k, v in cached[f.name].items():
+                meta.setdefault(k, v)
+        opt = (column_options or {}).get(f.name)
+        if opt is not None and opt.description is not None:
+            meta["description"] = opt.description
+        out.append(T.StructField(f.name, f.dataType, f.nullable, meta))
+    return T.StructType(out)

@@ -1,0 +1,138 @@
+"""J1 — MERGE upsert applied copy-on-write to the lake table (SURVEY.md §2.4).
+
+The reference generates a BigQuery ``MERGE`` statement and lets BigQuery
+execute it (BigqueryClient.java:507-538). Here the same semantics are planned
+as native Spark relational ops:
+
+    MERGE INTO target T USING batch S ON T.k = S.k
+      WHEN MATCHED AND S.op = 'D' THEN DELETE
+      WHEN MATCHED            THEN UPDATE SET *            (or merge_rule)
+      WHEN NOT MATCHED AND S.op != 'D' THEN INSERT *
+
+Physical strategy (the 100-TB story):
+
+1. **Bucket pruning.** The batch's keys hash into a bounded set of
+   ``bucket(N, repo)`` partitions; only those buckets' files are read and
+   rewritten. Untouched buckets move to the new snapshot by reference, so
+   write amplification is O(touched buckets), not O(table).
+2. **No target shuffle.** With no ``merge_rule`` the post-image is
+   ``target ⟕anti batch.keys  ∪  batch.upserts`` — a single anti-join. The
+   batch side (bounded per micro-batch) is broadcast when small, so the big
+   target side streams through map-side without shuffling; with a large batch
+   AQE picks a shuffle join and splits skewed partitions.
+3. **LWW-dedup before merge** (operators/dedup.py) guarantees at most one
+   source row per key — the invariant BigQuery MERGE enforces by erroring
+   (SURVEY.md §2.4 "semantic gap").
+
+``merge_rule`` (PluginTask.java:174-176) — raw SQL fragments referencing
+``T.col``/``S.col`` — takes the general path: inner join for matched rows,
+anti joins for survivors and inserts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lake import LakeTable
+
+#: broadcast the batch side of the anti-join when it is below this many rows
+#: (~100 B/key row → well under the 64 MB broadcast threshold).
+BROADCAST_MAX_ROWS = 500_000
+
+
+@dataclass
+class MergeResult:
+    version: int
+    touched_buckets: list[int]
+    batch_rows: int
+
+
+def merge_apply(
+    table: LakeTable,
+    batch: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    op_col: str = "op",
+    merge_rule: dict[str, str] | None = None,
+    batch_id: str | None = None,
+    batch_rows: int | None = None,
+    properties: dict | None = None,
+) -> MergeResult:
+    """Apply one LWW-deduped I/U/D batch to the table. Returns new version.
+
+    ``batch`` must have ≤1 row per key (run operators.dedup.lww_dedup first)
+    and contain every target column plus ``op_col``.
+    """
+    keys = keys or table.merge_keys
+    if not keys:
+        # precedence mirror: explicit keys > table metadata > error
+        # (BigqueryClient.java:637-639)
+        raise ValueError("merge requires merge keys (config or table metadata)")
+    target_schema = table.schema()
+    target_cols = [f.name for f in target_schema.fields]
+
+    part = table.partition
+    if batch_rows is None:
+        batch_rows = batch.count()
+    if batch_rows == 0:
+        return MergeResult(table.version, [], 0)
+
+    if part:
+        bucket = table.bucket_of(F.col(part["column"]))
+        touched = sorted(
+            r[0] for r in batch.select(bucket.alias("b")).distinct().collect()
+        )
+        target_sub = table.read(buckets=touched)
+    else:
+        touched = []
+        target_sub = table.read()
+
+    batch_keys = batch.select(*keys)
+    if batch_rows <= BROADCAST_MAX_ROWS:
+        batch_keys = F.broadcast(batch_keys)
+
+    survivors = target_sub.join(batch_keys, on=keys, how="left_anti")
+
+    if merge_rule:
+        t, s = target_sub.alias("T"), batch.alias("S")
+        matched = t.join(s, on=[F.col(f"T.{k}") == F.col(f"S.{k}") for k in keys],
+                         how="inner").where(F.col(f"S.{op_col}") != "D")
+        upd_cols = []
+        for c in target_cols:
+            if c in keys:
+                upd_cols.append(F.col(f"S.{c}").alias(c))
+            elif c in merge_rule:
+                upd_cols.append(F.expr(merge_rule[c]).alias(c))
+            else:
+                upd_cols.append(F.col(f"S.{c}").alias(c))
+        updated = matched.select(*upd_cols)
+        inserts = (
+            batch.join(
+                F.broadcast(target_sub.select(*keys))
+                if batch_rows <= BROADCAST_MAX_ROWS
+                else target_sub.select(*keys),
+                on=keys, how="left_anti",
+            )
+            .where(F.col(op_col) != "D")
+            .select(*target_cols)
+        )
+        post = survivors.unionByName(updated).unionByName(inserts)
+    else:
+        upserts = batch.where(F.col(op_col) != "D").select(*target_cols)
+        post = survivors.unionByName(upserts)
+
+    # conform types to the (possibly evolved) table schema
+    post = post.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields]
+    )
+
+    if part:
+        version = table.overwrite_buckets(
+            post, touched, batch_id=batch_id, properties=properties
+        )
+    else:
+        version = table.replace(post, batch_id=batch_id, properties=properties)
+    return MergeResult(version, touched, batch_rows)

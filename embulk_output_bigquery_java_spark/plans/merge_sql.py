@@ -1,0 +1,79 @@
+"""MERGE statement text generator — parity artifact for J1.
+
+Reproduces the reference's SQL-building logic (BigqueryClient.java:507-538:
+``buildMergeSql`` with ``buildMergeKeysExpression`` :637-652,
+``buildMergeRuleExpression`` :654-681, ``buildColumnsExpression`` :683-691,
+backtick quoting :693-695) so the generated text can be golden-tested against
+the reference's shape, and run as-is on engines that support ``MERGE INTO``
+(Iceberg/Delta). The engine itself executes the equivalent relational plan in
+operators/merge.py; this module is the declarative form.
+"""
+
+from __future__ import annotations
+
+
+def q(ident: str) -> str:
+    """Backtick-quote an identifier (BigqueryClient.java:693-695)."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def build_merge_keys_expression(keys: list[str]) -> str:
+    """``T.`k` = S.`k` [AND ...]`` — BigqueryClient.java:637-652."""
+    if not keys:
+        raise ValueError("merge keys are required")  # :638-639
+    return " AND ".join(f"T.{q(k)} = S.{q(k)}" for k in keys)
+
+
+def build_merge_rule_expression(
+    merge_rule: list[str] | None, columns: list[str]
+) -> str:
+    """UPDATE SET clause — BigqueryClient.java:654-681.
+
+    With a rule: the raw fragments joined by ', '. Without: ``T.c = S.c``
+    for every column.
+    """
+    if merge_rule:
+        return ", ".join(merge_rule)
+    return ", ".join(f"T.{q(c)} = S.{q(c)}" for c in columns)
+
+
+def build_columns_expression(columns: list[str]) -> str:
+    """``(`a`, `b`, ...)`` — BigqueryClient.java:683-691."""
+    return ", ".join(q(c) for c in columns)
+
+
+def build_merge_sql(
+    target: str,
+    source: str,
+    keys: list[str],
+    columns: list[str],
+    merge_rule: list[str] | None = None,
+    *,
+    with_delete: bool = True,
+    op_col: str = "op",
+) -> str:
+    """Full MERGE statement (BigqueryClient.java:507-522 shape).
+
+    ``with_delete`` adds the CDC delete clause the reference lacks (its
+    deletes are whole-table/partition, W9); the engine's I/U/D stream needs
+    row-level delete.
+    """
+    cols = build_columns_expression(columns)
+    vals = ", ".join(f"S.{q(c)}" for c in columns)
+    lines = [
+        f"MERGE {q(target)} T",
+        f"USING {q(source)} S",
+        f"ON {build_merge_keys_expression(keys)}",
+    ]
+    if with_delete:
+        lines.append(f"WHEN MATCHED AND S.{q(op_col)} = 'D' THEN DELETE")
+    lines += [
+        "WHEN MATCHED THEN",
+        f"UPDATE SET {build_merge_rule_expression(merge_rule, columns)}",
+    ]
+    if with_delete:
+        lines.append(f"WHEN NOT MATCHED AND S.{q(op_col)} != 'D' THEN")
+    else:
+        lines.append("WHEN NOT MATCHED THEN")
+    lines.append(f"INSERT ({cols}) VALUES ({vals})")
+    return "\n".join(lines)

@@ -1,0 +1,67 @@
+"""Authoritative schemas for the CDC engine (FIXTURES.md §1-2).
+
+The schema is *externally supplied and explicit* everywhere — mirroring the
+reference, which receives the Embulk schema and never infers from data
+(BigqueryClient.java:806-841). Never ``inferSchema``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: Target lakehouse table (BASELINE.json input_hint):
+#: repos(repo, path, commit, lang, content), logical PK (repo, path).
+REPOS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+REPOS_KEY = ["repo", "path"]
+
+#: Change-event input (FIXTURES.md §2): one row per binlog/WAL event.
+#: (commit_seq, event_offset) is the total order for last-writer-wins;
+#: seq is the global replay/checkpoint axis.
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("commit_seq", T.LongType(), False),
+        T.StructField("event_offset", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),  # I | U | D
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),  # after-image (null for D)
+        T.StructField("content", T.StringType(), True),  # after-image
+        T.StructField("before_content", T.StringType(), True),  # null for I
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+#: Ordering columns for last-writer-wins (north_star).
+LWW_ORDER = ["commit_seq", "event_offset"]
+
+#: Ledger row — per-batch/partition lineage metrics (north_rule;
+#: reference analog: BigqueryTransactionReport.java:25-38).
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("seq_lo", T.LongType(), True),
+        T.StructField("seq_hi", T.LongType(), True),
+        T.StructField("input_rows", T.LongType(), False),
+        T.StructField("deduped_rows", T.LongType(), False),
+        T.StructField("output_rows", T.LongType(), False),
+        T.StructField("rejected_rows", T.LongType(), False),
+        T.StructField("touched_buckets", T.IntegerType(), True),
+        T.StructField("bytes_written", T.LongType(), True),
+        T.StructField("merge_latency_s", T.DoubleType(), True),
+        T.StructField("snapshot_version", T.LongType(), True),
+        T.StructField("committed_at", T.StringType(), False),
+    ]
+)

@@ -1,0 +1,188 @@
+"""Deterministic synthetic CDC stream over source-code repos (FIXTURES.md §1-2).
+
+Everything is derived columnarly from ``spark.range(n)`` with seeded hash
+functions — no driver-side data, no Python row loops, no wall-clock, no
+``rand()``. The same (seed, n_events, knobs) always yields byte-identical
+events, on any partitioning and any cluster size, so a 10^10-event stream is
+just ``spark.range(10**10)`` fanned across executors.
+
+Key-space skew is zipf-ish by construction (u^alpha inverse-CDF), so a few
+"hot" repos own a large share of events — exercising the salted dedup and
+AQE skew-join paths (north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: closed language set (FIXTURES.md §1)
+LANGS = ["python", "java", "scala", "sql", "md", "go", "rust", "c"]
+EXTS = {"python": "py", "java": "java", "scala": "scala", "sql": "sql",
+        "md": "md", "go": "go", "rust": "rs", "c": "c"}
+
+EPOCH0 = 1_700_000_000  # fixed event-time origin (2023-11-14T22:13:20Z)
+
+
+def _u(col: Column, tag: str, seed: int) -> Column:
+    """Deterministic uniform in [0,1) from a column + tag + seed."""
+    return (
+        F.pmod(F.xxhash64(col, F.lit(tag), F.lit(seed)), F.lit(1_000_000_000))
+        / 1_000_000_000.0
+    )
+
+
+def _repo_name(repo_id: Column) -> Column:
+    return F.concat(
+        F.lit("org"), (repo_id % 13).cast("string"), F.lit("/repo"),
+        repo_id.cast("string"),
+    )
+
+
+def _lang(repo_id: Column, path_id: Column, seed: int) -> Column:
+    idx = F.pmod(F.xxhash64(repo_id, path_id, F.lit("lang"), F.lit(seed)),
+                 F.lit(len(LANGS)))
+    langs = F.array(*[F.lit(l) for l in LANGS])
+    return F.element_at(langs, (idx + 1).cast("int"))
+
+
+def _ext(lang: Column) -> Column:
+    m = F.create_map(*[F.lit(x) for kv in EXTS.items() for x in kv])
+    return m[lang]
+
+
+def _path_name(path_id: Column, lang: Column) -> Column:
+    return F.concat(
+        F.lit("src/m"), (path_id % 37).cast("string"), F.lit("/f"),
+        path_id.cast("string"), F.lit("."), _ext(lang),
+    )
+
+
+def _commit_hex(commit_seq: Column) -> Column:
+    """Git-sha-like display form of the total-order commit number."""
+    return F.substring(F.sha2(commit_seq.cast("string"), 256), 1, 40)
+
+
+def _content(repo: Column, path: Column, commit_seq: Column, lang: Column) -> Column:
+    """Deterministic pseudo-source text; the sha256-invariant payload.
+
+    Variable length (1-8 blocks of 64 hex chars) so file sizes differ; fully
+    reproducible from the key + commit, so the DuckDB/pandas oracle can
+    recompute it independently.
+    """
+    block = F.sha2(F.concat_ws("|", repo, path, commit_seq.cast("string")), 256)
+    n_blocks = (F.pmod(F.xxhash64(repo, path, commit_seq), F.lit(8)) + 1).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_blocks),
+            lambda i: F.sha2(F.concat(block, i.cast("string")), 256),
+        ),
+        "\n",
+    )
+    return F.concat(
+        F.lit("// "), lang, F.lit(" "), repo, F.lit("/"), path, F.lit("\n"), body
+    )
+
+
+def gen_changes(
+    spark: SparkSession,
+    n_events: int,
+    *,
+    n_repos: int = 100,
+    paths_per_repo: int = 50,
+    hot_repo_frac: float = 0.05,
+    hot_path_mult: int = 20,
+    skew_alpha: float = 3.0,
+    events_per_commit: int = 10,
+    pct_insert: int = 25,
+    pct_update: int = 70,  # remainder is delete
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Build the ``repo_changes`` event stream (CHANGES_SCHEMA shape).
+
+    op mix ≈ pct_insert:pct_update:rest I:U:D. Events are monotone in
+    ``seq``; ``(commit_seq, event_offset)`` is consistent with ``seq`` so
+    last-by-seq == last-by-(commit_seq, event_offset).
+    """
+    df = (spark.range(0, n_events, 1, num_partitions)
+          if num_partitions else spark.range(n_events))
+    seq = F.col("id")
+
+    # zipf-ish skewed repo choice: u^alpha concentrates mass near repo 0
+    u_repo = _u(seq, "repo", seed)
+    repo_id = F.floor(F.lit(n_repos) * F.pow(u_repo, F.lit(skew_alpha))).cast("long")
+    # hot repos (low ids) have a larger path space
+    n_hot = max(1, int(n_repos * hot_repo_frac))
+    paths_for_repo = F.when(
+        repo_id < n_hot, F.lit(paths_per_repo * hot_path_mult)
+    ).otherwise(F.lit(paths_per_repo))
+    path_id = F.pmod(F.xxhash64(seq, F.lit("path"), F.lit(seed)), paths_for_repo)
+
+    lang = _lang(repo_id, path_id, seed)
+    repo = _repo_name(repo_id)
+    path = _path_name(path_id, lang)
+
+    commit_seq = F.floor(seq / events_per_commit).cast("long")
+    event_offset = F.pmod(seq, F.lit(events_per_commit)).cast("long")
+
+    op_h = F.pmod(F.xxhash64(seq, F.lit("op"), F.lit(seed)), F.lit(100))
+    op = (
+        F.when(op_h < pct_insert, F.lit("I"))
+        .when(op_h < pct_insert + pct_update, F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+
+    content = _content(repo, path, commit_seq, lang)
+    # pseudo before-image: content as-of the previous commit touching nothing
+    # in particular (validation fixture only, not used by apply — FIXTURES.md §2)
+    before = _content(repo, path, commit_seq - 1, lang)
+
+    return df.select(
+        seq.alias("seq"),
+        commit_seq.alias("commit_seq"),
+        event_offset.alias("event_offset"),
+        op.alias("op"),
+        repo.alias("repo"),
+        path.alias("path"),
+        _commit_hex(commit_seq).alias("commit"),
+        F.when(op != "D", lang).alias("lang"),
+        F.when(op != "D", content).alias("content"),
+        F.when(op != "I", before).alias("before_content"),
+        F.timestamp_seconds(F.lit(EPOCH0) + seq).alias("ts"),
+    )
+
+
+def gen_initial_repos(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    n_repos: int = 100,
+    paths_per_repo: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Seed state for the target table (REPOS_SCHEMA shape).
+
+    Uses the same key universe as ``gen_changes`` (uniform slice of it), so
+    replayed updates/deletes hit pre-existing rows. commit_seq -1 marks
+    pre-stream rows; any event outranks them in LWW order.
+    """
+    df = spark.range(n_rows)
+    rid = F.pmod(F.xxhash64(F.col("id"), F.lit("init-repo"), F.lit(seed)),
+                 F.lit(n_repos))
+    pid = F.pmod(F.xxhash64(F.col("id"), F.lit("init-path"), F.lit(seed)),
+                 F.lit(paths_per_repo))
+    lang = _lang(rid, pid, seed)
+    repo = _repo_name(rid)
+    path = _path_name(pid, lang)
+    commit_seq = F.lit(-1).cast("long")
+    return (
+        df.select(
+            repo.alias("repo"),
+            path.alias("path"),
+            _commit_hex(commit_seq).alias("commit"),
+            lang.alias("lang"),
+            _content(repo, path, commit_seq, lang).alias("content"),
+        )
+        .dropDuplicates(["repo", "path"])
+    )

@@ -1,0 +1,57 @@
+"""Per-batch lineage ledger (north_rule: "per-partition lineage ledger").
+
+The reference's transaction report (input/response/output/rejected counts,
+BigqueryTransactionReport.java:25-38, assembled
+BigqueryJavaOutputPlugin.java:251-273) generalized to a durable append-only
+ledger: one row per applied batch with offset range, row counts, bytes,
+touched buckets, merge latency and resulting snapshot version.
+
+Stored as JSONL appended by the driver — metrics are O(batches), tiny, and
+must not cost a Spark job each; ``read_ledger`` exposes them back as a
+DataFrame (LEDGER_SCHEMA) for SQL over lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import LEDGER_SCHEMA
+
+
+@dataclass
+class LedgerRow:
+    batch_id: str
+    table: str
+    mode: str
+    seq_lo: int | None
+    seq_hi: int | None
+    input_rows: int
+    deduped_rows: int
+    output_rows: int
+    rejected_rows: int
+    touched_buckets: int | None
+    bytes_written: int | None
+    merge_latency_s: float | None
+    snapshot_version: int | None
+    committed_at: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.committed_at:
+            self.committed_at = datetime.now(timezone.utc).isoformat()
+
+
+def append(path: str, row: LedgerRow) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(asdict(row)) + "\n")
+
+
+def read_ledger(spark: SparkSession, path: str) -> DataFrame:
+    if not os.path.exists(path):
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+    return spark.read.schema(LEDGER_SCHEMA).json(path)

@@ -1,0 +1,19 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from embulk_output_bigquery_java_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("cdc-engine-tests", cores=4, shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture()
+def tmp_table_root(tmp_path):
+    return str(tmp_path / "repos_table")

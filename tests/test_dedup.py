@@ -1,0 +1,57 @@
+"""O1 LWW dedup: all three strategies agree and match a pandas oracle."""
+
+import pandas as pd
+import pytest
+
+from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+KEYS = ["repo", "path"]
+ORDER = ["commit_seq", "event_offset"]
+
+
+def pandas_lww(pdf: pd.DataFrame) -> pd.DataFrame:
+    # drop_duplicates keep="last" (groupby().last() would skip NaN and
+    # backfill D-rows' null after-images)
+    return (
+        pdf.sort_values(ORDER, kind="mergesort")
+        .drop_duplicates(KEYS, keep="last")
+        .sort_values(KEYS)
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize(
+    "strategy,salt", [("window", 0), ("maxby", 0), ("maxby", 8)]
+)
+def test_lww_matches_pandas(spark, strategy, salt):
+    df = gen_changes(spark, 3000, n_repos=20, paths_per_repo=5)
+    got = (
+        lww_dedup(df, KEYS, ORDER, strategy=strategy, salt_partitions=salt)
+        .toPandas()
+        .sort_values(KEYS)
+        .reset_index(drop=True)
+    )
+    exp = pandas_lww(df.toPandas())
+    cols = KEYS + ORDER + ["op", "commit", "content"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_lww_one_row_per_key(spark):
+    df = gen_changes(spark, 2000, n_repos=5, paths_per_repo=3)
+    out = lww_dedup(df, KEYS, ORDER)
+    assert out.groupBy(*KEYS).count().where("count > 1").count() == 0
+
+
+def test_maxby_plan_has_partial_aggregate(spark):
+    """The scale path must plan with map-side partial aggregation: each input
+    partition reduces its own rows per key before the shuffle (skew shield)."""
+    df = gen_changes(spark, 100)
+    plan = (
+        lww_dedup(df, KEYS, ORDER, strategy="maxby")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max_by" in plan
+    assert "Exchange" in plan
+    # partial aggregate sits below the exchange
+    assert plan.index("partial_max_by") > plan.index("Exchange")  # printed top-down

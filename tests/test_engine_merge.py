@@ -1,0 +1,161 @@
+"""Flagship end-to-end: CDC replay -> lake MERGE == DuckDB oracle replay.
+
+Covers north_star gates: final-table-state equality, per-row sha256(content)
+equality, exactly-once under duplicate delivery / injected retries, resume
+from checkpoint.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.config import IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+from embulk_output_bigquery_java_spark.sources.generator import (
+    gen_changes,
+    gen_initial_repos,
+)
+from oracle import replay_final_state
+
+GEN_KNOBS = dict(n_repos=30, paths_per_repo=8)
+
+
+def engine_state(spark, root) -> pd.DataFrame:
+    t = LakeTable(spark, root)
+    return (
+        t.read()
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def run_replay(spark, root, tmp_path, n_events=2000, batch_size=500, initial=400,
+               **cfg_kw):
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=8, **cfg_kw)
+    eng = CdcEngine(
+        spark, cfg, root,
+        ledger_path=str(tmp_path / "ledger.jsonl"),
+        checkpoint_path=str(tmp_path / "checkpoint.json"),
+    )
+    init_df = gen_initial_repos(spark, initial, **{k: GEN_KNOBS[k] for k in ["n_repos", "paths_per_repo"]})
+    table = eng.ensure_table(REPOS_SCHEMA)
+    table.append(init_df)
+    changes = gen_changes(spark, n_events, **GEN_KNOBS)
+    stats = eng.replay(changes, n_events=n_events, batch_size=batch_size)
+    return eng, changes, init_df, stats
+
+
+def test_replay_matches_oracle(spark, tmp_table_root, tmp_path):
+    eng, changes, init_df, stats = run_replay(spark, tmp_table_root, tmp_path)
+    assert stats.batches == 4 and stats.events == 2000
+
+    got = engine_state(spark, tmp_table_root)
+    exp = replay_final_state(changes.toPandas(), init_df.toPandas())
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "lang", "content"]],
+        exp[["repo", "path", "commit", "lang", "content"]],
+    )
+    # per-row sha256 invariant, engine-side F.sha2 vs duckdb sha256
+    pd.testing.assert_series_equal(got["content_sha"], exp["content_sha"])
+
+
+def test_exactly_once_duplicate_delivery(spark, tmp_table_root, tmp_path):
+    eng, changes, init_df, stats = run_replay(spark, tmp_table_root, tmp_path)
+    v_before = LakeTable(spark, tmp_table_root).version
+    state_before = engine_state(spark, tmp_table_root)
+
+    # inject: redeliver every batch (simulates retry after lost ack)
+    batch = changes.where((F.col("seq") >= 500) & (F.col("seq") < 1000))
+    out = eng.apply_batch(batch, "repos:500:1000", seq_range=(500, 1000))
+    assert out is None  # no-op
+    assert LakeTable(spark, tmp_table_root).version == v_before
+    pd.testing.assert_frame_equal(engine_state(spark, tmp_table_root), state_before)
+
+
+def test_resume_from_checkpoint(spark, tmp_table_root, tmp_path):
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=8)
+    ck = str(tmp_path / "ck.json")
+    eng = CdcEngine(spark, cfg, tmp_table_root, checkpoint_path=ck)
+    eng.ensure_table(REPOS_SCHEMA)
+    changes = gen_changes(spark, 1500, **GEN_KNOBS)
+
+    # first run applies only the first two batches (simulated crash after)
+    eng.replay(changes, n_events=1000, batch_size=500)
+    # resumed run continues from checkpoint; applies only the tail
+    stats2 = eng.replay(changes, n_events=1500, batch_size=500)
+    assert stats2.batches == 1 and stats2.events == 500
+
+    got = engine_state(spark, tmp_table_root)
+    exp = replay_final_state(changes.toPandas(), None)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "content"]],
+        exp[["repo", "path", "commit", "content"]],
+    )
+
+
+def test_checkpoint_loss_is_safe(spark, tmp_table_root, tmp_path):
+    """at-least-once redelivery x manifest = exactly-once even without ckpt."""
+    eng, changes, init_df, _ = run_replay(spark, tmp_table_root, tmp_path)
+    state = engine_state(spark, tmp_table_root)
+    # wipe checkpoint, replay everything again
+    eng2 = CdcEngine(spark, eng.cfg, tmp_table_root,
+                     checkpoint_path=str(tmp_path / "ck2.json"))
+    stats = eng2.replay(gen_changes(spark, 2000, **GEN_KNOBS),
+                        n_events=2000, batch_size=500)
+    assert stats.batches == 0 and stats.skipped_batches == 4
+    pd.testing.assert_frame_equal(engine_state(spark, tmp_table_root), state)
+
+
+def test_ledger_rows_written(spark, tmp_table_root, tmp_path):
+    from embulk_output_bigquery_java_spark.streaming.ledger import read_ledger
+
+    eng, *_ = run_replay(spark, tmp_table_root, tmp_path)
+    led = read_ledger(spark, str(tmp_path / "ledger.jsonl"))
+    rows = led.orderBy("seq_lo").collect()
+    assert len(rows) == 4
+    assert [r.seq_lo for r in rows] == [0, 500, 1000, 1500]
+    assert all(r.input_rows == 500 for r in rows)
+    assert all(r.deduped_rows <= r.input_rows for r in rows)
+    assert all(r.snapshot_version is not None for r in rows)
+    assert all(r.merge_latency_s > 0 for r in rows)
+
+
+def test_commit_conflict_retry(spark, tmp_table_root, tmp_path, monkeypatch):
+    """Injected retryable failure: first commit attempt conflicts, retry wins."""
+    from embulk_output_bigquery_java_spark.lake import CommitConflict
+    from embulk_output_bigquery_java_spark.lake.table import LakeTable as LT
+    from embulk_output_bigquery_java_spark import engine as eng_mod
+
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=8, retry_initial_backoff_s=0.01)
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.ensure_table(REPOS_SCHEMA)
+    changes = gen_changes(spark, 300, **GEN_KNOBS)
+
+    orig = LT.overwrite_buckets
+    calls = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflict("injected")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(LT, "overwrite_buckets", flaky)
+    row = eng.apply_batch(changes, "b-flaky", seq_range=(0, 300))
+    assert row is not None and calls["n"] == 2
+
+    got = engine_state(spark, tmp_table_root)
+    exp = replay_final_state(changes.toPandas(), None)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "content"]], exp[["repo", "path", "content"]]
+    )

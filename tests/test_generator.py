@@ -1,0 +1,58 @@
+"""Generator determinism + shape (FIXTURES.md §2)."""
+
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.sources.generator import (
+    gen_changes,
+    gen_initial_repos,
+)
+
+
+def test_changes_shape_and_determinism(spark):
+    a = gen_changes(spark, 500).toPandas()
+    b = gen_changes(spark, 500, num_partitions=7).toPandas()
+    assert list(a.columns) == [
+        "seq", "commit_seq", "event_offset", "op", "repo", "path",
+        "commit", "lang", "content", "before_content", "ts",
+    ]
+    # identical regardless of partitioning
+    a = a.sort_values("seq").reset_index(drop=True)
+    b = b.sort_values("seq").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["seq"].is_unique
+    assert set(a["op"].unique()) <= {"I", "U", "D"}
+    # D rows have null after-image, I rows null before-image
+    assert a.loc[a.op == "D", "content"].isna().all()
+    assert a.loc[a.op == "I", "before_content"].isna().all()
+    assert a.loc[a.op != "D", "content"].notna().all()
+
+
+def test_changes_op_mix_and_skew(spark):
+    df = gen_changes(spark, 5000)
+    mix = {r["op"]: r["n"] for r in df.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    total = sum(mix.values())
+    assert 0.18 < mix["I"] / total < 0.32
+    assert 0.60 < mix["U"] / total < 0.80
+    assert 0.01 < mix.get("D", 0) / total < 0.12
+    # skew: top repo should own a disproportionate share of events
+    top = (
+        df.groupBy("repo").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["count"] > total * 0.10
+
+
+def test_lww_total_order_consistent_with_seq(spark):
+    df = gen_changes(spark, 1000)
+    bad = df.where(
+        (F.col("commit_seq") * 1_000_000 + F.col("event_offset"))
+        != (F.floor(F.col("seq") / 10) * 1_000_000 + F.pmod(F.col("seq"), F.lit(10)))
+    ).count()
+    assert bad == 0
+
+
+def test_initial_repos_unique_keys(spark):
+    df = gen_initial_repos(spark, 300)
+    n = df.count()
+    assert n > 0
+    assert df.select("repo", "path").distinct().count() == n
+    assert df.where(F.col("content").isNull()).count() == 0

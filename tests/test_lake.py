@@ -1,0 +1,182 @@
+"""Lake table format: atomic commits, pruning, time travel, evolution."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.lake import CommitConflict, LakeTable
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(rows, REPOS_SCHEMA)
+
+
+ROWS = [
+    ("org0/repo0", "src/a.py", "c1", "python", "print(1)"),
+    ("org1/repo1", "src/b.py", "c1", "python", "print(2)"),
+    ("org2/repo2", "src/c.py", "c1", "python", "print(3)"),
+]
+
+
+def test_create_read_append_replace(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA,
+        bucket_column="repo", num_buckets=4, merge_keys=["repo", "path"],
+    )
+    assert t.version == 0 and t.total_rows() == 0
+    assert t.read().count() == 0
+
+    t.append(make_df(spark, ROWS))
+    assert t.version == 1 and t.total_rows() == 3
+    assert sorted(r.repo for r in t.read().collect()) == [
+        "org0/repo0", "org1/repo1", "org2/repo2"
+    ]
+
+    t.replace(make_df(spark, ROWS[:1]))
+    assert t.total_rows() == 1
+    # time travel: v1 still readable
+    assert t.read(version=1).count() == 3
+
+
+def test_create_if_not_exists_idempotent(spark, tmp_table_root):
+    LakeTable.create(spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo")
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo")
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo",
+        if_not_exists=True,
+    )
+    assert t.version == 0
+
+
+def test_bucket_pruned_read(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo", num_buckets=4
+    )
+    df = make_df(spark, ROWS)
+    t.append(df)
+    buckets = {
+        r.repo: r.b
+        for r in df.select("repo", t.bucket_of(F.col("repo")).alias("b")).collect()
+    }
+    some_bucket = buckets["org0/repo0"]
+    pruned = t.read(buckets=[some_bucket])
+    got = {r.repo for r in pruned.collect()}
+    assert "org0/repo0" in got
+    assert got == {r for r, b in buckets.items() if b == some_bucket}
+    # file-level pruning: fewer files scanned than total
+    snap = t.snapshot()
+    pruned_files = [f for f in snap["files"] if f["bucket"] == some_bucket]
+    assert 0 < len(pruned_files) < len(snap["files"])
+
+
+def test_commit_conflict_detection(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo")
+    base = t.snapshot()
+    t.append(make_df(spark, ROWS))  # someone else commits v1
+    with pytest.raises(CommitConflict):
+        t._commit(
+            operation="append", files=base["files"],
+            expected_version=base["version"],
+        )
+
+
+def test_applied_batches_manifest(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo")
+    assert not t.has_batch("b1")
+    t.append(make_df(spark, ROWS), batch_id="b1")
+    assert t.has_batch("b1")
+    t.mark_batch_applied("b2")
+    assert t.has_batch("b2") and t.has_batch("b1")
+
+
+def test_delete_buckets_metadata_only(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo", num_buckets=4
+    )
+    df = make_df(spark, ROWS)
+    t.append(df)
+    b0 = df.select(t.bucket_of(F.col("repo")).alias("b")).collect()[0].b
+    before_rows = t.total_rows()
+    t.delete_buckets([b0])
+    assert t.total_rows() < before_rows
+    assert t.read().where(
+        t.bucket_of(F.col("repo")) == b0
+    ).count() == 0
+
+
+def test_schema_evolution_read_reconciliation(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo", num_buckets=4
+    )
+    t.append(make_df(spark, ROWS))
+    evolved = T.StructType(
+        REPOS_SCHEMA.fields + [T.StructField("size_bytes", T.LongType(), True)]
+    )
+    t.update_schema(evolved)
+    # old files read back with NULL for the new column
+    out = t.read()
+    assert "size_bytes" in out.columns
+    assert out.where(F.col("size_bytes").isNull()).count() == 3
+    # new data with the column appends fine and coexists
+    new_rows = [("org9/repo9", "x.py", "c2", "python", "pass", 42)]
+    t.append(spark.createDataFrame(new_rows, evolved))
+    got = t.read().where(F.col("repo") == "org9/repo9").collect()[0]
+    assert got.size_bytes == 42
+    assert t.read().count() == 4
+
+
+def test_type_widening_read(spark, tmp_table_root):
+    narrow = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    wide = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ])
+    t = LakeTable.create(spark, tmp_table_root, narrow, bucket_column="k")
+    t.append(spark.createDataFrame([("a", 1)], narrow))
+    t.update_schema(wide)
+    t.append(spark.createDataFrame([("b", 2**40)], wide))
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2**40}
+    assert dict(t.read().dtypes)["v"] == "bigint"
+
+
+def test_tag_backup(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo")
+    t.append(make_df(spark, ROWS))
+    v = t.version
+    t.tag("backup-1")
+    t.replace(make_df(spark, ROWS[:1]))
+    assert t.properties["tags"]["backup-1"] == v
+    assert t.read(version=t.properties["tags"]["backup-1"]).count() == 3
+
+
+def test_expire_snapshots_and_compact(spark, tmp_table_root):
+    import glob as g
+    import os
+
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo", num_buckets=4
+    )
+    for i in range(3):
+        # replace orphans the previous version's files once expired
+        t.replace(make_df(spark, [(f"org{i}/r", "a.py", "c", "python", f"x{i}")]))
+    assert t.version == 3
+    rows_before = t.total_rows()
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted  # some files physically removed
+    versions = sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in g.glob(os.path.join(tmp_table_root, "meta", "v*.json"))
+    )
+    assert versions == [3]
+    assert t.total_rows() == rows_before
+    assert t.read().count() == rows_before
+
+    t.compact()
+    assert t.read().count() == rows_before
+    assert len(t.snapshot()["files"]) <= 4
