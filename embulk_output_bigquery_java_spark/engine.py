@@ -100,13 +100,26 @@ class CdcEngine:
                 raise FileNotFoundError(
                     f"table {self.table_root} missing and auto_create_table=false"
                 )
+            names = {f.name for f in schema.fields}
+            if self.cfg.merge_keys:
+                keys = self.cfg.merge_keys
+            elif set(REPOS_KEY) <= names:
+                keys = list(REPOS_KEY)
+            else:
+                # no declared key: bucket by the first column for layout only
+                keys = [schema.fields[0].name]
+            missing = [k for k in keys if k not in names]
+            if missing:
+                raise ValueError(
+                    f"merge keys {missing} not in batch schema {sorted(names)}"
+                )
             return LakeTable.create(
                 self.spark,
                 self.table_root,
                 schema,
-                bucket_column=REPOS_KEY[0],
+                bucket_column=keys[0],
                 num_buckets=self.cfg.num_buckets,
-                merge_keys=self.cfg.merge_keys or REPOS_KEY,
+                merge_keys=keys,
                 if_not_exists=True,
             )
         return LakeTable(self.spark, self.table_root)
@@ -121,13 +134,32 @@ class CdcEngine:
     ) -> LedgerRow | None:
         """Apply one micro-batch under the configured mode. None = no-op replay."""
         cfg = self.cfg
-        table = self.ensure_table(self._data_schema(batch))
+        t0 = time.monotonic()
+        if cfg.column_options:
+            # the C-matrix as one vectorized projection (§2.2); CDC meta
+            # columns pass through untouched
+            from pyspark.sql import types as T
 
+            from .functions.casts import build_projection
+
+            meta = [c for c in batch.columns if c in CDC_META_COLS]
+            data_fields = [
+                f for f in batch.schema.fields if f.name not in CDC_META_COLS
+            ]
+            batch = batch.select(
+                *[F.col(c) for c in meta],
+                *build_projection(
+                    T.StructType(data_fields),
+                    cfg.column_options,
+                    default_timestamp_format=cfg.default_timestamp_format,
+                ),
+            )
+
+        table = self.ensure_table(self._data_schema(batch))
         if cfg.mode is not Mode.APPEND_DIRECT and table.has_batch(batch_id):
             log.info("batch %s already applied — exactly-once no-op", batch_id)
             return None
 
-        t0 = time.monotonic()
         batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             input_rows = batch.count()

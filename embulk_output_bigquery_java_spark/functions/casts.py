@@ -1,0 +1,313 @@
+"""The converter matrix (C1-C28, SURVEY.md §2.2) as a Catalyst projection.
+
+The reference converts every row column-by-column through per-type converter
+classes (converter/Bigquery{Boolean,Long,Double,String,Timestamp}Converter.java,
+dispatched from BigqueryValueConverter.java:11-48). Here the whole matrix is
+one vectorized ``select`` of when/cast/date_format expressions — JVM-side,
+whole-stage-codegen'd, no shuffles, no per-row Python. The only pandas UDF is
+timestamp formatting in a non-UTC zone with an offset directive, where Spark
+cannot print a per-column zone offset natively.
+
+Two output modes:
+- typed (default): real Spark types (TIMESTAMP -> TimestampType, DATETIME ->
+  TimestampNTZType, DATE -> DateType, NUMERIC -> DecimalType(38, scale)) —
+  what a lakehouse table wants.
+- ``as_string=True``: the exact strings the reference writes into its JSONL
+  load files (e.g. ``2020-05-01 00:00:00.000000 +00:00``) — used by the
+  golden-parity tests copied from the reference's converter tests.
+
+Error semantics: a value the reference would reject with
+BigqueryTypeCastException raises here too (F.raise_error inside a CASE), but
+*fails the job fast* instead of the reference's silent row drop
+(BigqueryPageOutput.java:45-47 — see SURVEY.md quirks ledger).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import ColumnOption, ColumnType, DEFAULT_TIMESTAMP_FORMAT
+from .strftime import strftime_to_spark
+
+
+class TypeCastError(ValueError):
+    """Plan-time analog of BigqueryTypeCastException for invalid edges."""
+
+
+class NotSupportedTypeError(TypeError):
+    """C27 — BigqueryNotSupportedTypeException analog (plan-time)."""
+
+
+#: source kind per Spark type (the 6 Embulk column types, BigqueryClient.java:865-899)
+def source_kind(dt: T.DataType) -> str:
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "long"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, (T.MapType, T.StructType, T.ArrayType)):
+        return "json"
+    if isinstance(dt, T.DateType):
+        return "timestamp"
+    raise NotSupportedTypeError(f"unsupported source type {dt.simpleString()}")
+
+
+#: default target per source kind (JsonColumnVisitor.java:46,65,84,105,131,149)
+DEFAULT_TARGET = {
+    "boolean": ColumnType.BOOLEAN,
+    "long": ColumnType.INTEGER,
+    "double": ColumnType.FLOAT,
+    "string": ColumnType.STRING,
+    "timestamp": ColumnType.TIMESTAMP,
+    "json": ColumnType.STRING,
+}
+
+_TS_OUT = "yyyy-MM-dd HH:mm:ss.SSSSSS xxx"  # %Y-%m-%d %H:%M:%S.%6N %:z
+_DT_OUT = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # no zone
+_DATE_OUT = "yyyy-MM-dd"
+
+
+def _raise(col: Column, msg: str) -> Column:
+    return F.raise_error(F.concat(F.lit(msg + ": "), col.cast("string")))
+
+
+def _guarded(col: Column, ok: Column, value: Column, msg: str) -> Column:
+    """null -> null; ok -> value; else raise (TypeCastException semantics)."""
+    return F.when(col.isNull(), F.lit(None)).when(ok, value).otherwise(
+        _raise(col, msg)
+    )
+
+
+def _parse_string_ts(col: Column, fmt: str | None, tz: str) -> Column:
+    """string -> UTC instant, parsed with a Ruby-strftime pattern in tz
+    (BigqueryStringConverter.java:60-80 via embulk-util-timestamp)."""
+    if fmt is None:
+        ts = F.to_timestamp(col)  # passthrough-ish: default parser
+    else:
+        ts = F.to_timestamp(col, strftime_to_spark(fmt))
+    if tz and tz.upper() != "UTC":
+        ts = F.to_utc_timestamp(ts, tz)
+    return ts
+
+
+def _format_ts(ts: Column, pattern: str, tz: str) -> Column:
+    """Format an instant in tz. Session tz is pinned UTC; for non-UTC zones
+    with an offset directive we need per-column zone printing -> pandas UDF."""
+    if not tz or tz.upper() == "UTC":
+        return F.date_format(ts, pattern)
+    if "x" not in pattern and "X" not in pattern and "z" not in pattern:
+        # wall-clock only: shift then format prints correct local time
+        return F.date_format(F.from_utc_timestamp(ts, tz), pattern)
+    return _format_ts_pandas(ts, pattern, tz)
+
+
+def _format_ts_pandas(ts: Column, pattern: str, tz: str) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    # JDK pattern -> strftime-ish for pandas: only the directives we emit
+    py_fmt = (
+        pattern.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
+        .replace("HH", "%H").replace("mm", "%M").replace("ss", "%S")
+        .replace("SSSSSS", "%f").replace("xxx", "%:z").replace("xx", "%z")
+    )
+
+    @pandas_udf("string")
+    def fmt(s: pd.Series) -> pd.Series:
+        local = s.dt.tz_localize("UTC").dt.tz_convert(tz)
+        if "%:z" in py_fmt:
+            base = local.dt.strftime(py_fmt.replace("%:z", "%z"))
+            return base.str.replace(r"([+-]\d{2})(\d{2})$", r"\1:\2", regex=True)
+        return local.dt.strftime(py_fmt)
+
+    return fmt(ts)
+
+
+def cast_expr(
+    name: str,
+    src_type: T.DataType,
+    opt: ColumnOption | None = None,
+    *,
+    default_timestamp_format: str = DEFAULT_TIMESTAMP_FORMAT,
+    as_string: bool = False,
+) -> Column:
+    """Build the projection expression for one column (one C-matrix edge)."""
+    col = F.col(name)
+    kind = source_kind(src_type)
+    target = (opt.type if opt and opt.type else None) or DEFAULT_TARGET[kind]
+    tz = opt.timezone if opt else "UTC"
+    ts_fmt = opt.timestamp_format if opt else None
+    scale = opt.scale if opt else 9
+
+    out = _edge(col, kind, target, name, tz, ts_fmt, scale,
+                default_timestamp_format, as_string)
+    return out.alias(name)
+
+
+def _edge(
+    col: Column, kind: str, target: ColumnType, name: str, tz: str,
+    ts_fmt: str | None, scale: int, default_ts_fmt: str, as_string: bool,
+) -> Column:
+    CT = ColumnType
+    unsupported = NotSupportedTypeError(
+        f"cannot convert {kind} column {name!r} to {target.value} (C27)"
+    )
+
+    if kind == "boolean":
+        if target is CT.BOOLEAN:
+            return col  # C1
+        if target is CT.STRING:
+            return col.cast("string")  # C2: "true"/"false"
+        raise unsupported
+
+    if kind == "long":
+        if target is CT.BOOLEAN:  # C3: 0/1 else error
+            return _guarded(
+                col, col.isin(0, 1), col == 1, f"long {name!r} not 0/1"
+            )
+        if target is CT.INTEGER:
+            return col.cast("long")  # C4 (int64)
+        if target is CT.FLOAT:
+            return col.cast("double")  # C5
+        if target is CT.TIMESTAMP:  # C6: raw epoch passthrough
+            return col.cast("string") if as_string else F.timestamp_seconds(col)
+        if target is CT.STRING:
+            return col.cast("string")  # C7
+        raise unsupported
+
+    if kind == "double":
+        if target is CT.INTEGER:
+            # C8: reference does a narrowing 32-bit `(int)` cast
+            # (BigqueryDoubleConverter.java:11-13). Replicated faithfully.
+            return col.cast("int").cast("long")
+        if target is CT.FLOAT:
+            return col  # C9
+        if target is CT.TIMESTAMP:  # C10
+            return col.cast("string") if as_string else F.timestamp_seconds(col)
+        if target is CT.STRING:
+            return col.cast("string")  # C11
+        raise unsupported
+
+    if kind == "string":
+        if target is CT.BOOLEAN:  # C12: case-insensitive true/false else error
+            low = F.lower(col)
+            return _guarded(
+                col, low.isin("true", "false"), low == "true",
+                f"string {name!r} not a boolean",
+            )
+        if target is CT.INTEGER:  # C13: Integer.parseInt — 32-bit, strict
+            ok = col.rlike(r"^[+-]?\d+$") & col.try_cast("int").isNotNull()
+            return _guarded(
+                col, ok, col.cast("int").cast("long"),
+                f"string {name!r} not an int32",
+            )
+        if target is CT.FLOAT:  # C14: Float.parseFloat (32-bit)
+            ok = col.try_cast("float").isNotNull()
+            val = col.cast("float")
+            return _guarded(
+                col, ok, val if not as_string else val.cast("string"),
+                f"string {name!r} not a float",
+            )
+        if target is CT.STRING:
+            return col  # C15
+        if target in (CT.TIMESTAMP, CT.DATETIME, CT.DATE):
+            if ts_fmt is None and target is CT.TIMESTAMP:
+                # C16 without timestamp_format: passthrough (reference hands
+                # the raw string to BigQuery)
+                return col if as_string else col.cast("timestamp")
+            parsed = _parse_string_ts(col, ts_fmt, tz)
+            ok = parsed.isNotNull()
+            msg = f"string {name!r} does not match {ts_fmt!r}"
+            if target is CT.TIMESTAMP:  # C16: reformat %Y-%m-%d %H:%M:%S.%6N %:z
+                val = F.date_format(parsed, _TS_OUT) if as_string else parsed
+                return _guarded(col, ok, val, msg)
+            if target is CT.DATETIME:  # C17: no zone, wall time in tz
+                wall = F.from_utc_timestamp(parsed, tz) if tz.upper() != "UTC" else parsed
+                val = (
+                    F.date_format(wall, _DT_OUT)
+                    if as_string
+                    else wall.cast(T.TimestampNTZType())
+                )
+                return _guarded(col, ok, val, msg)
+            # C18: DATE
+            wall = F.from_utc_timestamp(parsed, tz) if tz.upper() != "UTC" else parsed
+            val = F.date_format(wall, _DATE_OUT) if as_string else F.to_date(wall)
+            return _guarded(col, ok, val, msg)
+        if target is CT.NUMERIC:  # C19: BigDecimal setScale(scale, CEILING)
+            from decimal import Decimal as _D
+
+            wide = T.DecimalType(38, 18)
+            d = col.cast(wide)
+            # CEILING from HALF_UP: round, then bump one ulp when the rounded
+            # value fell below the input (dividing a ceil'd integer back down
+            # would lose scale under Spark's decimal precision-loss rules).
+            r = F.round(d, scale)
+            ulp = F.lit(_D(1).scaleb(-scale))
+            val = F.when(r >= d, r).otherwise(r + ulp).cast(
+                T.DecimalType(38, scale)
+            )
+            ok = col.try_cast(wide).isNotNull()
+            return _guarded(
+                col, ok, val.cast("string") if as_string else val,
+                f"string {name!r} not numeric",
+            )
+        raise unsupported
+
+    if kind == "timestamp":
+        ts = col if not isinstance(col, T.DateType) else col.cast("timestamp")
+        if target is CT.INTEGER:
+            # C20 quirk: epoch MILLIS (BigqueryTimestampConverter.java:22-24),
+            # though BQ TIMESTAMP ingestion expects seconds. Preserved.
+            return F.unix_millis(ts)
+        if target is CT.FLOAT:  # C21
+            return F.unix_millis(ts).cast("double")
+        if target is CT.STRING:  # C22: column/default fmt in column tz
+            fmt = ts_fmt or default_ts_fmt
+            return _format_ts(ts, strftime_to_spark(fmt), tz)
+        if target is CT.TIMESTAMP:  # C23: forced UTC
+            return F.date_format(ts, _TS_OUT) if as_string else ts
+        if target is CT.DATETIME:  # C24: wall time in tz, no zone
+            wall = F.from_utc_timestamp(ts, tz) if tz.upper() != "UTC" else ts
+            return (
+                F.date_format(wall, _DT_OUT)
+                if as_string
+                else wall.cast(T.TimestampNTZType())
+            )
+        if target is CT.DATE:  # C25
+            wall = F.from_utc_timestamp(ts, tz) if tz.upper() != "UTC" else ts
+            return F.date_format(wall, _DATE_OUT) if as_string else F.to_date(wall)
+        raise unsupported
+
+    if kind == "json":
+        if target is CT.STRING:
+            return F.to_json(col)  # C26; column options ignored, as reference
+        raise unsupported
+
+    raise unsupported  # pragma: no cover
+
+
+def build_projection(
+    schema: T.StructType,
+    column_options: dict[str, ColumnOption] | None = None,
+    *,
+    default_timestamp_format: str = DEFAULT_TIMESTAMP_FORMAT,
+    as_string: bool = False,
+) -> list[Column]:
+    """One vectorized select() for a whole schema — the plan-time validated
+    C-matrix (invalid edges raise NotSupportedTypeError before execution)."""
+    opts = column_options or {}
+    return [
+        cast_expr(
+            f.name, f.dataType, opts.get(f.name),
+            default_timestamp_format=default_timestamp_format,
+            as_string=as_string,
+        )
+        for f in schema.fields
+    ]

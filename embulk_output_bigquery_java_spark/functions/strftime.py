@@ -1,0 +1,99 @@
+"""Ruby-strftime → Spark datetime pattern translation (SURVEY.md §4.3 item 6).
+
+The reference parses/formats timestamps with Ruby strftime patterns via
+embulk-util-timestamp (used in BigqueryStringConverter.java:60-126 and
+BigqueryTimestampConverter.java:28-69, default pattern
+``%Y-%m-%d %H:%M:%S.%6N %:z`` from PluginTask.java:78-80). Spark uses
+JDK DateTimeFormatter-style patterns; this is the mapping table between the
+strftime directives the plugin's configs can contain and their Spark
+equivalents. Unknown directives raise — a silent mistranslation would
+corrupt every timestamp in a load.
+"""
+
+from __future__ import annotations
+
+_MAP = {
+    "Y": "yyyy",
+    "y": "yy",
+    "C": None,  # century — no JDK equivalent
+    "m": "MM",
+    "d": "dd",
+    "e": "d",  # blank-padded day ≈ unpadded
+    "j": "DDD",
+    "H": "HH",
+    "k": "H",  # blank-padded hour ≈ unpadded
+    "I": "hh",
+    "l": "h",
+    "M": "mm",
+    "S": "ss",
+    "L": "SSS",
+    "N": "SSSSSSSSS",
+    "p": "a",
+    "P": "a",
+    "z": "xx",  # +0000
+    "Z": "zzz",  # zone name
+    "a": "EEE",
+    "A": "EEEE",
+    "b": "MMM",
+    "h": "MMM",
+    "B": "MMMM",
+    "u": "e",  # ISO day of week 1-7
+    "G": "YYYY",  # ISO week-based year (approximate; Spark weekyear)
+    "V": "ww",
+    "s": None,  # epoch seconds — not a format directive in JDK
+    "%": "%",
+}
+
+#: fraction-of-second with explicit digits: %3N, %6N, %9N
+_DIGIT_N = {"3": "SSS", "6": "SSSSSS", "9": "SSSSSSSSS"}
+
+
+class StrftimeTranslationError(ValueError):
+    pass
+
+
+def strftime_to_spark(fmt: str) -> str:
+    """Translate a Ruby strftime pattern to a Spark datetime pattern.
+
+    Handles ``%:z`` (+00:00), ``%::z``, ``%3N/%6N/%9N`` fractions, and quotes
+    literal ASCII letters so they are not interpreted as pattern characters.
+    """
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            if c.isalpha():
+                out.append(f"'{c}'")
+            elif c == "'":
+                out.append("''")
+            else:
+                out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise StrftimeTranslationError(f"dangling %% in {fmt!r}")
+        nxt = fmt[i + 1]
+        if nxt == ":" and i + 2 < n and fmt[i + 2] == "z":
+            out.append("xxx")  # +00:00
+            i += 3
+            continue
+        if fmt[i + 1 : i + 4] == "::z":
+            out.append("xxxxx")  # +00:00:00
+            i += 4
+            continue
+        if nxt in _DIGIT_N and i + 2 < n and fmt[i + 2] == "N":
+            out.append(_DIGIT_N[nxt])
+            i += 3
+            continue
+        if nxt == "%":
+            out.append("%")
+            i += 2
+            continue
+        if nxt not in _MAP or _MAP[nxt] is None:
+            raise StrftimeTranslationError(
+                f"unsupported strftime directive %{nxt} in {fmt!r}"
+            )
+        out.append(_MAP[nxt])
+        i += 2
+    return "".join(out)

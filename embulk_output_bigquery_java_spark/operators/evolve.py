@@ -32,8 +32,12 @@ class SchemaEvolutionError(ValueError):
 
 #: legal widenings: (from, to) by simpleString prefix
 _WIDEN_OK = {
-    ("integer", "long"),
-    ("integer", "double"),  # int -> double is lossless
+    ("tinyint", "int"),
+    ("smallint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("int", "double"),  # int -> double is lossless
     ("float", "double"),
     ("date", "timestamp"),
 }

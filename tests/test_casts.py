@@ -1,0 +1,222 @@
+"""Cast-matrix golden tests — expected values copied from the reference's
+converter tests (FIXTURES.md §4; Test*Converter.java, TestJsonColumnVisitor.java).
+"""
+
+from datetime import datetime, timezone
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.errors import PySparkRuntimeError
+
+from embulk_output_bigquery_java_spark.config import ColumnOption, ColumnType
+from embulk_output_bigquery_java_spark.functions.casts import (
+    NotSupportedTypeError,
+    build_projection,
+    cast_expr,
+)
+from embulk_output_bigquery_java_spark.functions.strftime import (
+    StrftimeTranslationError,
+    strftime_to_spark,
+)
+
+
+def one(spark, value, src_type, opt=None, as_string=False):
+    schema = T.StructType([T.StructField("c", src_type, True)])
+    df = spark.createDataFrame([(value,)], schema)
+    out = df.select(
+        cast_expr("c", src_type, opt, as_string=as_string)
+    )
+    return out.collect()[0][0], out.schema["c"].dataType
+
+
+# ---------------------------------------------------------------- strftime
+def test_strftime_translation():
+    assert strftime_to_spark("%Y-%m-%d %H:%M:%S.%6N %:z") == \
+        "yyyy-MM-dd HH:mm:ss.SSSSSS xxx"
+    assert strftime_to_spark("%Y/%m/%d") == "yyyy/MM/dd"
+    assert strftime_to_spark("%Y-%m-%dT%H:%M:%S%z") == \
+        "yyyy-MM-dd'T'HH:mm:ssxx"
+    with pytest.raises(StrftimeTranslationError):
+        strftime_to_spark("%Q")
+
+
+# ---------------------------------------------------------------- booleans
+def test_boolean_to_string_golden(spark):
+    # TestJsonColumnVisitor.java:44-46: true -> "true"
+    v, dt = one(spark, True, T.BooleanType(),
+                ColumnOption("c", type=ColumnType.STRING))
+    assert v == "true" and isinstance(dt, T.StringType)
+
+
+def test_long_to_boolean(spark):
+    assert one(spark, 0, T.LongType(), ColumnOption("c", "BOOLEAN"))[0] is False
+    assert one(spark, 1, T.LongType(), ColumnOption("c", "BOOLEAN"))[0] is True
+    assert one(spark, None, T.LongType(), ColumnOption("c", "BOOLEAN"))[0] is None
+    with pytest.raises(Exception):
+        one(spark, 2, T.LongType(), ColumnOption("c", "BOOLEAN"))
+
+
+# ---------------------------------------------------------------- longs
+def test_long_golden(spark):
+    # TestJsonColumnVisitor.java:53-54: 100 -> "100"
+    assert one(spark, 100, T.LongType(), ColumnOption("c", "STRING"))[0] == "100"
+    assert one(spark, 100, T.LongType())[0] == 100  # default INTEGER
+    assert one(spark, 100, T.LongType(), ColumnOption("c", "FLOAT"))[0] == 100.0
+
+
+# ---------------------------------------------------------------- doubles
+def test_double_golden(spark):
+    # TestJsonColumnVisitor.java:62-63: 100.5 -> "100.5"
+    assert one(spark, 100.5, T.DoubleType(), ColumnOption("c", "STRING"))[0] == "100.5"
+    # C8: narrowing (int) truncation replicated
+    assert one(spark, 100.9, T.DoubleType(), ColumnOption("c", "INTEGER"))[0] == 100
+    assert one(spark, -100.9, T.DoubleType(), ColumnOption("c", "INTEGER"))[0] == -100
+
+
+# ---------------------------------------------------------------- strings
+def test_string_to_int_golden(spark):
+    # TestJsonColumnVisitor.java:73-74: "100" -> 100
+    assert one(spark, "100", T.StringType(), ColumnOption("c", "INTEGER"))[0] == 100
+    for bad in ("1.5", "garbage", "99999999999"):  # parseInt strictness + 32-bit
+        with pytest.raises(Exception):
+            one(spark, bad, T.StringType(), ColumnOption("c", "INTEGER"))
+
+
+def test_string_to_boolean_error(spark):
+    # TestBigqueryStringConverter: case-insensitive true/false, else throw
+    assert one(spark, "TRUE", T.StringType(), ColumnOption("c", "BOOLEAN"))[0] is True
+    with pytest.raises(Exception):
+        one(spark, "yes", T.StringType(), ColumnOption("c", "BOOLEAN"))
+
+
+def test_string_to_date_golden(spark):
+    # TestBigqueryStringConverter.java:114-116: "2020/05/01" %Y/%m/%d -> 2020-05-01
+    opt = ColumnOption("c", "DATE", timestamp_format="%Y/%m/%d")
+    v, _ = one(spark, "2020/05/01", T.StringType(), opt, as_string=True)
+    assert v == "2020-05-01"
+    # :118-124: "20200501" with %Y/%m/%d -> TypeCast error
+    with pytest.raises(Exception):
+        one(spark, "20200501", T.StringType(), opt)
+
+
+def test_string_to_timestamp_golden(spark):
+    # TestBigqueryStringConverter.java:204-208
+    opt = ColumnOption("c", "TIMESTAMP", timestamp_format="%Y/%m/%d %H:%M:%S")
+    v, _ = one(spark, "2020/05/01 00:00:00", T.StringType(), opt, as_string=True)
+    assert v == "2020-05-01 00:00:00.000000 +00:00"
+    # typed form returns a real timestamp
+    v2, dt2 = one(spark, "2020/05/01 00:00:00", T.StringType(), opt)
+    assert isinstance(dt2, T.TimestampType)
+    assert v2 == datetime(2020, 5, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+
+def test_string_to_datetime_golden(spark):
+    # TestBigqueryStringConverter.java:162-166
+    opt = ColumnOption("c", "DATETIME", timestamp_format="%Y/%m/%d %H:%M:%S")
+    v, _ = one(spark, "2020/05/01 00:00:00", T.StringType(), opt, as_string=True)
+    assert v == "2020-05-01 00:00:00.000000"
+
+
+def test_string_to_numeric_ceiling_golden(spark):
+    # TestBigqueryStringConverter.java:252-257 + ROUND_CEILING
+    opt = ColumnOption("c", "NUMERIC")  # scale default 9
+    v, dt = one(spark, "123.456", T.StringType(), opt)
+    assert v == Decimal("123.456000000")
+    assert dt == T.DecimalType(38, 9)
+    # ceiling rounding at scale overflow digit
+    v2, _ = one(spark, "1.0000000001", T.StringType(), opt)
+    assert v2 == Decimal("1.000000001")  # rounded UP (CEILING)
+    v3, _ = one(spark, "-1.0000000001", T.StringType(), opt)
+    assert v3 == Decimal("-1.000000000")  # toward +inf
+    # explicit scale
+    v4, dt4 = one(spark, "1.27", T.StringType(), ColumnOption("c", "NUMERIC", scale=1))
+    assert v4 == Decimal("1.3") and dt4 == T.DecimalType(38, 1)
+
+
+# ---------------------------------------------------------------- timestamps
+TS0 = datetime(1970, 1, 1, 0, 0, 0)
+
+
+def test_timestamp_to_timestamp_golden(spark):
+    # TestJsonColumnVisitor.java:79-84: epoch 0 -> "1970-01-01 00:00:00.000000 +00:00"
+    v, _ = one(spark, TS0, T.TimestampType(), None, as_string=True)
+    assert v == "1970-01-01 00:00:00.000000 +00:00"
+
+
+def test_timestamp_to_integer_epoch_millis_quirk(spark):
+    # TestJsonColumnVisitor.java:86-92: 10000 ms -> 10000 (epoch MILLIS)
+    ts = datetime(1970, 1, 1, 0, 0, 10)
+    v, _ = one(spark, ts, T.TimestampType(), ColumnOption("c", "INTEGER"))
+    assert v == 10_000
+
+
+def test_timestamp_to_string_default_format(spark):
+    ts = datetime(2020, 5, 1, 12, 30, 15, 123456)
+    v, _ = one(spark, ts, T.TimestampType(), ColumnOption("c", "STRING"))
+    assert v == "2020-05-01 12:30:15.123456 +00:00"
+
+
+def test_timestamp_to_string_non_utc_tz(spark):
+    # per-column zone: Asia/Tokyo is UTC+9 (pandas-UDF slow path)
+    ts = datetime(2020, 5, 1, 0, 0, 0)
+    opt = ColumnOption("c", "STRING", timezone="Asia/Tokyo")
+    v, _ = one(spark, ts, T.TimestampType(), opt)
+    assert v == "2020-05-01 09:00:00.000000 +09:00"
+
+
+def test_timestamp_to_datetime_and_date(spark):
+    ts = datetime(2020, 5, 1, 23, 30, 0)
+    opt = ColumnOption("c", "DATETIME", timezone="Asia/Tokyo")
+    v, _ = one(spark, ts, T.TimestampType(), opt, as_string=True)
+    assert v == "2020-05-02 08:30:00.000000"  # next day in Tokyo
+    vd, _ = one(spark, ts, T.TimestampType(),
+                ColumnOption("c", "DATE", timezone="Asia/Tokyo"), as_string=True)
+    assert vd == "2020-05-02"
+
+
+# ---------------------------------------------------------------- json + null
+def test_json_to_string(spark):
+    schema = T.StructType(
+        [T.StructField("c", T.MapType(T.StringType(), T.StringType()), True)]
+    )
+    df = spark.createDataFrame([({"k": "v"},)], schema)
+    out = df.select(cast_expr("c", schema["c"].dataType, None)).collect()[0][0]
+    assert out == '{"k":"v"}'
+
+
+def test_null_passthrough_all_kinds(spark):
+    # C28: null in -> null out, bypasses converters
+    cases = [
+        (T.BooleanType(), None), (T.LongType(), None), (T.DoubleType(), None),
+        (T.StringType(), None), (T.TimestampType(), None),
+    ]
+    for dt, _ in cases:
+        for tgt in (None, ColumnOption("c", "STRING")):
+            assert one(spark, None, dt, tgt)[0] is None
+
+
+# ---------------------------------------------------------------- plan-time
+def test_unsupported_edge_raises_at_plan_time():
+    with pytest.raises(NotSupportedTypeError):
+        cast_expr("c", T.BooleanType(), ColumnOption("c", "INTEGER"))
+    with pytest.raises(NotSupportedTypeError):
+        cast_expr("c", T.LongType(), ColumnOption("c", "DATE"))
+
+
+def test_build_projection_whole_schema(spark):
+    schema = T.StructType([
+        T.StructField("b", T.BooleanType(), True),
+        T.StructField("l", T.LongType(), True),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("t", T.TimestampType(), True),
+    ])
+    df = spark.createDataFrame([(True, 1, 1.5, "x", TS0)], schema)
+    out = df.select(*build_projection(schema))
+    row = out.collect()[0]
+    assert row == (True, 1, 1.5, "x", TS0)
+    # plan is pure projection: no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,135 @@
+"""Schema-evolution outcomes through the engine (FIXTURES.md §3; D5)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.config import ColumnOption, IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.operators.evolve import (
+    SchemaEvolutionError,
+    diff_schemas,
+    patch_schema_metadata,
+)
+from embulk_output_bigquery_java_spark.schemas import CHANGES_SCHEMA, REPOS_SCHEMA
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+
+def test_diff_add_and_widen():
+    cur = T.StructType([
+        T.StructField("a", T.IntegerType(), True),
+        T.StructField("b", T.StringType(), True),
+    ])
+    inc = T.StructType([
+        T.StructField("a", T.LongType(), True),
+        T.StructField("c", T.DoubleType(), True),
+    ])
+    actions, evolved = diff_schemas(cur, inc)
+    assert actions == ["WIDEN COLUMN a int -> bigint", "ADD COLUMN c double"]
+    assert [f.name for f in evolved.fields] == ["a", "b", "c"]
+    assert evolved["a"].dataType == T.LongType()
+
+
+def test_diff_rejects_incompatible():
+    cur = T.StructType([T.StructField("a", T.StringType(), True)])
+    inc = T.StructType([T.StructField("a", T.LongType(), True)])
+    with pytest.raises(SchemaEvolutionError):
+        diff_schemas(cur, inc)
+
+
+def test_diff_narrower_incoming_ok():
+    cur = T.StructType([T.StructField("a", T.LongType(), True)])
+    inc = T.StructType([T.StructField("a", T.IntegerType(), True)])
+    actions, evolved = diff_schemas(cur, inc)
+    assert actions == [] and evolved["a"].dataType == T.LongType()
+
+
+def test_add_column_batch_through_engine(spark, tmp_table_root):
+    """FIXTURES.md §3 add-column: repo_changes_v2 adds size_bytes long."""
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=4)
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.ensure_table(REPOS_SCHEMA)
+
+    changes = gen_changes(spark, 200, n_repos=10, paths_per_repo=5)
+    eng.apply_batch(changes, "b1", seq_range=(0, 200))
+
+    v2 = gen_changes(spark, 400, n_repos=10, paths_per_repo=5).where(
+        F.col("seq") >= 200
+    ).withColumn("size_bytes", F.length("content").cast("long"))
+    eng.apply_batch(v2, "b2", seq_range=(200, 400))
+
+    t = LakeTable(spark, tmp_table_root)
+    out = t.read()
+    assert "size_bytes" in out.columns
+    assert dict(out.dtypes)["size_bytes"] == "bigint"
+    # rows last touched before the evolution read back NULL
+    assert out.where(F.col("size_bytes").isNull()).count() > 0
+    # rows from the v2 batch carry the value
+    touched = v2.select("repo", "path").distinct()
+    got = out.join(touched, ["repo", "path"]).where(
+        F.col("size_bytes").isNotNull()
+    )
+    assert got.count() > 0
+    bad = got.where(F.col("size_bytes") != F.length("content")).count()
+    assert bad == 0
+
+
+def test_type_widening_batch_through_engine(spark, tmp_table_root):
+    """FIXTURES.md §3 type-widening: size_bytes int -> long (+ float twin)."""
+    cfg = IngestConfig(table="t", mode="merge", merge_keys=["k"], num_buckets=2)
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+
+    s_int = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("size_bytes", T.IntegerType(), True),
+        T.StructField("ratio", T.FloatType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("commit_seq", T.LongType(), False),
+        T.StructField("event_offset", T.LongType(), False),
+    ])
+    s_long = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("ratio", T.DoubleType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("commit_seq", T.LongType(), False),
+        T.StructField("event_offset", T.LongType(), False),
+    ])
+    eng.apply_batch(
+        spark.createDataFrame([("a", 10, 0.5, "I", 1, 0)], s_int), "b1"
+    )
+    eng.apply_batch(
+        spark.createDataFrame([("b", 2 ** 40, 0.25, "I", 2, 0)], s_long), "b2"
+    )
+    t = LakeTable(spark, tmp_table_root)
+    got = {r.k: (r.size_bytes, r.ratio) for r in t.read().collect()}
+    assert got == {"a": (10, 0.5), "b": (2 ** 40, 0.25)}
+    dts = dict(t.read().dtypes)
+    assert dts["size_bytes"] == "bigint" and dts["ratio"] == "double"
+
+
+def test_column_metadata_retention_takeover():
+    """FIXTURES.md §3 column-metadata: takeover.yml values — c0 INTEGER
+    description d0, c1 STRING — retained across replace (buildPatchSchema)."""
+    pre = T.StructType([
+        T.StructField("c0", T.LongType(), True, {"description": "d0"}),
+        T.StructField("c1", T.StringType(), True),
+    ])
+    new = T.StructType([
+        T.StructField("c0", T.LongType(), True),
+        T.StructField("c1", T.StringType(), True),
+        T.StructField("c2", T.DoubleType(), True),
+    ])
+    patched = patch_schema_metadata(pre, new)
+    assert patched["c0"].metadata == {"description": "d0"}  # carried over
+    assert patched["c1"].metadata == {}
+    # column_options description wins over cached
+    patched2 = patch_schema_metadata(
+        pre, new, {"c0": ColumnOption("c0", description="override")}
+    )
+    assert patched2["c0"].metadata["description"] == "override"
+    # retention off -> dropped
+    patched3 = patch_schema_metadata(pre, new, retain_descriptions=False)
+    assert patched3["c0"].metadata == {}

@@ -1,0 +1,54 @@
+"""J1 MERGE SQL generator parity (BigqueryClient.java:507-538 shape)."""
+
+import pytest
+
+from embulk_output_bigquery_java_spark.plans.merge_sql import (
+    build_columns_expression,
+    build_merge_keys_expression,
+    build_merge_rule_expression,
+    build_merge_sql,
+)
+
+
+def test_keys_expression():
+    assert build_merge_keys_expression(["repo", "path"]) == \
+        "T.`repo` = S.`repo` AND T.`path` = S.`path`"
+    with pytest.raises(ValueError):
+        build_merge_keys_expression([])  # BigqueryClient.java:638-639
+
+
+def test_rule_expression_default_all_columns():
+    assert build_merge_rule_expression(None, ["a", "b"]) == \
+        "T.`a` = S.`a`, T.`b` = S.`b`"
+
+
+def test_rule_expression_custom_fragments():
+    assert build_merge_rule_expression(
+        ["T.`a` = S.`a` + 1"], ["a", "b"]
+    ) == "T.`a` = S.`a` + 1"
+
+
+def test_columns_expression_quoting():
+    assert build_columns_expression(["a", "we`ird"]) == "`a`, `we``ird`"
+
+
+def test_full_merge_statement():
+    sql = build_merge_sql(
+        "repos", "batch", ["repo", "path"],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    assert sql.startswith("MERGE `repos` T\nUSING `batch` S\nON T.`repo` = S.`repo` AND T.`path` = S.`path`")
+    assert "WHEN MATCHED AND S.`op` = 'D' THEN DELETE" in sql
+    assert "WHEN MATCHED THEN\nUPDATE SET T.`repo` = S.`repo`" in sql
+    assert sql.endswith(
+        "INSERT (`repo`, `path`, `commit`, `lang`, `content`) "
+        "VALUES (S.`repo`, S.`path`, S.`commit`, S.`lang`, S.`content`)"
+    )
+
+
+def test_reference_shape_without_delete():
+    # the reference's own MERGE has no delete clauses (row deletes don't
+    # exist in its modes) — with_delete=False reproduces that exact shape
+    sql = build_merge_sql("t", "s", ["k"], ["k", "v"], with_delete=False)
+    assert "DELETE" not in sql
+    assert "WHEN NOT MATCHED THEN\nINSERT (`k`, `v`) VALUES (S.`k`, S.`v`)" in sql

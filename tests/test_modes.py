@@ -1,0 +1,185 @@
+"""Mode-semantics tests — each of the six load modes vs its oracle final
+state (SURVEY.md §5 "mode-semantics tests"; fixture shape mirrors the
+reference's 2-row E2E CSV c0:string,c1:boolean,index:double,
+TestBigqueryJavaOutputPlugin.java:110-128, FIXTURES.md §5).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.config import ConfigError, IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.lake import LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("c0", T.StringType(), True),
+    T.StructField("c1", T.BooleanType(), True),
+    T.StructField("index", T.DoubleType(), True),
+])
+
+BATCH1 = [("test0", True, 0.0), ("test1", False, 1.0)]
+BATCH2 = [("test2", True, 2.0), ("test3", False, 3.0)]
+
+
+def mk_engine(spark, root, mode, **kw):
+    cfg = IngestConfig(table="t", mode=mode, merge_keys=["c0"], num_buckets=4, **kw)
+    eng = CdcEngine(spark, cfg, root)
+    # non-CDC fixture: c-columns are data, so override the engine's CDC
+    # meta-column filter via a plain batch (no meta cols present anyway)
+    return eng
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def state(spark, root):
+    return sorted(tuple(r) for r in LakeTable(spark, root).read().collect())
+
+
+def test_append_accumulates(spark, tmp_table_root):
+    eng = mk_engine(spark, tmp_table_root, "append")
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    eng.apply_batch(df_of(spark, BATCH2), "b2")
+    assert state(spark, tmp_table_root) == sorted(
+        tuple(r) for r in BATCH1 + BATCH2
+    )
+    # exactly-once: re-delivery is a no-op
+    assert eng.apply_batch(df_of(spark, BATCH1), "b1") is None
+    assert len(state(spark, tmp_table_root)) == 4
+
+
+def test_append_direct_not_idempotent(spark, tmp_table_root):
+    # W8: direct load, no staging/manifest — documented at-least-once
+    eng = mk_engine(spark, tmp_table_root, "append_direct")
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    assert len(state(spark, tmp_table_root)) == 4  # duplicated, by design
+
+
+def test_replace_truncates(spark, tmp_table_root):
+    eng = mk_engine(spark, tmp_table_root, "replace")
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    eng.apply_batch(df_of(spark, BATCH2), "b2")
+    assert state(spark, tmp_table_root) == sorted(tuple(r) for r in BATCH2)
+
+
+def test_replace_backup_tags_prior_state(spark, tmp_table_root):
+    eng = mk_engine(spark, tmp_table_root, "replace_backup")
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    eng.apply_batch(df_of(spark, BATCH2), "b2")
+    t = LakeTable(spark, tmp_table_root)
+    assert state(spark, tmp_table_root) == sorted(tuple(r) for r in BATCH2)
+    backup_v = t.properties["tags"]["backup-b2"]
+    assert sorted(tuple(r) for r in t.read(version=backup_v).collect()) == sorted(
+        tuple(r) for r in BATCH1
+    )
+
+
+def test_delete_in_advance(spark, tmp_table_root):
+    eng = mk_engine(spark, tmp_table_root, "delete_in_advance")
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    eng.apply_batch(df_of(spark, BATCH2), "b2")
+    # semantics equal replace for full-table scope (W9 + W5)
+    assert state(spark, tmp_table_root) == sorted(tuple(r) for r in BATCH2)
+
+
+def test_merge_upserts_by_key(spark, tmp_table_root):
+    eng = mk_engine(spark, tmp_table_root, "merge")
+    b1 = [("k1", True, 1.0, "I", 1, 0), ("k2", True, 2.0, "I", 1, 1)]
+    b2 = [("k2", False, 22.0, "U", 2, 0), ("k3", True, 3.0, "I", 2, 1),
+          ("k1", None, None, "D", 2, 2)]
+    schema = T.StructType(SCHEMA.fields + [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("commit_seq", T.LongType(), False),
+        T.StructField("event_offset", T.LongType(), False),
+    ])
+    eng.apply_batch(spark.createDataFrame(b1, schema), "b1")
+    eng.apply_batch(spark.createDataFrame(b2, schema), "b2")
+    got = state(spark, tmp_table_root)
+    assert got == sorted([("k2", False, 22.0), ("k3", True, 3.0)])
+
+
+def test_merge_rule_custom_update(spark, tmp_table_root):
+    # merge_rule analog of PluginTask.java:174-176: matched rows keep target
+    # c1 and sum the index
+    eng = mk_engine(
+        spark, tmp_table_root, "merge",
+        merge_rule={"index": "T.index + S.index", "c1": "T.c1"},
+    )
+    schema = T.StructType(SCHEMA.fields + [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("commit_seq", T.LongType(), False),
+        T.StructField("event_offset", T.LongType(), False),
+    ])
+    eng.apply_batch(
+        spark.createDataFrame([("k1", True, 1.0, "I", 1, 0)], schema), "b1"
+    )
+    eng.apply_batch(
+        spark.createDataFrame([("k1", False, 10.0, "U", 2, 0),
+                               ("k9", False, 9.0, "U", 2, 1)], schema), "b2"
+    )
+    got = state(spark, tmp_table_root)
+    assert got == sorted([("k1", True, 11.0), ("k9", False, 9.0)])
+
+
+def test_before_load_hook_append_only(spark, tmp_table_root):
+    # R5: hook runs before commit in append mode; can see the staged batch
+    eng = mk_engine(
+        spark, tmp_table_root, "append",
+        before_load="CREATE OR REPLACE TEMP VIEW hook_saw AS SELECT count(*) n FROM stage",
+    )
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    assert spark.sql("SELECT n FROM hook_saw").collect()[0].n == 2
+
+
+def test_invalid_mode_rejected():
+    with pytest.raises(ConfigError):
+        IngestConfig(table="t", mode="prepend")
+
+
+def test_modes_require_auto_create_table():
+    # BigqueryConfigValidator.java:22-30
+    for mode in ("replace", "replace_backup", "delete_in_advance", "merge"):
+        with pytest.raises(ConfigError):
+            IngestConfig(table="t", mode=mode, auto_create_table=False)
+    IngestConfig(table="t", mode="append", auto_create_table=False)  # ok
+
+
+def test_abort_on_error_derivation():
+    # BigqueryTaskBuilder.java:56-60: abort_on_error defaults to max_bad_records==0
+    assert IngestConfig(table="t").abort_on_error is True
+    assert IngestConfig(table="t", max_bad_records=5).abort_on_error is False
+    assert IngestConfig(table="t", max_bad_records=5, abort_on_error=True).abort_on_error is True
+
+
+def test_staging_table_naming():
+    cfg = IngestConfig(table="repos")
+    assert cfg.staging_table.startswith("LOAD_TEMP_")
+    assert cfg.staging_table.endswith("_repos")
+
+
+def test_column_options_cast_in_engine(spark, tmp_table_root):
+    # string input column converted to typed TIMESTAMP via column_options
+    from embulk_output_bigquery_java_spark.config import ColumnOption
+
+    schema = T.StructType([
+        T.StructField("c0", T.StringType(), True),
+        T.StructField("when_str", T.StringType(), True),
+    ])
+    cfg = IngestConfig(
+        table="t", mode="append", merge_keys=["c0"], num_buckets=2,
+        column_options={
+            "when_str": ColumnOption(
+                "when_str", "TIMESTAMP", timestamp_format="%Y/%m/%d %H:%M:%S"
+            )
+        },
+    )
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.apply_batch(
+        spark.createDataFrame([("a", "2020/05/01 12:00:00")], schema), "b1"
+    )
+    t = LakeTable(spark, tmp_table_root)
+    assert dict(t.read().dtypes)["when_str"] == "timestamp"
+    assert str(t.read().collect()[0].when_str) == "2020-05-01 12:00:00"
