@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data operator suite), each (spark, sf_dir) -> DF.
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query (omitted only for
+                 hash-family ops whose values are engine-specific:
+                 minhash/simhash/LSH — those get rows-only checks).
+
+Every computed column is aliased identically in both forms; floats that
+cross engines are rounded to 6 decimals inside both plans.
 """
 
 from __future__ import annotations
@@ -12,27 +16,541 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+LWW_KEYS = ["user_id", "event_type"]
+LWW_ORDER = ["ts", "event_id"]
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC semantics over the events table (operator O1 + J1 analogs)
+# --------------------------------------------------------------------------
+def _lww(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = lww_dedup(ev, LWW_KEYS, LWW_ORDER, strategy=strategy)
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+def q_lww_dedup_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 last-writer-wins dedup — two-phase max_by scale path."""
+    return _lww(spark, sf_dir, "maxby")
+
+
+def q_lww_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — row_number window specification form."""
+    return _lww(spark, sf_dir, "window")
+
+
+_LWW_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+    SELECT event_id, ts, user_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 MERGE semantics as a pure relational plan: target = LWW state of
+    even events, batch = LWW of odd events (value<1 => delete), result =
+    survivors ∪ upserts — the exact plan the engine's merge executes
+    against the lake table (operators/merge.py)."""
+    from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    target = lww_dedup(ev.where(F.col("event_id") % 2 == 0), LWW_KEYS, LWW_ORDER)
+    batch = lww_dedup(ev.where(F.col("event_id") % 2 == 1), LWW_KEYS, LWW_ORDER)
+    batch = batch.withColumn(
+        "op", F.when(F.col("value") < 1, "D").otherwise("U")
+    )
+    survivors = target.join(
+        F.broadcast(batch.select(*LWW_KEYS)), on=LWW_KEYS, how="left_anti"
+    )
+    upserts = batch.where(F.col("op") != "D").drop("op")
+    cols = ["user_id", "event_type", "event_id", "value"]
+    return survivors.select(*cols).unionByName(upserts.select(*cols))
+
+
+_CDC_MERGE_SQL = """
+WITH evt AS (SELECT event_id, ts, user_id, event_type, value FROM events),
+tgt AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) rn FROM evt WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+),
+bat AS (
+    SELECT *, CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) rn FROM evt WHERE event_id % 2 = 1
+    ) WHERE rn = 1
+)
+SELECT user_id, event_type, event_id, value FROM tgt
+WHERE (user_id, event_type) NOT IN (SELECT (user_id, event_type) FROM bat)
+UNION ALL
+SELECT user_id, event_type, event_id, value FROM bat WHERE op <> 'D'
+"""
+
+
+def q_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-matrix edges on real columns: long->STRING (C7), double->INTEGER
+    32-bit truncation (C8), timestamp->INTEGER epoch-millis (C20),
+    timestamp->STRING default format (C22), string->STRING (C15)."""
+    from embulk_output_bigquery_java_spark.config import ColumnOption
+    from embulk_output_bigquery_java_spark.functions.casts import cast_expr
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        cast_expr("user_id", T.LongType(), ColumnOption("user_id", "STRING")
+                  ).alias("user_id_str"),
+        cast_expr("value", T.DoubleType(), ColumnOption("value", "INTEGER")
+                  ).alias("value_int"),
+        cast_expr("ts", T.TimestampType(), ColumnOption("ts", "INTEGER")
+                  ).alias("ts_millis"),
+        cast_expr("ts", T.TimestampType(), ColumnOption("ts", "STRING")
+                  ).alias("ts_str"),
+        cast_expr("event_type", T.StringType(), None).alias("event_type"),
+    )
+
+
+_CAST_SQL = """
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS user_id_str,
+       CAST(TRUNC(value) AS BIGINT) AS value_int,
+       epoch_ms(ts) AS ts_millis,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f +00:00') AS ts_str,
+       event_type
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# relational coverage: aggregation, join, window, sort/limit, set op
+# --------------------------------------------------------------------------
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation (partial agg + single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg (broadcast dims): revenue per nation."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_REV_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N (takeOrdered, no full sort materialization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+_SORTLIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+def q_set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with orders EXCEPT high-value ones, UNION
+    suppliers' nations — exercises union/except/distinct."""
+    o = _t(spark, sf_dir, "orders")
+    buyers = o.select(F.col("o_custkey").alias("id"))
+    big = o.where(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("id")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_nationkey") + 10_000_000).cast("long").alias("id")
+    )
+    return buyers.exceptAll(big).distinct().unionByName(s.distinct())
+
+
+_SETOPS_SQL = """
+WITH buyers AS (SELECT o_custkey AS id FROM orders),
+big AS (SELECT o_custkey AS id FROM orders WHERE o_totalprice > 200000)
+SELECT DISTINCT id FROM (SELECT id FROM buyers EXCEPT ALL SELECT id FROM big)
+UNION ALL
+SELECT DISTINCT CAST(s_nationkey + 10000000 AS BIGINT) AS id FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data operators over documents / embeddings
+# --------------------------------------------------------------------------
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.text_stats import (
+        bpe_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+_TOKENS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.text_stats import (
+        doc_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_FP_SQL = r"""
+SELECT doc_id,
+       sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.text_stats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    from embulk_output_bigquery_java_spark.operators.text_stats import LANG_MARKERS
+
+    score = {
+        lg: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
+        for lg, ws in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    cascade = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lg in LANG_MARKERS:
+        cascade += f"WHEN {score[lg]} = {best} THEN '{lg}' "
+    cascade += "ELSE 'und' END"
+    return f"SELECT doc_id, {cascade} AS lang_pred FROM documents"
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups; the testdata may have no dups, so group over a
+    coarser key (first 16 normalized chars) to exercise the plan."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import _norm
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.substring(_norm(F.col("text")), 1, 16), 256)
+    return (
+        d.select(h.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+_DUPGROUP_SQL = r"""
+SELECT sha256(substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 16))
+           AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs on a deterministic doc subset."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.2).orderBy("id_a", "id_b")
+
+
+_NGRAM_SQL = r"""
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents WHERE doc_id < 200
+),
+grams AS (
+    SELECT doc_id, list_distinct([
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        FOR i IN range(1, len(toks) - 1)
+    ]) AS gs
+    FROM docs
+),
+sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+inv AS (SELECT doc_id, unnest(gs) AS gram, len(gs) AS n FROM grams),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared / (sa.n + sb.n - shared) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 membership for 3 probe vectors."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, q, k=5).select("query_id", "vec_id", "rank")
+
+
+_COSINE_SQL = """
+SELECT query_id, vec_id, rank FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 6)
+                        DESC, e.vec_id ASC
+           ) AS rank
+    FROM embeddings q, embeddings e
+    WHERE q.vec_id < 3
+) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# hash-family ops: engine-specific values -> rows-only driver check
+# --------------------------------------------------------------------------
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    dup = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return minhash_lsh_pairs(d.unionByName(dup), threshold=0.7).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.text_dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    dup = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return simhash_pairs(d.unionByName(dup), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, q, k=5, planes=4, tables=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.where(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return embedding_near_dup_pairs(
+        e.unionByName(dup), threshold=0.999
+    ).orderBy("id_a", "id_b")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: Arrow-batched feature extraction (fake decoder)."""
+    from embulk_output_bigquery_java_spark.operators.multimodal import (
+        extract_features,
+        gen_media,
+    )
+
+    media = gen_media(spark, 200)
+    return extract_features(media).select("media_id", "kind", "payload_sha")
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_merge_apply(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lww_dedup_maxby": q_lww_dedup_maxby,
+        "lww_dedup_window": q_lww_dedup_window,
+        "cdc_merge_apply": q_cdc_merge_apply,
+        "cast_matrix": q_cast_matrix,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "sort_limit": q_sort_limit,
+        "set_ops_union_except": q_set_ops_union_except,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_lang_id": q_doc_lang_id,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lww_dedup_maxby": _LWW_SQL,
+        "lww_dedup_window": _LWW_SQL,
+        "cdc_merge_apply": _CDC_MERGE_SQL,
+        "cast_matrix": _CAST_SQL,
+        "agg_pricing_summary": _Q1_SQL,
+        "join_revenue_by_nation": _REV_SQL,
+        "topk_orders_per_customer": _TOPK_SQL,
+        "sort_limit": _SORTLIMIT_SQL,
+        "set_ops_union_except": _SETOPS_SQL,
+        "doc_token_counts": _TOKENS_SQL,
+        "doc_fingerprint": _FP_SQL,
+        "doc_lang_id": _lang_sql(),
+        "exact_dup_groups": _DUPGROUP_SQL,
+        "ngram_jaccard": _NGRAM_SQL,
+        "cosine_topk": _COSINE_SQL,
+        # minhash/simhash/LSH/media: hash-family values are engine-specific
+        # (xxhash64 vs duckdb hash); rows-only check by design.
+    }

@@ -1,0 +1,120 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Headline: CDC merge-apply replay throughput (the BASELINE.json metric),
+replaying a deterministic synthetic change stream (seed 42) scaled by sf
+into a fresh lake table. Plus per-query timings for every queries() entry
+at $SPARK_GRAFT_SF_DIR.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Extra modes:
+    BENCH_SKIP_QUERIES=1   replay only (used by bench_scaling.py)
+    BENCH_EVENTS=N         override replay event count
+    BENCH_BATCHES=K        override number of micro-batches (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.lake import LakeTable
+    from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+    from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+    root = os.path.join(workdir, "repos_table")
+    cfg = IngestConfig(
+        table="repos", mode="merge", merge_keys=["repo", "path"], num_buckets=32
+    )
+    eng = CdcEngine(
+        spark, cfg, root, checkpoint_path=os.path.join(workdir, "ck.json")
+    )
+    eng.ensure_table(REPOS_SCHEMA)
+    changes = gen_changes(
+        spark, n_events, n_repos=500, paths_per_repo=100,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    stats = eng.replay(
+        changes, n_events=n_events, batch_size=max(1, n_events // batches)
+    )
+    table = LakeTable(spark, root)
+    return {
+        "events": stats.events,
+        "batches": stats.batches,
+        "elapsed_s": round(stats.elapsed_s, 3),
+        "events_per_s": round(stats.events_per_s, 1),
+        "final_rows": table.total_rows(),
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        out[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_events = int(os.environ.get("BENCH_EVENTS", "0")) or max(
+        20_000, int(5_000_000 * sf)
+    )
+    batches = int(os.environ.get("BENCH_BATCHES", "4"))
+
+    from embulk_output_bigquery_java_spark.session import get_spark
+
+    spark = get_spark("cdc-bench", cores=cpus, shuffle_partitions=cpus)
+    workdir = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        t0 = time.monotonic()
+        replay = run_replay(spark, n_events, batches, workdir)
+        queries = (
+            {}
+            if os.environ.get("BENCH_SKIP_QUERIES")
+            else run_queries(spark, sf_dir)
+        )
+        total = round(time.monotonic() - t0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_merge_apply_replay",
+                    "value": replay["elapsed_s"],
+                    "unit": "sec",
+                    "events_per_s": replay["events_per_s"],
+                    "events": replay["events"],
+                    "batches": replay["batches"],
+                    "final_rows": replay["final_rows"],
+                    "cores": cpus,
+                    "queries": queries,
+                    "total_sec": total,
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -261,7 +261,9 @@ def _edge(
         raise unsupported
 
     if kind == "timestamp":
-        ts = col if not isinstance(col, T.DateType) else col.cast("timestamp")
+        # normalize DATE / TIMESTAMP_NTZ sources to a UTC instant (session
+        # tz is pinned UTC, so ntz wall time == the instant)
+        ts = col.cast("timestamp")
         if target is CT.INTEGER:
             # C20 quirk: epoch MILLIS (BigqueryTimestampConverter.java:22-24),
             # though BQ TIMESTAMP ingestion expects seconds. Preserved.

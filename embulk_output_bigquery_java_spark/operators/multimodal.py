@@ -1,0 +1,169 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Spark-side plumbing is real — schema, partitioning, Arrow-batched
+``mapInPandas`` pipelines, frame-sampling explode — while the actual
+media decode is stubbed (no image/audio libraries in this container):
+
+- ``decode_mode="stub"`` raises NotImplementedError at execution time (the
+  marked integration point for a real decoder: PIL/torchaudio/ffmpeg).
+- ``decode_mode="fake"`` (default for tests) produces a deterministic fake
+  feature vector derived from sha256(bytes) — stable across runs/executors,
+  so the pipeline around the decoder is fully testable.
+
+Layout guidance for 100 TB of media: binary payloads kept in their own
+column so Parquet column pruning skips them unless projected; metadata-only
+queries never touch the bytes. Batched decode via mapInPandas keeps memory
+bounded to spark.sql.execution.arrow.maxRecordsPerBatch rows of media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real feature extractor."""
+    digest = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded pseudo-bytes)."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    i = F.col("id")
+    kind = F.element_at(kinds, (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(3)) + 1).cast("int"))
+    payload = F.sha2(F.concat(i.cast("string"), F.lit(f":{seed}")), 256).cast("binary")
+    return spark.range(n).select(
+        i.alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.when(kind == "image", "png").when(kind == "audio", "wav")
+            .otherwise("mp4").alias("format"),
+            F.when(kind == "image", 640).cast("int").alias("width"),
+            F.when(kind == "image", 480).cast("int").alias("height"),
+            F.when(kind != "image", (F.pmod(F.xxhash64(i), F.lit(30)) + 1) * 1000)
+            .cast("long").alias("duration_ms"),
+            F.when(kind == "audio", 16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: each Arrow batch arrives as a pandas DataFrame; the decode
+    loop is per-batch Python (the unavoidable boundary for media codecs),
+    everything around it stays columnar.
+    """
+    if decode_mode not in ("fake", "stub"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "stub":
+                raise NotImplementedError(
+                    "media decode requires an image/audio library "
+                    "(PIL / torchaudio / ffmpeg) — not present in this "
+                    "environment; integration point is here"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha": pdf["payload"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": pdf["payload"].map(
+                        lambda b: _fake_features(bytes(b))
+                    ),
+                }
+            )
+            yield out
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, *, fps: float = 1.0
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled frame
+    timestamp — a pure explode on the metadata, no decode, no Python."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(
+            ((F.col("meta.duration_ms") / 1000.0) * fps).cast("long") - 1,
+            F.lit(0),
+        ),
+    )
+    return (
+        df.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(frames).alias("frame_idx"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+        .withColumn(
+            "frame_ts_ms", (F.col("frame_idx") * (1000.0 / fps)).cast("long")
+        )
+    )
+
+
+def resize_plan(df: DataFrame, *, max_side: int = 256) -> DataFrame:
+    """Resize planning (aspect-preserving target dims) from metadata only —
+    the decode/resample itself happens inside extract_features' decoder."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_side,
+        max_side / F.greatest(w, h).cast("double"),
+    ).otherwise(F.lit(1.0))
+    return df.where(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- **Brute-force cosine top-k** — the exact baseline: query x corpus join with
+  the dot product as JVM-side higher-order functions (zip_with + aggregate),
+  window top-k per query. Cost O(|Q| x |C|): fine for reranking/verification,
+  the wrong tool for 100 TB.
+- **LSH-bucketed ANN (random hyperplanes)** — the scale path: p sign bits
+  from deterministic pseudo-random hyperplanes (hash-derived, no driver-side
+  randomness, reproducible on any cluster), bucket-join on the signature,
+  exact cosine only within buckets. Multi-probe (flip one bit) bounds recall
+  loss. Cost ~ O(collisions).
+- **embedding near-dup** — pairs with cosine >= threshold via the same LSH
+  bucketing; the embedding leg of the dedup suite (text_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (the small side);
+    the corpus streams through map-side — no corpus shuffle, and the window
+    ranks only |Q| x |C| scored rows."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane component values in
+    [-1, 1), derived from a hash — identical on every executor and run."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int.from_bytes(
+            hashlib.sha256(f"{seed}:{plane}:{d}".encode()).digest()[:8], "big"
+        )
+        out.append((h % 2_000_000) / 1_000_000.0 - 1.0)
+    return out
+
+
+def lsh_signature(
+    vec: Column, dim: int, planes: int = 16, seed: int = 42
+) -> Column:
+    """planes-bit sign signature as a long (random-hyperplane LSH)."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
+        bit = (dot(vec, hp) >= 0).cast("long")
+        sig = sig + bit * (2 ** p)
+    return sig
+
+
+def lsh_buckets(
+    vec: Column, dim: int, planes: int, tables: int, seed: int = 42
+) -> Column:
+    """Multi-table LSH: one (table, signature) bucket struct per table.
+
+    Recall for neighbors at angle θ is 1-(1-p^planes)^tables with
+    p = 1-θ/π: more tables OR together independent chances, shorter
+    signatures raise per-table collision odds (and candidate volume).
+    Tune planes up / tables down as corpus similarity structure sharpens.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_signature(vec, dim, planes, seed + 1000 * t).alias("sig"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    dim: int | None = None,
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to LSH bucket collisions
+    across `tables` independent hash tables (see lsh_buckets for tuning)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    buckets = lambda col: F.explode(
+        lsh_buckets(col, dim, planes, tables)
+    ).alias("bucket")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+        buckets(F.col(vec_col)),
+    )
+    qsig = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        buckets(F.col(vec_col)),
+    )
+    scored = c.join(F.broadcast(qsig), on="bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    planes: int = 12,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify.
+
+    Long signatures (high planes) are right here: near-dups have cos ~1, so
+    per-plane collision odds are ~1 and candidates stay sparse."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(lsh_buckets(F.col(vec_col), dim, planes, tables)).alias("bucket"),
+    )
+    pairs = (
+        sig.alias("a")
+        .join(sig.alias("b"), on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cos") >= threshold)
+    )
+    return pairs

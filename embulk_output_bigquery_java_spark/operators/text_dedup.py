@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four families, each with a distinct scale profile:
+
+- **exact**: normalize -> sha256 -> keep one doc per hash. One shuffle on the
+  hash; partial-aggregated (min_by), so duplicate-heavy corpora reduce
+  map-side.
+- **n-gram Jaccard**: inverted index on token n-grams (explode -> self-join
+  on gram -> count shared), never all-pairs; candidate pruning is the gram
+  join itself. SQL-expressible, oracle-checkable.
+- **MinHash + LSH**: shingle -> k minhashes (xxhash64 family, JVM-side) ->
+  b bands -> bucket-join candidates -> verify exact Jaccard. The 100-TB
+  path: cost ~ O(docs x k) + O(collisions), no quadratic stage.
+- **SimHash**: 64-bit signature from token-hash bit votes; near-dups =
+  signatures within Hamming distance d, found via 4x16-bit band blocking
+  (pigeonhole: d<=3 pairs share >=1 of 4 bands).
+
+Embedding near-dup (cosine) lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def _norm(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(_norm(col), " ")
+
+
+# ----------------------------------------------------------------- exact
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document of each normalized-content group."""
+    h = F.sha2(_norm(F.col(text_col)), 256).alias("_h")
+    with_h = df.select(F.col(id_col), h)
+    keep = with_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="inner")
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(hash, n_docs, keep_id) for every duplicated content group."""
+    h = F.sha2(_norm(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------------------- n-grams
+def token_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams as an array (JVM-side higher-order fns)."""
+    toks = _tokens(col)
+    count = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1)))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold.
+
+    Inverted-index plan: explode grams -> equi-join on gram (shuffle keyed by
+    gram, AQE splits hot grams) -> count shared grams per pair -> Jaccard
+    from |A|,|B|,|A∩B|. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        token_ngrams(F.col(text_col), n).alias("grams"),
+    ).withColumn("n_grams", F.size("grams"))
+    sizes = grams.select("id", "n_grams")
+    inv = grams.select("id", F.explode("grams").alias("gram"), "n_grams")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, on="gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ----------------------------------------------------------------- minhash
+def shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-gram shingles of the normalized text."""
+    norm = _norm(col)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, k: int = 5) -> Column:
+    """num_hashes-wide MinHash signature. Hash family = xxhash64(shingle, seed)
+    — 64-bit, JVM-side, no Python."""
+    sh = shingles(col, k)
+
+    def hasher(seed: int):
+        # factory, not a defaulted arg: a 2-ary lambda would make
+        # F.transform bind the array index over the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(seed))) for seed in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact shingle Jaccard.
+
+    rows per doc after banding = `bands` (not |shingles|); candidates are
+    band-hash collisions only. The verify join recomputes true Jaccard on the
+    candidate set — estimator error cannot produce false positives.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    withsets = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        withsets.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash: per-bit majority vote of token xxhash64 bits,
+    computed as 64 vectorized bit-sums inside one projection."""
+    toks = F.array_distinct(_tokens(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def vote(i: int):
+        # closure factory: F.aggregate inspects lambda arity, so the bit
+        # index must be captured, not passed as a defaulted third arg
+        return lambda acc, h: acc + (
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63))).otherwise(0)
+    return out
+
+
+def _hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance d via 4-band blocking (pigeonhole:
+    d<=3 => at least one identical 16-bit quarter). Returns
+    (id_a, id_b, hamming)."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "sig", "e.band", "e.bh")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", _hamming64(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,127 @@
+"""Text analysis operators for training-data pipelines.
+
+Not present in the reference (it has no query engine); required by the build
+brief as first-class engine operators over the ``documents`` table:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (regexp/size/sha2) — whole-stage codegen'd,
+no Python in the hot path, and each one is expressible in ANSI SQL so the
+DuckDB oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer shared by every operator (and mirrored in oracle SQL)
+_WS = r"\s+"
+
+#: BPE-ish word/number/punct splitter (token counting, C-like across engines)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny closed stopword set (quality + language scoring; mirrored in SQL)
+EN_STOP = ["the", "of", "and", "to", "in", "is", "for", "with", "that", "it"]
+
+#: per-language marker words for the n-gram/marker language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(_tokens(col))
+    ).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: words + numbers + individual punctuation."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0)).cast("long")
+
+
+def _count_markers(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + stopword presence
+    + alpha ratio - punctuation excess. Deterministic, SQL-mirrorable."""
+    n_chars = F.length(col)
+    n_tok = token_count(col)
+    n_alpha = F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
+    n_stop = _count_markers(col, EN_STOP)
+
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 0.25).otherwise(0.0)
+    stop_ok = F.when(
+        n_tok > 0,
+        F.least(F.lit(0.25), n_stop.cast("double") / n_tok * 2.5),
+    ).otherwise(0.0)
+    alpha_ratio = F.when(
+        n_chars > 0, n_alpha.cast("double") / n_chars
+    ).otherwise(0.0) * 0.25
+    punct_pen = F.when(
+        n_chars > 0,
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.25) - n_punct.cast("double") / n_chars,
+        ),
+    ).otherwise(0.0)
+    return F.round(len_ok + stop_ok + alpha_ratio + punct_pen, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID over {en,fr,de,es}, 'und' when no signal.
+
+    Greatest-score argmax with deterministic tie-break by language code order
+    (same CASE cascade the oracle SQL uses).
+    """
+    scores = {lg: _count_markers(col, ws) for lg, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties in the final expression
+    for lg in reversed(list(LANG_MARKERS)):
+        out = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Normalization-stable content fingerprint: sha256 of lowercased,
+    whitespace-collapsed text. sha2 is reproducible across engines (the
+    DuckDB oracle recomputes it), unlike xxhash64."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+    return F.sha2(norm, 256)
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Rolling-hash fingerprint: min sha2 over character n-gram windows —
+    stable under small edits outside the minimizing window (winnowing-lite).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.sha2(norm.substr(i, F.lit(window)), 256))
+    return F.array_min(grams)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All stats in one projection (single pass, no shuffle)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )

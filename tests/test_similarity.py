@@ -1,0 +1,97 @@
+"""ANN / similarity search over the provided embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def np_topk(corpus, queries, k):
+    out = {}
+    ids = np.array([r[0] for r in corpus])
+    mat = np.array([r[1] for r in corpus], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid, qv in queries:
+        qv = np.asarray(qv, dtype=np.float64)
+        cos = mat_n @ (qv / np.linalg.norm(qv))
+        order = sorted(zip(ids, cos), key=lambda t: (-round(t[1], 6), t[0]))
+        out[qid] = [(int(i), round(float(c), 6)) for i, c in order[:k]]
+    return out
+
+
+def test_cosine_expr_matches_numpy(spark, emb):
+    a = emb.limit(1).select(F.col("embedding").alias("a"))
+    pair = a.crossJoin(
+        emb.limit(5).select(F.col("embedding").alias("b"), "vec_id")
+    )
+    got = {r.vec_id: r.c for r in pair.select(
+        "vec_id", F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")
+    ).collect()}
+    av = np.array(emb.limit(1).collect()[0].embedding, dtype=np.float64)
+    for r in emb.limit(5).collect():
+        bv = np.array(r.embedding, dtype=np.float64)
+        exp = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)))
+        assert abs(got[r.vec_id] - exp) < 1e-5
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    corpus = [(r.vec_id, r.embedding) for r in emb.collect()]
+    queries = corpus[:3]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries], "query_id long, embedding array<float>"
+    )
+    got = brute_force_topk(emb, qdf, k=5).collect()
+    exp = np_topk(corpus, queries, 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cos))
+    for qid, pairs in by_q.items():
+        assert [p[0] for p in pairs] == [p[0] for p in exp[qid]]
+        for (gi, gc), (ei, ec) in zip(pairs, exp[qid]):
+            assert abs(gc - ec) < 1e-5
+    # each query's own vector must rank first with cos == 1
+    for qid in exp:
+        assert by_q[qid][0][0] == qid and abs(by_q[qid][0][1] - 1.0) < 1e-6
+
+
+def test_lsh_topk_recall_vs_exact(spark, emb):
+    corpus = [(r.vec_id, r.embedding) for r in emb.collect()]
+    queries = corpus[:5]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries], "query_id long, embedding array<float>"
+    )
+    exact = np_topk(corpus, queries, 5)
+    approx = lsh_topk(emb, qdf, k=5, planes=4, tables=8)
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    # self-match always found (identical vector -> identical bucket)
+    hits = total = 0
+    for qid in exact:
+        assert qid in by_q and by_q[qid][0] == qid
+        hits += len(set(by_q[qid]) & {i for i, _ in exact[qid]})
+        total += len(exact[qid])
+    assert hits / total >= 0.4  # recall floor for 8-plane single-table LSH
+
+
+def test_embedding_near_dup(spark, emb):
+    # exact duplicates of 5 vectors must be found with cos == 1
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    aug = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(aug, threshold=0.999).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in [r.vec_id for r in emb.limit(5).collect()]:
+        assert (i, i + 1_000_000) in found

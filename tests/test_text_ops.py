@@ -1,0 +1,147 @@
+"""Training-data text operators over the provided documents table."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.text_dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash64,
+    token_ngrams,
+)
+from embulk_output_bigquery_java_spark.operators.text_stats import (
+    text_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_text_stats_shape(spark, docs):
+    out = text_stats(docs).limit(50).collect()
+    for r in out:
+        assert r.n_tokens >= 0
+        assert r.n_bpe_tokens >= r.n_tokens * 0 and r.n_bpe_tokens >= 0
+        assert 0.0 <= r.quality <= 1.0
+        assert r.lang_pred in ("en", "fr", "de", "es", "und")
+        assert len(r.fingerprint) == 64
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.limit(30).collect()
+    out = {r.doc_id: r.n_tokens for r in text_stats(docs.limit(30)).collect()}
+    for r in rows:
+        expected = len(r.text.split()) if r.text.strip() else 0
+        assert out[r.doc_id] == expected, r.doc_id
+
+
+def test_exact_dedup(spark, docs):
+    # duplicate some docs deliberately
+    dups = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    aug = docs.unionByName(dups)
+    groups = exact_dup_groups(aug)
+    assert groups.count() >= 20
+    kept = exact_dedup(aug)
+    # every duplicated group keeps exactly the lowest id
+    g = groups.limit(5).collect()
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for row in g:
+        assert row.keep_id in kept_ids
+    assert kept.count() == aug.count() - groups.agg(
+        F.sum(F.col("n_docs") - 1)
+    ).collect()[0][0]
+
+
+def test_ngram_generation(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    grams = df.select(token_ngrams(F.col("text"), 2).alias("g")).collect()[0].g
+    assert grams == ["a b", "b c", "c d"]
+
+
+def test_ngram_jaccard_pairs_vs_bruteforce(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "completely different text with no overlap whatsoever here"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+
+    def grams(t, n=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    exp = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        ga, gb = grams(ta), grams(tb)
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.3:
+            exp[(ia, ib)] = round(j, 6)
+    assert got == exp
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat", 1)),  # tiny edit -> high jaccard
+        (3, "totally unrelated content about spark query engines " * 5),
+        (4, base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.6).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.6
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_no_false_positives_verified(spark, docs):
+    # verification step recomputes true jaccard — any reported pair must
+    # genuinely exceed the threshold
+    sample = docs.limit(120)
+    pairs = minhash_lsh_pairs(sample, threshold=0.5).collect()
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine merge dedup pipeline"),
+         (2, "spark engine merge dedup pipeline"),
+         (3, "spark engine merge dedup pipelines extra words here")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.s for r in df.select(
+        "doc_id", simhash64(F.col("text")).alias("s")
+    ).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    pairs = simhash_pairs(df, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_near_pairs(spark, docs):
+    dups = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    aug = docs.limit(200).unionByName(dups)
+    pairs = simhash_pairs(aug, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in [r.doc_id for r in docs.limit(10).collect()]:
+        assert (i, i + 1_000_000) in found
+    for r in pairs:
+        assert r.hamming <= 3
