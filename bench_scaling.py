@@ -1,0 +1,89 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the criterion "scaling efficiency
+>= 0.8 from N to 4N executors" is evidenced by running the IDENTICAL replay
+job on the SAME deterministic input at two parallelism levels on this
+32-core box: local[8] (N) and local[32] (4N), shuffle partitions scaled with
+cores. Each level runs in a fresh subprocess (fresh JVM) so executor-thread
+count is truly what differs.
+
+    python bench_scaling.py [--events 2000000] [--batches 4]
+
+Writes BENCH_SCALING.md and prints one JSON line:
+    {"t_n_sec": ..., "t_4n_sec": ..., "eff": (T_N / T_4N) / 4, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_level(cores: int, events: int, batches: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        BENCH_EVENTS=str(events),
+        BENCH_BATCHES=str(batches),
+        BENCH_SKIP_QUERIES="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--n-cores", type=int, default=8)
+    ap.add_argument("--xn-cores", type=int, default=32)
+    args = ap.parse_args()
+
+    small = run_level(args.n_cores, args.events, args.batches)
+    large = run_level(args.xn_cores, args.events, args.batches)
+    factor = args.xn_cores / args.n_cores
+    eff = (small["value"] / large["value"]) / factor
+
+    result = {
+        "events": args.events,
+        "batches": args.batches,
+        "n_cores": args.n_cores,
+        "xn_cores": args.xn_cores,
+        "t_n_sec": small["value"],
+        "t_4n_sec": large["value"],
+        "eps_n": small["events_per_s"],
+        "eps_4n": large["events_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "final_rows_match": small["final_rows"] == large["final_rows"],
+    }
+    print(json.dumps(result))
+
+    with open(os.path.join(HERE, "BENCH_SCALING.md"), "w") as f:
+        f.write(
+            "# Scaling evidence — identical replay at two parallelism levels\n\n"
+            "Sandbox proxy for the north_rule's N vs 4N executor criterion\n"
+            "(see BASELINE.md): same deterministic input (seed 42), same\n"
+            "batched merge replay, fresh JVM per level.\n\n"
+            f"| level | cores | elapsed (s) | events/s |\n|---|---|---|---|\n"
+            f"| N | local[{args.n_cores}] | {small['value']} | {small['events_per_s']} |\n"
+            f"| 4N | local[{args.xn_cores}] | {large['value']} | {large['events_per_s']} |\n\n"
+            f"- events: {args.events} in {args.batches} merge batches\n"
+            f"- final table rows identical across levels: "
+            f"{result['final_rows_match']} ({small['final_rows']})\n"
+            f"- **scaling efficiency = (T_N / T_4N) / "
+            f"{int(factor)} = {result['scaling_efficiency']}** "
+            f"(target >= 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

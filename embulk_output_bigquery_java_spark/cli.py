@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--paths-per-repo", type=int, default=50)
     r.add_argument("--num-buckets", type=int, default=16)
     r.add_argument("--dedup-strategy", default="maxby",
-                   choices=["maxby", "window"])
+                   choices=["semi", "maxby", "window"])
     r.add_argument("--salt-partitions", type=int, default=0)
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--ledger", default=None)

@@ -105,10 +105,17 @@ class IngestConfig:
     num_buckets: int = 16  # bucket(N, repo) partition spec at test scale
     template_table: str | None = None  # PluginTask.java:115-117
     run_id: str = ""  # staging/temp naming seed — BigqueryTaskBuilder.java:46-54
-    # dedup strategy: 'maxby' (two-phase agg, scale path) or 'window'
-    # (row_number spec form); results identical, see operators/dedup.py.
+    # dedup strategy: 'semi' (winners + semi-join — wide-row scale path),
+    # 'maxby' (two-phase agg), or 'window' (row_number spec form); results
+    # identical, see operators/dedup.py. maxby default: stable under cold
+    # JIT; 'semi' wins when payload columns are wide AND the JVM is warm.
     dedup_strategy: str = "maxby"
     salt_partitions: int = 0  # >0 forces explicit salting in dedup phase 1
+    #: replay-loop maintenance cadence: expire old snapshots (keeping
+    #: keep_snapshots) every N committed batches; 0 disables. A 10^10-event
+    #: replay is ~10^4 batches — unbounded metadata/orphan files otherwise.
+    expire_every_batches: int = 50
+    keep_snapshots: int = 10
 
     def __post_init__(self) -> None:
         if isinstance(self.mode, str):
@@ -140,7 +147,7 @@ class IngestConfig:
             # (BigqueryClient.java:637-639). The lake table carries
             # merge-key metadata; empty there too is an error at merge time.
             pass
-        if self.dedup_strategy not in ("maxby", "window"):
+        if self.dedup_strategy not in ("semi", "maxby", "window"):
             raise ConfigError(f"unknown dedup_strategy {self.dedup_strategy!r}")
         if self.num_buckets <= 0:
             raise ConfigError("num_buckets must be positive")

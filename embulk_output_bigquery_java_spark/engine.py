@@ -160,6 +160,9 @@ class CdcEngine:
             log.info("batch %s already applied — exactly-once no-op", batch_id)
             return None
 
+        if cfg.mode is Mode.MERGE:
+            return self._apply_merge(table, batch, batch_id, seq_range, t0)
+
         batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             input_rows = batch.count()
@@ -213,6 +216,83 @@ class CdcEngine:
         finally:
             batch.unpersist()
 
+    def _apply_merge(
+        self,
+        table: LakeTable,
+        batch: DataFrame,
+        batch_id: str,
+        seq_range: tuple[int, int] | None,
+        t0: float,
+    ) -> LedgerRow | None:
+        """Merge fast path: ONE materialization of the deduped batch.
+
+        input-row counting rides the dedup job as an observe() metric
+        (A1 analog: partial per-partition counts summed by Spark, the
+        reference's per-writer count + driver sum,
+        BigqueryFileWriter.java:62-69) instead of a separate count() pass
+        over the raw batch; the merge commit then reuses the cached dedup
+        result for bucket discovery, the anti-join and the upserts.
+        """
+        from pyspark.sql import Observation
+
+        cfg = self.cfg
+        keys = cfg.merge_keys or table.merge_keys
+        obs = Observation()
+        observed = batch.observe(obs, F.count(F.lit(1)).alias("input_rows"))
+        deduped = lww_dedup(
+            observed, keys, LWW_ORDER,
+            strategy=cfg.dedup_strategy,
+            salt_partitions=cfg.salt_partitions,
+        )
+        # touched buckets ride the same dedup job as a collect_set metric —
+        # no separate distinct+collect job per batch
+        bucket_obs = None
+        if table.partition:
+            bucket_obs = Observation()
+            deduped = deduped.observe(
+                bucket_obs,
+                F.collect_set(
+                    table.bucket_of(F.col(table.partition["column"]))
+                ).alias("buckets"),
+            )
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            deduped_rows = deduped.count()
+            input_rows = obs.get["input_rows"]
+            touched = sorted(bucket_obs.get["buckets"]) if bucket_obs else None
+            do = lambda fn: retry(
+                fn, retries=cfg.retries,
+                initial_s=cfg.retry_initial_backoff_s,
+                max_s=cfg.retry_max_backoff_s,
+            )
+            if deduped_rows == 0:
+                do(lambda: table.mark_batch_applied(batch_id))
+                return self._ledger(
+                    batch_id, seq_range, input_rows, 0, 0, 0, None, None,
+                    time.monotonic() - t0, table.version,
+                )
+
+            actions = ensure_schema(table, self._data_schema(deduped))
+            for a in actions:
+                log.info("schema evolution [%s]: %s", batch_id, a)
+
+            rows_before = table.total_rows()
+            res = do(lambda: merge_apply(
+                table, deduped, keys=keys,
+                merge_rule=cfg.merge_rule or None,
+                batch_id=batch_id, batch_rows=deduped_rows,
+                touched_buckets=touched,
+            ))
+            rows_after = table.total_rows()
+            return self._ledger(
+                batch_id, seq_range, input_rows, deduped_rows,
+                rows_after - rows_before, 0, len(res.touched_buckets),
+                self._bytes_written(table, res.version),
+                time.monotonic() - t0, res.version,
+            )
+        finally:
+            deduped.unpersist()
+
     def _commit_mode(
         self, table: LakeTable, batch: DataFrame, batch_id: str, input_rows: int
     ):
@@ -237,24 +317,6 @@ class CdcEngine:
             initial_s=cfg.retry_initial_backoff_s,
             max_s=cfg.retry_max_backoff_s,
         )
-
-        if cfg.mode is Mode.MERGE:
-            keys = cfg.merge_keys or table.merge_keys
-            deduped = lww_dedup(
-                batch, keys, LWW_ORDER,
-                strategy=cfg.dedup_strategy,
-                salt_partitions=cfg.salt_partitions,
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                deduped_rows = deduped.count()
-                res = do(lambda: merge_apply(
-                    table, deduped, keys=keys,
-                    merge_rule=cfg.merge_rule or None,
-                    batch_id=batch_id, batch_rows=deduped_rows,
-                ))
-                return deduped_rows, res.version, res.touched_buckets
-            finally:
-                deduped.unpersist()
 
         projected = project(batch)
         if cfg.mode is Mode.APPEND:
@@ -301,6 +363,15 @@ class CdcEngine:
             else:
                 batches += 1
                 events += row.input_rows
+                if (
+                    self.cfg.expire_every_batches
+                    and batches % self.cfg.expire_every_batches == 0
+                ):
+                    # bound snapshot metadata + orphaned files over long
+                    # replays (temp-table GC analog, W10)
+                    LakeTable(self.spark, self.table_root).expire_snapshots(
+                        keep_last=self.cfg.keep_snapshots
+                    )
             if self.checkpoint_path:
                 ckpt.store(
                     self.checkpoint_path,

@@ -235,13 +235,14 @@ class LakeTable:
                 F.xxhash64(F.col(part["column"])), F.lit(part["num_buckets"])
             ).cast("int")
             (
-                # cluster rows by bucket before the partitioned write: one
-                # task per bucket -> ~1 file per bucket per commit instead of
-                # (#input partitions x #buckets) small files. Oversized
-                # buckets still split via maxRecordsPerFile, and AQE coalesces
-                # the pre-write shuffle at small scale.
+                # cluster rows by bucket before the partitioned write so a
+                # task writes whole buckets (~1 file per bucket per commit,
+                # not #input-partitions x #buckets small files). REBALANCE
+                # (AQE) instead of repartition(N, bucket): a hot-key bucket
+                # (skewed repo) is split across multiple tasks by data size,
+                # so write parallelism follows bytes, not bucket count.
                 df.withColumn(_BUCKET_COL, bucket)
-                .repartition(part["num_buckets"], F.col(_BUCKET_COL))
+                .hint("rebalance", _BUCKET_COL)
                 .write.partitionBy(_BUCKET_COL)
                 .option("maxRecordsPerFile", 5_000_000)
                 .mode("error")

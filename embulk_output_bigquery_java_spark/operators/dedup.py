@@ -50,6 +50,8 @@ def lww_dedup(
         if salt_partitions > 1:
             return _lww_salted(df, keys, order, salt_partitions)
         return _lww_maxby(df, keys, order)
+    if strategy == "semi":
+        return _lww_semi(df, keys, order)
     raise ValueError(f"unknown dedup strategy {strategy!r}")
 
 
@@ -72,6 +74,30 @@ def _lww_maxby(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
         F.max_by(F.struct(*[F.col(c) for c in others]), _ord(order)).alias("_row")
     )
     return agg.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def _lww_semi(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Winners-then-semi-join: the wide-row scale path.
+
+    maxby/window push every full row through the shuffle (and, for struct
+    max_by, a sort) — with KB-scale payload columns (repos.content) that is
+    GBs of shuffle per batch. Here the winning (key, order) tuples are
+    computed on a narrow projection — Catalyst column-prunes the payload out
+    of that subtree entirely — and full rows are recovered with a semi-join
+    on (keys + order). (commit_seq, event_offset) is a total order, so the
+    winner tuple identifies exactly one row.
+
+    The winners side has |distinct keys| rows; when it fits the broadcast
+    threshold the payload never shuffles at all. AQE falls back to a shuffle
+    join for giant key sets, which degrades to ~maxby cost, never worse.
+    """
+    narrow = df.select(*keys, *order)
+    winners = (
+        narrow.groupBy(*keys)
+        .agg(F.max(_ord(order)).alias("_w"))
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in order])
+    )
+    return df.join(winners, on=keys + order, how="left_semi")
 
 
 def _lww_salted(

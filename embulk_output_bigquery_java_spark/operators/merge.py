@@ -59,6 +59,7 @@ def merge_apply(
     merge_rule: dict[str, str] | None = None,
     batch_id: str | None = None,
     batch_rows: int | None = None,
+    touched_buckets: list[int] | None = None,
     properties: dict | None = None,
 ) -> MergeResult:
     """Apply one LWW-deduped I/U/D batch to the table. Returns new version.
@@ -81,10 +82,15 @@ def merge_apply(
         return MergeResult(table.version, [], 0)
 
     if part:
-        bucket = table.bucket_of(F.col(part["column"]))
-        touched = sorted(
-            r[0] for r in batch.select(bucket.alias("b")).distinct().collect()
-        )
+        if touched_buckets is not None:
+            # caller already knows the batch's buckets (e.g. observed as a
+            # collect_set metric on the dedup job) — saves one Spark job
+            touched = sorted(touched_buckets)
+        else:
+            bucket = table.bucket_of(F.col(part["column"]))
+            touched = sorted(
+                r[0] for r in batch.select(bucket.alias("b")).distinct().collect()
+            )
         target_sub = table.read(buckets=touched)
     else:
         touched = []

@@ -127,8 +127,16 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 
 def minhash_signature(col: Column, num_hashes: int = 32, k: int = 5) -> Column:
-    """num_hashes-wide MinHash signature. Hash family = xxhash64(shingle, seed)
-    — 64-bit, JVM-side, no Python."""
+    """num_hashes-wide MinHash signature as a single expression (spec form).
+
+    Hash family = xxhash64(shingle, seed) — 64-bit, JVM-side. NOTE: each
+    array_min(transform(...)) re-evaluates the shingle array (higher-order
+    lambdas defeat common-subexpression elimination), so this form costs
+    O(num_hashes x |shingles|) substring work per row. The batch pipeline
+    (minhash_lsh_pairs) uses the explode + groupBy-min plan instead, which
+    scans shingles once; this expression is kept for row-level use and as
+    the executable definition the aggregate plan must agree with.
+    """
     sh = shingles(col, k)
 
     def hasher(seed: int):
@@ -138,6 +146,41 @@ def minhash_signature(col: Column, num_hashes: int = 32, k: int = 5) -> Column:
 
     return F.array(
         *[F.array_min(F.transform(sh, hasher(seed))) for seed in range(num_hashes)]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>, n_shingles) via explode + one grouped pass.
+
+    Shingles are materialized once per doc, hashed num_hashes ways in a
+    single projection, and reduced with partial-aggregated min()s — the
+    plan that survives 100 TB (cost O(total_shingles), map-side combined).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    )
+    hashed = exploded.select(
+        "id", *[F.xxhash64("s", F.lit(j)).alias(f"h{j}") for j in range(num_hashes)]
+    )
+    return (
+        hashed.groupBy("id")
+        .agg(
+            *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)],
+            F.count("*").alias("n_shingles"),
+        )
+        .select(
+            "id",
+            F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig"),
+            "n_shingles",
+        )
     )
 
 
@@ -159,10 +202,8 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
+    sig = minhash_signatures_df(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, k=shingle_k
     )
     banded = sig.select(
         "id",
@@ -191,9 +232,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # verify with exact Jaccard on the true shingle sets, computed once and
+    # joined only to the (sparse) candidate pairs
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
     withsets = cand.join(
-        sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

@@ -38,9 +38,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m leaves post-rebalance writes of ~100-300 MB batches
+        # with only a handful of tasks; 16m keeps short stages wide enough
+        # to use the cluster (AQE still coalesces truly tiny shuffles)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: executors live in the driver JVM, so the heap must be
+        # sized for all N threads' shuffle/cache pages (8g thrashes GC at 32
+        # threads on content-heavy rows); on a real cluster this is the
+        # spark-submit --driver-memory / --executor-memory knob instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,90 @@
+"""Structured Streaming shell around the batch engine (SURVEY.md §2.10).
+
+The reference is batch-transactional (README.md:17-21: no streaming inserts);
+the engine's replay loop is a deterministic batch loop for the same reason
+(exact replay + resumability). This module is the streaming front-end: a
+``readStream`` source of change events driven through ``foreachBatch`` into
+the SAME ``CdcEngine.apply_batch`` — so exactly-once comes from the lake
+table's batch-id manifest on top of Spark's checkpointed epochs (an epoch
+redelivered after a sink failure is a no-op).
+
+Late/duplicate events are handled by LWW dedup within each micro-batch plus
+key-matched MERGE across batches; a watermarked pre-aggregation example for
+event-time windowing lives in ``windowed_counts`` below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..engine import CdcEngine
+from ..schemas import CHANGES_SCHEMA
+
+
+def stream_changes_from_dir(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema: T.StructType = CHANGES_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source tail of a change-event directory (binlog-dump landing
+    zone). Kafka swaps in with the same downstream plumbing."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def start_cdc_stream(
+    engine: CdcEngine,
+    changes: DataFrame,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the CDC apply as a streaming sink via foreachBatch.
+
+    batch_id = "<table>:epoch-<n>": Spark guarantees epoch replay on
+    restart; the manifest turns replays into no-ops (exactly-once).
+
+    Ordering contract: WITHIN an epoch events may arrive in any order (LWW
+    dedup sorts it out); ACROSS epochs the source must not deliver an older
+    version of a key after a newer one was committed — the guarantee a
+    keyed Kafka topic or an in-order binlog/file tail provides. (A
+    file source satisfies it when files land and are ingested in
+    commit order — latestFirst must stay false.)
+    """
+
+    def apply(df: DataFrame, epoch_id: int) -> None:
+        engine.apply_batch(df, f"{engine.cfg.table}:epoch-{epoch_id}")
+
+    writer = changes.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    changes: DataFrame,
+    *,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation over the change stream
+    (ops/sec observability; late events beyond the watermark are dropped)."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        changes.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "op")
+        .agg(F.count("*").alias("n_events"))
+        .select("win.start", "win.end", "op", "n_events")
+    )

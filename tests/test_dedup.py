@@ -22,7 +22,7 @@ def pandas_lww(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "strategy,salt", [("window", 0), ("maxby", 0), ("maxby", 8)]
+    "strategy,salt", [("window", 0), ("maxby", 0), ("maxby", 8), ("semi", 0)]
 )
 def test_lww_matches_pandas(spark, strategy, salt):
     df = gen_changes(spark, 3000, n_repos=20, paths_per_repo=5)

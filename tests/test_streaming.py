@@ -1,0 +1,77 @@
+"""Streaming shell: foreachBatch CDC apply + watermarked windowing."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.config import IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+from embulk_output_bigquery_java_spark.streaming.stream import (
+    start_cdc_stream,
+    stream_changes_from_dir,
+    windowed_counts,
+)
+from oracle import replay_final_state
+
+
+def test_streaming_cdc_apply_matches_oracle(spark, tmp_table_root, tmp_path):
+    import glob
+    import os
+    import time as _time
+
+    # landing zone: one file per seq range, mtimes increasing, so the file
+    # source ingests epochs in commit order (the stream ordering contract)
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    changes = gen_changes(spark, 1200, n_repos=20, paths_per_repo=6)
+    for i in range(6):
+        part = changes.where(
+            (F.col("seq") >= i * 200) & (F.col("seq") < (i + 1) * 200)
+        ).coalesce(1)
+        tmp_out = str(tmp_path / f"part{i}")
+        part.write.parquet(tmp_out)
+        (pq_file,) = glob.glob(f"{tmp_out}/part-*.parquet")
+        dst = f"{src}/chunk-{i:03d}.parquet"
+        os.rename(pq_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=4)
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.ensure_table(REPOS_SCHEMA)
+
+    stream = stream_changes_from_dir(spark, src, max_files_per_trigger=2)
+    q = start_cdc_stream(eng, stream, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = (
+        LakeTable(spark, tmp_table_root).read().toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = replay_final_state(changes.toPandas(), None)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "content"]],
+        exp[["repo", "path", "commit", "content"]],
+    )
+
+    # restart over same source + checkpoint: no new epochs, state unchanged
+    v = LakeTable(spark, tmp_table_root).version
+    q2 = start_cdc_stream(
+        eng, stream_changes_from_dir(spark, src), checkpoint_dir=str(tmp_path / "ck")
+    )
+    q2.awaitTermination(60)
+    assert LakeTable(spark, tmp_table_root).version == v
+
+
+def test_windowed_counts_batch_semantics(spark):
+    # run the windowed agg in batch mode over the same frame for determinism
+    changes = gen_changes(spark, 600, n_repos=5, paths_per_repo=3)
+    out = windowed_counts(changes, window="5 minutes").collect()
+    assert out
+    total = sum(r.n_events for r in out)
+    assert total == 600
+    for r in out:
+        assert r.op in ("I", "U", "D") and r.n_events > 0

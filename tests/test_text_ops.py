@@ -145,3 +145,24 @@ def test_simhash_near_pairs(spark, docs):
         assert (i, i + 1_000_000) in found
     for r in pairs:
         assert r.hamming <= 3
+
+
+def test_minhash_df_plan_agrees_with_spec_expression(spark, docs):
+    """The explode+groupBy signature plan must equal the spec expression."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        minhash_signature,
+        minhash_signatures_df,
+    )
+
+    sample = docs.limit(25)
+    spec = {
+        r.doc_id: r.sig
+        for r in sample.select(
+            "doc_id", minhash_signature(F.col("text"), 16, 5).alias("sig")
+        ).collect()
+    }
+    fast = {
+        r.id: r.sig
+        for r in minhash_signatures_df(sample, num_hashes=16).collect()
+    }
+    assert spec == fast
