@@ -344,6 +344,120 @@ def _lang_sql() -> str:
     return f"SELECT doc_id, {cascade} AS lang_pred FROM documents"
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.text_stats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+_QUALITY_SQL = r"""
+WITH s AS (
+    SELECT doc_id,
+           len(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+           len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+           len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\b(the|of|and|to|in|is|for|with|that|it)\b')) AS n_stop
+    FROM documents
+)
+SELECT doc_id, round(
+    (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+  + (CASE WHEN n_tok > 0
+          THEN least(0.25, CAST(n_stop AS DOUBLE) / n_tok * 2.5)
+          ELSE 0.0 END)
+  + (CASE WHEN n_chars > 0
+          THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.25
+  + (CASE WHEN n_chars > 0
+          THEN greatest(0.0, 0.25 - CAST(n_punct AS DOUBLE) / n_chars)
+          ELSE 0.0 END)
+, 6) AS quality
+FROM s
+"""
+
+
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_bigquery_java_spark.operators.text_stats import (
+        rolling_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rolling_fingerprint(F.col("text"), window=8).alias("rfp")
+    )
+
+
+_ROLLING_FP_SQL = r"""
+WITH n AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+    FROM documents
+)
+SELECT doc_id,
+       list_aggregate(
+           [sha256(substr(norm, i, 8))
+            FOR i IN range(1, greatest(len(norm) - 7, 1) + 1)],
+           'min') AS rfp
+FROM n
+"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroid subset (vec_id % 50 == 0), nprobe=2."""
+    from embulk_output_bigquery_java_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=5, centroid_stride=50, nprobe=2).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+_IVF_SQL = """
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding, c.cv), 6)
+                            DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding, c.cv), 6)
+                            DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < 3
+    ) WHERE rn <= 2
+)
+SELECT query_id, vec_id, rank FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(q.embedding, a.embedding), 6)
+                        DESC, a.vec_id ASC
+           ) AS rank
+    FROM probes p
+    JOIN assign a USING (cid)
+    JOIN embeddings q ON q.vec_id = p.query_id
+) WHERE rank <= 5
+"""
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups; the testdata may have no dups, so group over a
     coarser key (first 16 normalized chars) to exercise the plan."""
@@ -523,6 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -548,6 +665,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": _TOKENS_SQL,
         "doc_fingerprint": _FP_SQL,
         "doc_lang_id": _lang_sql(),
+        "doc_quality": _QUALITY_SQL,
+        "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+        "ivf_ann_topk": _IVF_SQL,
         "exact_dup_groups": _DUPGROUP_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "cosine_topk": _COSINE_SQL,

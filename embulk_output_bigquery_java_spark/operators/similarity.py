@@ -155,6 +155,81 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    around a deterministic centroid subset (every ``centroid_stride``-th
+    vector — a fixed "sample" so the oracle can mirror it), then search only
+    the ``nprobe`` cells nearest each query.
+
+    Scale shape: centroids are tiny and broadcast twice (cell assignment +
+    query probing); the corpus never shuffles except the one exchange on
+    ``cid`` for the candidate join, and the exact-cosine work drops from
+    O(|Q| x |C|) to O(|Q| x |C| x nprobe / n_cells). With a real cluster the
+    assignment would be cached/bucketed by cid once and reused per query
+    wave (the IVF "index").
+    """
+    cent = F.broadcast(
+        corpus.where(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+
+    # corpus -> cell assignment: argmax-cosine centroid per vector as a
+    # two-phase max_by aggregate (map-side partial combine — ships |C| rows
+    # through the shuffle, not |C| x n_centroids like a window would);
+    # ties break toward the smaller centroid id via the -cid order component.
+    cscored = corpus.select(id_col, vec_col).crossJoin(cent).select(
+        "*", F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("_csim")
+    )
+    ordv = F.struct(F.col("_csim"), (-F.col("cid")).alias("_negcid"))
+    assigned = (
+        cscored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col(vec_col).alias("_v")), ordv
+            ).alias("_b")
+        )
+        .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b._v").alias(vec_col))
+    )
+
+    # query -> nprobe nearest cells: queries are few, a window is fine
+    qscored = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(cent)
+        .select("*", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("_csim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cid"))
+    probes = (
+        qscored.withColumn("_crn", F.row_number().over(wq))
+        .where(F.col("_crn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = assigned.join(F.broadcast(probes), on="cid").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

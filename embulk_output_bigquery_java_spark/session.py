@@ -29,6 +29,7 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = cores
+    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -45,10 +46,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # local mode: executors live in the driver JVM, so the heap must be
-        # sized for all N threads' shuffle/cache pages (8g thrashes GC at 32
-        # threads on content-heavy rows); on a real cluster this is the
-        # spark-submit --driver-memory / --executor-memory knob instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # sized for all N threads' shuffle/cache pages; on a real cluster this
+        # is the spark-submit --driver-memory / --executor-memory knob instead.
+        .config("spark.driver.memory", mem)
+        # Fixed, pre-touched heap: first-touch page faults on a growing heap
+        # are charged to the *faulting executor thread* as kernel time, and on
+        # virtualized hosts (EPT/vPT fault exits) they serialize hard — we
+        # measured a trivial 32-thread sha2 scan going 3.5 -> 20 M rows/s and
+        # scaling turning positive just from -Xms=-Xmx + AlwaysPreTouch.
+        # Same flags belong in spark.executor.extraJavaOptions on a cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,66 @@
+"""Phase-isolation probe for the replay scaling inversion.
+
+Times each replay phase separately at a given core count:
+  gen     — generate events, force content, no shuffle (sum(length))
+  dedup   — LWW dedup (semi strategy) + count
+  write   — write deduped post-image parquet (bucketed, rebalance hint)
+
+    SPARK_GRAFT_CPUS=8 python probe_scaling.py 4000000
+"""
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.session import get_spark
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    spark = get_spark("probe", cores=cpus, shuffle_partitions=2 * cpus)
+    res = {"cores": cpus, "events": n}
+
+    changes = gen_changes(spark, n, n_repos=500, paths_per_repo=100,
+                          num_partitions=2 * cpus)
+
+    # warmup (JIT)
+    gen_changes(spark, 200_000, n_repos=500, paths_per_repo=100,
+                num_partitions=2 * cpus).agg(F.sum(F.length("content"))).collect()
+
+    t0 = time.monotonic()
+    changes.agg(F.sum(F.length("content")), F.sum(F.length("before_content"))).collect()
+    res["gen_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    dd = lww_dedup(changes, ["repo", "path"], ["commit_seq", "event_offset"],
+                   strategy="semi")
+    cnt = dd.count()
+    res["dedup_s"] = round(time.monotonic() - t0, 2)
+    res["dedup_rows"] = cnt
+
+    out = tempfile.mkdtemp(prefix="probe-")
+    try:
+        t0 = time.monotonic()
+        bucket = F.pmod(F.xxhash64(F.col("repo")), F.lit(32)).cast("int")
+        (dd.withColumn("_bucket", bucket)
+           .hint("rebalance", "_bucket")
+           .write.partitionBy("_bucket").mode("overwrite")
+           .parquet(os.path.join(out, "d")))
+        res["write_s"] = round(time.monotonic() - t0, 2)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    import json
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
