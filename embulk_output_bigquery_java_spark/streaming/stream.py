@@ -70,6 +70,66 @@ def start_cdc_stream(
     return writer.start()
 
 
+def stateful_lww_filter(
+    changes: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("repo", "path"),
+    order: tuple[str, str] = ("commit_seq", "event_offset"),
+) -> DataFrame:
+    """Cross-batch LWW suppression — a custom stateful streaming operator.
+
+    Within-batch LWW dedup (operators/dedup.py) cannot see *previous*
+    batches; after a source replays old data (compacted topic, re-dumped
+    binlog) the merge would rewrite rows with identical versions. This
+    operator keeps, per key, the greatest ``(commit_seq, event_offset)``
+    ever emitted in Spark's managed state store
+    (``applyInPandasWithState``), emits only the per-key winner of each
+    micro-batch when it is strictly newer than the stored version, and
+    suppresses everything else. State is tiny (two longs per key),
+    partitioned by the grouping hash across executors, and checkpointed
+    with the query — a restart resumes suppression exactly.
+
+    Arrow-batched pandas per group, no per-row Python outside the group
+    loop (input_hint compliance: the comparison is one vectorized
+    idxmax over the batch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = changes.schema
+    o1, o2 = order
+
+    def fn(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        # per-key winner of this micro-batch (lexicographic on order cols)
+        win = batch.sort_values([o1, o2], kind="mergesort").iloc[-1:]
+        ver = (int(win[o1].iloc[0]), int(win[o2].iloc[0]))
+        if state.exists:
+            cur = tuple(state.get)
+            if ver <= cur:
+                return  # suppressed: not newer than what we already emitted
+        state.update(ver)
+        yield win
+
+    return (
+        changes.groupBy(*[F.col(k) for k in keys])
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [
+                    T.StructField(o1, T.LongType(), False),
+                    T.StructField(o2, T.LongType(), False),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_counts(
     changes: DataFrame,
     *,

@@ -1,0 +1,81 @@
+"""Schema-enforced source readers + bad-record budget (W4/A3 parity)."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.sources.readers import (
+    BadRecordsExceeded,
+    read_csv,
+    read_jsonl,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def jsonl_file(tmp_path):
+    p = tmp_path / "rows.jsonl"
+    lines = [
+        json.dumps({"id": 1, "name": "a", "score": 1.5}),
+        json.dumps({"id": 2, "name": "b", "score": 2.5}),
+        '{"id": 3, "name": "c", "score": }',  # malformed JSON
+        json.dumps({"id": "not-a-number", "name": "d", "score": 4.0}),  # type err
+        json.dumps({"id": 5, "name": "e", "score": 5.0, "extra": True}),  # unknown
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_quarantine_lenient(spark, jsonl_file):
+    res = read_jsonl(spark, jsonl_file, SCHEMA)
+    good_ids = sorted(r["id"] for r in res.good.collect())
+    assert good_ids == [1, 2, 5]  # unknown field ignored by default
+    bad = res.quarantine.collect()
+    assert len(bad) == 2
+    assert all(r["reason"] == "malformed_or_type_mismatch" for r in bad)
+
+
+def test_jsonl_quarantine_strict_unknown(spark, jsonl_file):
+    res = read_jsonl(spark, jsonl_file, SCHEMA, ignore_unknown_values=False)
+    good_ids = sorted(r["id"] for r in res.good.collect())
+    assert good_ids == [1, 2]
+    reasons = sorted(r["reason"] for r in res.quarantine.collect())
+    assert reasons == [
+        "malformed_or_type_mismatch",
+        "malformed_or_type_mismatch",
+        "unknown_field",
+    ]
+
+
+def test_budget_abort_default(spark, jsonl_file):
+    res = read_jsonl(spark, jsonl_file, SCHEMA)
+    # max_bad_records=0 derives abort_on_error=True (BigqueryTaskBuilder:56-60)
+    with pytest.raises(BadRecordsExceeded):
+        res.enforce_budget(max_bad_records=0)
+    good, n_bad = res.enforce_budget(max_bad_records=5)
+    assert n_bad == 2
+    assert good.count() == 3
+
+
+def test_budget_explicit_no_abort(spark, jsonl_file):
+    res = read_jsonl(spark, jsonl_file, SCHEMA)
+    good, n_bad = res.enforce_budget(max_bad_records=0, abort_on_error=False)
+    assert (good.count(), n_bad) == (3, 2)
+
+
+def test_csv_quarantine(spark, tmp_path):
+    p = tmp_path / "rows.csv"
+    p.write_text("1,a,1.5\n2,b,2.5\nx,c,bad\n3,d,3.5\n")
+    res = read_csv(spark, str(p), SCHEMA)
+    assert sorted(r["id"] for r in res.good.collect()) == [1, 2, 3]
+    assert res.quarantine.count() == 1
+    good, n_bad = res.enforce_budget(max_bad_records=1)
+    assert n_bad == 1

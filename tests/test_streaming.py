@@ -75,3 +75,69 @@ def test_windowed_counts_batch_semantics(spark):
     assert total == 600
     for r in out:
         assert r.op in ("I", "U", "D") and r.n_events > 0
+
+
+def test_stateful_lww_filter_suppresses_stale(spark, tmp_path):
+    """applyInPandasWithState: replayed/stale versions are suppressed
+    across micro-batches; newer versions pass."""
+    import glob
+    import os
+
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stateful_lww_filter,
+        stream_changes_from_dir,
+    )
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    changes = gen_changes(spark, 400, n_repos=10, paths_per_repo=4)
+    # chunk 0: seq [0,200) ; chunk 1: the SAME events replayed (stale) plus
+    # the newer half [200,400)
+    chunks = [
+        changes.where(F.col("seq") < 200),
+        changes,  # full replay: first half must be suppressed
+    ]
+    for i, part in enumerate(chunks):
+        tmp_out = str(tmp_path / f"p{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pq,) = glob.glob(f"{tmp_out}/part-*.parquet")
+        dst = f"{src}/chunk-{i:03d}.parquet"
+        os.rename(pq, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    stream = stream_changes_from_dir(spark, src, max_files_per_trigger=1)
+    out = stateful_lww_filter(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM lww_out").toPandas()
+    # per key at most one row per epoch, and no (key, version) emitted twice
+    assert not got.duplicated(["repo", "path", "commit_seq", "event_offset"]).any()
+    # every emitted version must be the max over all events <= its seq range;
+    # simplest strong check: final winners per key == global LWW winners for
+    # keys whose winner lives in [0,400)
+    import pandas as pd
+
+    all_ev = changes.toPandas()
+    winners = (
+        all_ev.sort_values(["commit_seq", "event_offset"], kind="mergesort")
+        .groupby(["repo", "path"], as_index=False)
+        .tail(1)
+    )
+    last_emitted = (
+        got.sort_values(["commit_seq", "event_offset"], kind="mergesort")
+        .groupby(["repo", "path"], as_index=False)
+        .tail(1)
+    )
+    m = winners.merge(
+        last_emitted, on=["repo", "path"], suffixes=("_exp", "_got")
+    )
+    assert len(m) == len(winners)
+    assert (m["commit_seq_exp"] == m["commit_seq_got"]).all()
+    assert (m["event_offset_exp"] == m["event_offset_got"]).all()
