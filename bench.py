@@ -84,8 +84,10 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = 0.1
+    # enough events that per-batch fixed cost (~2 s: plan + commit + count
+    # jobs) amortizes and the headline reflects steady-state merge throughput
     n_events = int(os.environ.get("BENCH_EVENTS", "0")) or max(
-        20_000, int(5_000_000 * sf)
+        50_000, int(80_000_000 * sf)
     )
     batches = int(os.environ.get("BENCH_BATCHES", "4"))
 
