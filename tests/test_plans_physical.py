@@ -1,0 +1,155 @@
+"""Physical-plan shape assertions — the 100-TB claims, checked in CI.
+
+Each test asserts properties of the *plan*, not the output: filters reach
+the parquet scan (PushedFilters), payload columns are pruned out of narrow
+subtrees (ReadSchema), small sides broadcast, aggregations have a map-side
+partial phase, and pure projections don't shuffle. A regression that makes
+a plan technically-correct-but-unscalable fails here, not in production.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    try:
+        return df.sparkSession._jvm.PythonSQLUtils.explainString(jqe, mode)
+    except Exception:
+        return jqe.explainString(
+            getattr(
+                df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode,
+                "fromString",
+            )(mode)
+        )
+
+
+@pytest.fixture(scope="module")
+def changelog(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("log") / "changelog")
+    from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+    gen_changes(spark, 50_000, n_repos=50, paths_per_repo=20).write.parquet(d)
+    return d
+
+
+def test_replay_batch_filter_pushed_to_scan(spark, changelog):
+    """The seq offset-range batch predicate must reach the parquet reader
+    (row-group pruning at 10^10 events) — S1 batch semantics."""
+    df = spark.read.parquet(changelog)
+    batch = df.where((F.col("seq") >= 10_000) & (F.col("seq") < 20_000))
+    plan = plan_of(batch)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(seq,10000" in plan.replace(" ", "") or (
+        "seq" in plan.split("PushedFilters")[1][:200]
+    )
+
+
+def test_lww_winner_scan_prunes_payload(spark, changelog):
+    """semi-strategy dedup: the winners subtree must scan only key+order
+    columns — content (KB-scale payload) stays out of its ReadSchema."""
+    df = spark.read.parquet(changelog)
+    out = lww_dedup(
+        df, ["repo", "path"], ["commit_seq", "event_offset"], strategy="semi"
+    )
+    plan = plan_of(out)
+    scans = [
+        seg for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert len(scans) >= 2, "expected two scans (winners + full rows)"
+    narrow = [s for s in scans if "content" not in s.split("\n")[0]]
+    assert narrow, f"no content-free scan found:\n{plan}"
+
+
+def test_maxby_dedup_has_partial_aggregation(spark, changelog):
+    """maxby strategy must plan as two-phase hash aggregate (map-side
+    partial combine = structural skew resistance)."""
+    df = spark.read.parquet(changelog)
+    out = lww_dedup(
+        df, ["repo", "path"], ["commit_seq", "event_offset"], strategy="maxby"
+    )
+    plan = plan_of(out, "simple")
+    assert plan.count("HashAggregate") >= 2 or "partial_max_by" in plan
+    assert "partial_max_by" in plan or "partial" in plan.lower()
+
+
+def test_merge_broadcasts_small_batch(spark, tmp_path, changelog):
+    """merge_apply's anti-join must broadcast the (small) batch key side so
+    the target side streams map-side without a shuffle."""
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.lake import LakeTable
+    from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+
+    root = str(tmp_path / "t")
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=4)
+    eng = CdcEngine(spark, cfg, root)
+    eng.ensure_table(REPOS_SCHEMA)
+    df = spark.read.parquet(changelog)
+    eng.apply_batch(df.where(F.col("seq") < 25_000), "b0", seq_range=(0, 25_000))
+
+    table = LakeTable(spark, root)
+    target = table.read()
+    batch = lww_dedup(
+        df.where(F.col("seq") >= 25_000),
+        ["repo", "path"], ["commit_seq", "event_offset"],
+    )
+    survivors = target.join(
+        F.broadcast(batch.select("repo", "path")), on=["repo", "path"],
+        how="left_anti",
+    )
+    plan = plan_of(survivors, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_cast_projection_no_shuffle(spark):
+    """The C-matrix is a pure projection: no Exchange in the plan."""
+    from pyspark.sql import types as T
+
+    from embulk_output_bigquery_java_spark.config import ColumnOption
+    from embulk_output_bigquery_java_spark.functions.casts import build_projection
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    schema = T.StructType(
+        [f for f in ev.schema.fields if f.name in ("user_id", "ts", "value")]
+    )
+    out = ev.select(
+        *build_projection(
+            schema,
+            {
+                "user_id": ColumnOption("user_id", "STRING"),
+                "ts": ColumnOption("ts", "INTEGER"),
+                "value": ColumnOption("value", "INTEGER"),
+            },
+        )
+    )
+    plan = plan_of(out, "simple")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan_of(out)  # projection runs whole-stage codegen'd
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    """TPC-H Q1 shape: date filter pushed to scan; two-phase aggregate."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["agg_pricing_summary"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_revenue_broadcasts_dims(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["join_revenue_by_nation"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
