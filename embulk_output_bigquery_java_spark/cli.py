@@ -85,6 +85,33 @@ def cmd_show(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Rewrite current state into right-sized files (post-replay maintenance)."""
+    spark = get_spark("cdc-compact", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    files_before = len(table.snapshot()["files"])
+    v = table.compact(target_file_rows=args.target_file_rows)
+    print(json.dumps({
+        "version": v,
+        "files_before": files_before,
+        "files_after": len(table.snapshot()["files"]),
+        "total_rows": table.total_rows(),
+    }))
+    return 0
+
+
+def cmd_expire(args: argparse.Namespace) -> int:
+    """Expire old snapshots + delete orphaned data files (W10 GC analog)."""
+    spark = get_spark("cdc-expire", cores=2)
+    table = LakeTable(spark, args.table_root)
+    deleted = table.expire_snapshots(keep_last=args.keep_last)
+    print(json.dumps({
+        "deleted_files": len(deleted),
+        "current_version": table.version,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc-engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,6 +138,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="print table snapshot summary")
     s.add_argument("--table-root", required=True)
     s.set_defaults(fn=cmd_show)
+
+    c = sub.add_parser("compact", help="rewrite current state into sized files")
+    c.add_argument("--table-root", required=True)
+    c.add_argument("--target-file-rows", type=int, default=1_000_000)
+    c.add_argument("--cores", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("expire", help="expire snapshots, GC orphaned files")
+    e.add_argument("--table-root", required=True)
+    e.add_argument("--keep-last", type=int, default=10)
+    e.set_defaults(fn=cmd_expire)
 
     args = p.parse_args(argv)
     return args.fn(args)
