@@ -482,6 +482,32 @@ GROUP BY 1
 """
 
 
+def q_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id doc per normalized-content group."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return exact_dedup(d.unionByName(dup)).select("doc_id")
+
+
+_EXACT_DEDUP_SQL = r"""
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+keep AS (
+    SELECT min(doc_id) AS doc_id
+    FROM all_docs
+    GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+)
+SELECT doc_id FROM keep
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs on a deterministic doc subset."""
     from embulk_output_bigquery_java_spark.operators.text_dedup import (
@@ -615,6 +641,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "payload_sha")
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per sampled frame ts (pure explode)."""
+    from embulk_output_bigquery_java_spark.operators.multimodal import (
+        gen_media,
+        sample_frames,
+    )
+
+    return sample_frames(gen_media(spark, 200), fps=2.0)
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning from image metadata only."""
+    from embulk_output_bigquery_java_spark.operators.multimodal import (
+        gen_media,
+        resize_plan,
+    )
+
+    return resize_plan(gen_media(spark, 200), max_side=128)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -641,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_keep": q_exact_dedup_keep,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -648,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "media_resize_plan": q_media_resize_plan,
     }
 
 
@@ -669,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "ivf_ann_topk": _IVF_SQL,
         "exact_dup_groups": _DUPGROUP_SQL,
+        "exact_dedup_keep": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "cosine_topk": _COSINE_SQL,
         # minhash/simhash/LSH/media: hash-family values are engine-specific
