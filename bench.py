@@ -36,6 +36,8 @@ def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
     cfg = IngestConfig(
         table="repos", mode="merge", merge_keys=["repo", "path"], num_buckets=32,
         dedup_strategy=os.environ.get("BENCH_DEDUP", "semi"),
+        merge_strategy=os.environ.get("BENCH_MERGE_STRATEGY", "cow"),
+        compact_every_batches=int(os.environ.get("BENCH_COMPACT_EVERY", "0")),
     )
     eng = CdcEngine(
         spark, cfg, root, checkpoint_path=os.path.join(workdir, "ck.json")
@@ -60,7 +62,7 @@ def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
         "batches": stats.batches,
         "elapsed_s": round(stats.elapsed_s, 3),
         "events_per_s": round(stats.events_per_s, 1),
-        "final_rows": table.total_rows(),
+        "final_rows": table.count_exact(),
     }
 
 

@@ -37,6 +37,8 @@ def cmd_replay(args: argparse.Namespace) -> int:
             num_buckets=args.num_buckets,
             dedup_strategy=args.dedup_strategy,
             salt_partitions=args.salt_partitions,
+            merge_strategy=args.merge_strategy,
+            compact_every_batches=args.compact_every,
         )
     except ConfigError as exc:
         print(f"config error: {exc}", file=sys.stderr)
@@ -129,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--dedup-strategy", default="maxby",
                    choices=["semi", "maxby", "window"])
     r.add_argument("--salt-partitions", type=int, default=0)
+    r.add_argument("--merge-strategy", default="cow", choices=["cow", "mor"])
+    r.add_argument("--compact-every", type=int, default=0,
+                   help="fold MOR deltas into base every N batches")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--ledger", default=None)
     r.add_argument("--cores", type=int, default=None)

@@ -111,6 +111,14 @@ class IngestConfig:
     # JIT; 'semi' wins when payload columns are wide AND the JVM is warm.
     dedup_strategy: str = "maxby"
     salt_partitions: int = 0  # >0 forces explicit salting in dedup phase 1
+    #: merge commit strategy: 'cow' rewrites touched buckets (read-optimized);
+    #: 'mor' appends bucketed delta files with O(batch) write cost and
+    #: read-time reconciliation (write-optimized — the 100-TB-target path).
+    #: See operators/merge.py::merge_apply.
+    merge_strategy: str = "cow"
+    #: fold MOR deltas into base files every N committed batches (0 = only
+    #: explicit compact); keeps read-side reconciliation bounded.
+    compact_every_batches: int = 0
     #: replay-loop maintenance cadence: expire old snapshots (keeping
     #: keep_snapshots) every N committed batches; 0 disables. A 10^10-event
     #: replay is ~10^4 batches — unbounded metadata/orphan files otherwise.
@@ -149,6 +157,10 @@ class IngestConfig:
             pass
         if self.dedup_strategy not in ("semi", "maxby", "window"):
             raise ConfigError(f"unknown dedup_strategy {self.dedup_strategy!r}")
+        if self.merge_strategy not in ("cow", "mor"):
+            raise ConfigError(f"unknown merge_strategy {self.merge_strategy!r}")
+        if self.merge_strategy == "mor" and self.merge_rule:
+            raise ConfigError("merge_rule requires merge_strategy='cow'")
         if self.num_buckets <= 0:
             raise ConfigError("num_buckets must be positive")
 

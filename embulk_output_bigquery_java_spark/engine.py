@@ -282,7 +282,12 @@ class CdcEngine:
                 merge_rule=cfg.merge_rule or None,
                 batch_id=batch_id, batch_rows=deduped_rows,
                 touched_buckets=touched,
+                strategy=cfg.merge_strategy,
             ))
+            # NOTE: under mor, total_rows is the gross manifest sum (base +
+            # deltas incl. shadowed/delete rows); the ledger's output delta
+            # then reads as "rows materialized this commit". count_exact()
+            # reconciles when an exact live count is needed.
             rows_after = table.total_rows()
             return self._ledger(
                 batch_id, seq_range, input_rows, deduped_rows,
@@ -363,6 +368,13 @@ class CdcEngine:
             else:
                 batches += 1
                 events += row.input_rows
+                if (
+                    self.cfg.compact_every_batches
+                    and batches % self.cfg.compact_every_batches == 0
+                ):
+                    # fold MOR deltas into base files so read-side
+                    # reconciliation stays bounded
+                    LakeTable(self.spark, self.table_root).compact()
                 if (
                     self.cfg.expire_every_batches
                     and batches % self.cfg.expire_every_batches == 0

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET_COL = "_bucket"
+_OP_COL = "op"
 _V_RE = re.compile(r"v(\d+)\.json$")
 
 
@@ -188,6 +189,13 @@ class LakeTable:
         and reconciled to the current one by name (missing -> NULL, legal
         widenings via cast) — Iceberg-style read-time resolution, columnar,
         no Python per row.
+
+        If the snapshot contains **delta files** (merge-on-read commits,
+        `append_deltas`), the scan reconciles them against the base: per
+        merge key the row from the highest commit `seq` wins, and a winning
+        delta with op='D' removes the key — Iceberg v2 MOR semantics,
+        planned as one two-phase `max_by` aggregate over the (pruned)
+        base+delta union. Tables written only via COW skip all of this.
         """
         snap = self.snapshot(version)
         cur_schema = T.StructType.fromJson(snap["schemas"][str(snap["current_schema_id"])])
@@ -198,25 +206,64 @@ class LakeTable:
         if not files:
             return self.spark.createDataFrame([], cur_schema)
 
-        by_schema: dict[str, list[str]] = {}
+        has_delta = any(f.get("kind") == "delta" for f in files)
+
+        # group by (schema_id, seq, kind): one scan per retained commit's
+        # file group — bounded by compaction/expiry cadence
+        groups: dict[tuple[str, int, str], list[str]] = {}
         for f in files:
-            by_schema.setdefault(str(f.get("schema_id", 0)), []).append(
-                os.path.join(self.root, f["path"])
-            )
+            key = (str(f.get("schema_id", 0)), int(f.get("seq", 0)),
+                   f.get("kind", "data"))
+            groups.setdefault(key, []).append(os.path.join(self.root, f["path"]))
         parts = []
-        for sid, paths in by_schema.items():
+        for (sid, seq, kind), paths in groups.items():
             stored = T.StructType.fromJson(snap["schemas"][sid])
-            df = self.spark.read.schema(stored).parquet(*paths)
+            read_schema = stored
+            if kind == "delta":
+                read_schema = T.StructType(
+                    list(stored.fields) + [T.StructField(_OP_COL, T.StringType(), True)]
+                )
+            df = self.spark.read.schema(read_schema).parquet(*paths)
             cols = [
                 (F.col(fld.name).cast(fld.dataType) if fld.name in df.columns
                  else F.lit(None).cast(fld.dataType)).alias(fld.name)
                 for fld in cur_schema.fields
             ]
+            if has_delta:
+                cols.append(
+                    (F.col(_OP_COL) if kind == "delta" else F.lit(None).cast("string"))
+                    .alias("_op")
+                )
+                cols.append(F.lit(seq).alias("_seq"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if not has_delta:
+            return out
+
+        keys = self.merge_keys
+        if not keys:
+            raise ValueError(
+                "merge-on-read reconciliation requires merge keys metadata"
+            )
+        data_cols = [f.name for f in cur_schema.fields]
+        others = [c for c in data_cols if c not in keys] + ["_op"]
+        # LWW by commit seq: two-phase max_by (map-side partial combine);
+        # within one commit a key appears at most once (merge pre-dedups)
+        winner = (
+            out.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in others]), F.col("_seq")
+                ).alias("_r")
+            )
+            .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
+        )
+        return (
+            winner.where(F.col("_op").isNull() | (F.col("_op") != "D"))
+            .select(*data_cols)
+        )
 
     # ------------------------------------------------------------- writing
     def _write_data(self, df: DataFrame, schema_id: int) -> list[dict]:
@@ -288,6 +335,10 @@ class LakeTable:
                 f"expected v{expected}, found v{base['version']} at {self.root}"
             )
         new_v = expected + 1
+        for f in files:
+            # commit seq per file: MOR reconciliation ranks rows by the
+            # commit that wrote them; carried-over entries keep theirs
+            f.setdefault("seq", new_v)
         props = dict(base["properties"])
         if properties_update:
             props.update(properties_update)
@@ -381,6 +432,41 @@ class LakeTable:
             applied_batch=batch_id,
             properties_update=properties,
         )
+
+    def append_deltas(
+        self, df: DataFrame, *, batch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Merge-on-read commit: write the (LWW-deduped) batch as delta
+        files — upserts AND deletes, identified by the ``op`` column — and
+        publish them alongside the base without rewriting anything.
+
+        Write cost is O(batch); readers reconcile per key by commit seq
+        (see :meth:`read`), and :meth:`compact` folds deltas back into base
+        files. ``df`` must carry every table column plus ``op``
+        ('I'/'U'/'D'; delete rows may have NULL non-key columns).
+        """
+        base = self.snapshot()
+        schema_cols = [f.name for f in self.schema().fields]
+        ordered = df.select(*schema_cols, _OP_COL)
+        new_files = self._write_data(ordered, base["current_schema_id"])
+        for f in new_files:
+            f["kind"] = "delta"
+        return self._commit(
+            operation="merge-delta",
+            files=base["files"] + new_files,
+            expected_version=base["version"],
+            applied_batch=batch_id,
+            properties_update=properties,
+        )
+
+    def count_exact(self, version: int | None = None) -> int:
+        """Exact live-row count. For COW snapshots this is the (free)
+        manifest sum; with MOR deltas it runs the reconciling scan."""
+        snap = self.snapshot(version)
+        if not any(f.get("kind") == "delta" for f in snap["files"]):
+            return snap["summary"]["total_rows"]
+        return self.read(version).count()
 
     def delete_all(self, *, properties: dict | None = None) -> int:
         """Truncate (mode `delete_in_advance` on the whole table — W9)."""

@@ -61,11 +61,25 @@ def merge_apply(
     batch_rows: int | None = None,
     touched_buckets: list[int] | None = None,
     properties: dict | None = None,
+    strategy: str = "cow",
 ) -> MergeResult:
     """Apply one LWW-deduped I/U/D batch to the table. Returns new version.
 
     ``batch`` must have ≤1 row per key (run operators.dedup.lww_dedup first)
     and contain every target column plus ``op_col``.
+
+    ``strategy``:
+
+    - ``cow`` (copy-on-write): read the touched buckets, anti-join out
+      replaced keys, rewrite those buckets' post-image. Read-optimized;
+      write amplification O(touched-bucket bytes) per batch.
+    - ``mor`` (merge-on-read): write the batch as bucketed delta files —
+      including delete markers — with **no target read and no join at
+      all**; readers reconcile per key by commit seq and ``compact()``
+      folds deltas down. Write cost O(batch): the only strategy whose
+      per-batch cost is independent of table size, which is what survives
+      a 100 TB target. Requires no ``merge_rule`` (rules reference T.*,
+      which MOR never reads).
     """
     keys = keys or table.merge_keys
     if not keys:
@@ -80,6 +94,23 @@ def merge_apply(
         batch_rows = batch.count()
     if batch_rows == 0:
         return MergeResult(table.version, [], 0)
+
+    if strategy == "mor":
+        if merge_rule:
+            raise ValueError("merge_rule requires the cow strategy")
+        delta = batch.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target_schema.fields
+            ],
+            F.col(op_col).alias("op"),
+        )
+        version = table.append_deltas(
+            delta, batch_id=batch_id, properties=properties
+        )
+        return MergeResult(version, touched_buckets or [], batch_rows)
+    if strategy != "cow":
+        raise ValueError(f"unknown merge strategy {strategy!r}")
 
     if part:
         if touched_buckets is not None:

@@ -1,0 +1,160 @@
+"""Merge-on-read: delta commits, read reconciliation, compaction, engine parity.
+
+The MOR strategy's contract: identical final table state to COW (and to the
+DuckDB oracle replay), with per-batch write cost O(batch) instead of
+O(touched buckets). These tests pin the semantics; bench compares the cost.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.config import ConfigError, IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+from oracle import replay_final_state
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, KV_SCHEMA)
+
+
+@pytest.fixture()
+def kv_table(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, KV_SCHEMA,
+        bucket_column="k", num_buckets=4, merge_keys=["k"],
+    )
+    t.append(_kv(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    return t
+
+
+def _delta(spark, rows):
+    schema = T.StructType(
+        list(KV_SCHEMA.fields) + [T.StructField("op", T.StringType(), False)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_delta_upsert_and_delete_reconcile(spark, kv_table):
+    kv_table.append_deltas(_delta(spark, [("b", 20, "U"), ("c", None, "D"),
+                                          ("d", 4, "I")]))
+    got = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    assert got == {"a": 1, "b": 20, "d": 4}
+    assert kv_table.count_exact() == 3
+    # gross manifest row count includes shadowed + delete rows
+    assert kv_table.total_rows() == 6
+
+
+def test_delta_ordering_across_commits(spark, kv_table):
+    kv_table.append_deltas(_delta(spark, [("a", 10, "U")]))
+    kv_table.append_deltas(_delta(spark, [("a", 100, "U")]))
+    kv_table.append_deltas(_delta(spark, [("b", None, "D")]))
+    got = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    assert got == {"a": 100, "c": 3}
+    # resurrecting a deleted key works (newer commit wins)
+    kv_table.append_deltas(_delta(spark, [("b", 7, "I")]))
+    got = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    assert got["b"] == 7
+
+
+def test_delta_bucket_pruning(spark, kv_table):
+    kv_table.append_deltas(_delta(spark, [("a", 10, "U")]))
+    b_of_a = kv_table.bucket_of(F.lit("a"))
+    (bucket,) = spark.range(1).select(b_of_a.alias("b")).collect()
+    pruned = kv_table.read(buckets=[bucket["b"]])
+    rows = {r["k"]: r["v"] for r in pruned.collect()}
+    assert rows.get("a") == 10
+    # delta files are bucketed like base files
+    kinds = {(f.get("kind", "data"), f["bucket"] is not None)
+             for f in kv_table.snapshot()["files"]}
+    assert ("delta", True) in kinds
+
+
+def test_compact_folds_deltas(spark, kv_table):
+    kv_table.append_deltas(_delta(spark, [("b", 20, "U"), ("c", None, "D")]))
+    before = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    kv_table.compact()
+    snap = kv_table.snapshot()
+    assert all(f.get("kind", "data") == "data" for f in snap["files"])
+    after = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    assert after == before == {"a": 1, "b": 20}
+    # post-compaction the manifest count is exact again
+    assert kv_table.total_rows() == kv_table.count_exact() == 2
+
+
+def test_mor_requires_merge_keys(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, KV_SCHEMA, bucket_column="k",
+                         num_buckets=2, merge_keys=[])
+    t.append_deltas(_delta(spark, [("a", 1, "I")]))
+    with pytest.raises(ValueError, match="merge keys"):
+        t.read().collect()
+
+
+def test_merge_rule_rejected_under_mor():
+    with pytest.raises(ConfigError, match="merge_rule"):
+        IngestConfig(table="t", mode="merge", merge_keys=["k"],
+                     merge_strategy="mor", merge_rule={"v": "S.v + 1"})
+
+
+def test_engine_mor_replay_matches_oracle(spark, tmp_table_root, tmp_path):
+    n = 3000
+    changes = gen_changes(spark, n, n_repos=25, paths_per_repo=8)
+    cfg = IngestConfig(
+        table="repos", mode="merge", merge_keys=["repo", "path"],
+        num_buckets=4, merge_strategy="mor", compact_every_batches=2,
+    )
+    eng = CdcEngine(spark, cfg, tmp_table_root,
+                    checkpoint_path=str(tmp_path / "ck.json"))
+    eng.ensure_table(REPOS_SCHEMA)
+    eng.replay(changes, n_events=n, batch_size=500)
+
+    table = LakeTable(spark, tmp_table_root)
+    got = (
+        table.read().withColumn("content_sha", F.sha2("content", 256))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = replay_final_state(changes.toPandas(), None)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "content", "content_sha"]],
+        exp[["repo", "path", "commit", "content", "content_sha"]],
+    )
+
+
+def test_engine_mor_exactly_once(spark, tmp_table_root):
+    n = 1000
+    changes = gen_changes(spark, n, n_repos=10, paths_per_repo=5)
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=4, merge_strategy="mor")
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.ensure_table(REPOS_SCHEMA)
+    for lo in (0, 500):
+        eng.apply_batch(
+            changes.where((F.col("seq") >= lo) & (F.col("seq") < lo + 500)),
+            f"b:{lo}", seq_range=(lo, lo + 500),
+        )
+    v = LakeTable(spark, tmp_table_root).version
+    state = {(r["repo"], r["path"]): r["commit"]
+             for r in LakeTable(spark, tmp_table_root).read().collect()}
+    # redeliver both batches: manifest makes them no-ops
+    for lo in (0, 500):
+        row = eng.apply_batch(
+            changes.where((F.col("seq") >= lo) & (F.col("seq") < lo + 500)),
+            f"b:{lo}", seq_range=(lo, lo + 500),
+        )
+        assert row is None
+    t = LakeTable(spark, tmp_table_root)
+    assert t.version == v
+    assert {(r["repo"], r["path"]): r["commit"]
+            for r in t.read().collect()} == state
