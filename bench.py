@@ -35,8 +35,11 @@ def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
     root = os.path.join(workdir, "repos_table")
     cfg = IngestConfig(
         table="repos", mode="merge", merge_keys=["repo", "path"], num_buckets=32,
+        # mor is the default: the only merge strategy whose per-batch cost
+        # is independent of table size (see operators/merge.py); cow numbers
+        # via BENCH_MERGE_STRATEGY=cow for comparison
         dedup_strategy=os.environ.get("BENCH_DEDUP", "semi"),
-        merge_strategy=os.environ.get("BENCH_MERGE_STRATEGY", "cow"),
+        merge_strategy=os.environ.get("BENCH_MERGE_STRATEGY", "mor"),
         compact_every_batches=int(os.environ.get("BENCH_COMPACT_EVERY", "0")),
     )
     eng = CdcEngine(

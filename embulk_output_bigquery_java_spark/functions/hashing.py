@@ -1,0 +1,37 @@
+"""Content hashing for the per-row sha256 invariant (north_star).
+
+Two implementations of the same function, both columnar:
+
+- :func:`sha256_col` — ``F.sha2(col, 256)``: JVM-side, whole-stage
+  codegen'd, zero Python. **This is the hot-path form** used by the engine
+  and oracle comparisons.
+- :func:`sha256_pandas` — Arrow-batched ``pandas_udf`` over ``hashlib``:
+  the vectorized-UDF demonstration the input_hint demands ("pandas/Arrow
+  UDFs, no per-row Python" — the batch loop is per-Arrow-batch, the hash
+  per value, which is the unavoidable shape for any Python-side transform).
+  Kept as the template for transforms Spark has no builtin for; tests pin
+  it bit-identical to the JVM form.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def sha256_col(col: Column) -> Column:
+    """JVM-side sha256 hex digest (lowercase) — use this in the hot path."""
+    return F.sha2(col, 256)
+
+
+@pandas_udf("string")
+def sha256_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-batched sha256 hex digest; bit-identical to sha256_col."""
+    return s.map(
+        lambda v: None if v is None
+        else hashlib.sha256(str(v).encode("utf-8")).hexdigest()
+    )

@@ -166,3 +166,19 @@ def test_minhash_df_plan_agrees_with_spec_expression(spark, docs):
         for r in minhash_signatures_df(sample, num_hashes=16).collect()
     }
     assert spec == fast
+
+
+def test_sha256_pandas_udf_matches_jvm(spark, docs):
+    """The Arrow-batched pandas-UDF sha256 is bit-identical to F.sha2."""
+    from embulk_output_bigquery_java_spark.functions.hashing import (
+        sha256_col,
+        sha256_pandas,
+    )
+
+    out = docs.select(
+        sha256_col(F.col("text")).alias("jvm"),
+        sha256_pandas(F.col("text")).alias("py"),
+    ).collect()
+    assert out
+    for r in out:
+        assert r["jvm"] == r["py"]
