@@ -158,3 +158,46 @@ def test_engine_mor_exactly_once(spark, tmp_table_root):
     assert t.version == v
     assert {(r["repo"], r["path"]): r["commit"]
             for r in t.read().collect()} == state
+
+
+def test_mor_read_plan_partial_aggregate(spark, kv_table):
+    """MOR reconciliation must plan as a two-phase (partial) aggregate —
+    map-side combine keeps hot keys from concentrating in one task."""
+    kv_table.append_deltas(_delta(spark, [("a", 10, "U")]))
+    df = kv_table.read()
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "partial_max_by" in plan or plan.count("Aggregate") >= 2
+
+
+def test_mor_with_schema_evolution(spark, tmp_table_root):
+    """A later MOR batch carrying a new column evolves the table; old base
+    rows read NULL for it, reconciliation still keyed correctly."""
+    from pyspark.sql import Row
+
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=2, merge_strategy="mor")
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.ensure_table(REPOS_SCHEMA)
+
+    base_cols = dict(commit="c0", lang="py", content="x")
+    b1 = spark.createDataFrame([
+        Row(seq=0, commit_seq=0, event_offset=0, op="I",
+            repo="r1", path="a", **base_cols),
+        Row(seq=1, commit_seq=0, event_offset=1, op="I",
+            repo="r1", path="b", **base_cols),
+    ])
+    eng.apply_batch(b1, "b1", seq_range=(0, 2))
+
+    b2 = spark.createDataFrame([
+        Row(seq=2, commit_seq=1, event_offset=0, op="U",
+            repo="r1", path="b", commit="c1", lang="py", content="y",
+            stars=5),
+    ])
+    eng.apply_batch(b2, "b2", seq_range=(2, 3))
+
+    t = LakeTable(spark, tmp_table_root)
+    assert "stars" in [f.name for f in t.schema().fields]
+    rows = {r["path"]: (r["content"], r["stars"]) for r in t.read().collect()}
+    assert rows == {"a": ("x", None), "b": ("y", 5)}
