@@ -202,11 +202,12 @@ class CdcEngine:
             # BigqueryTaskBuilder.java:56-60).
             rejected = 0
             latency = time.monotonic() - t0
+            bytes_w, lineage = self._commit_footprint(table, version)
             row = self._ledger(
                 batch_id, seq_range, input_rows, deduped_rows,
                 rows_after - rows_before, rejected,
                 len(touched) if touched is not None else None,
-                self._bytes_written(table, version), latency, version,
+                bytes_w, latency, version, lineage,
             )
             if cfg.abort_on_error and rejected > cfg.max_bad_records:
                 raise RowCountMismatch(
@@ -289,11 +290,11 @@ class CdcEngine:
             # then reads as "rows materialized this commit". count_exact()
             # reconciles when an exact live count is needed.
             rows_after = table.total_rows()
+            bytes_w, lineage = self._commit_footprint(table, res.version)
             return self._ledger(
                 batch_id, seq_range, input_rows, deduped_rows,
                 rows_after - rows_before, 0, len(res.touched_buckets),
-                self._bytes_written(table, res.version),
-                time.monotonic() - t0, res.version,
+                bytes_w, time.monotonic() - t0, res.version, lineage,
             )
         finally:
             deduped.unpersist()
@@ -403,21 +404,36 @@ class CdcEngine:
         fields = [f for f in batch.schema.fields if f.name not in CDC_META_COLS]
         return T.StructType(fields)
 
-    def _bytes_written(self, table: LakeTable, version: int) -> int | None:
+    def _commit_footprint(
+        self, table: LakeTable, version: int
+    ) -> tuple[int | None, list[dict] | None]:
+        """(bytes written, per-bucket lineage) of one commit — read straight
+        from the snapshot manifest diff, no Spark job."""
         try:
             snap = table.snapshot(version)
             parent_files = {
                 f["path"] for f in table.snapshot(snap["parent"])["files"]
             } if snap["parent"] is not None else set()
-            return sum(
-                f["bytes"] for f in snap["files"] if f["path"] not in parent_files
-            )
+            new = [f for f in snap["files"] if f["path"] not in parent_files]
+            by_bucket: dict[int | None, list[int]] = {}
+            for f in new:
+                acc = by_bucket.setdefault(f.get("bucket"), [0, 0])
+                acc[0] += f["rows"]
+                acc[1] += f["bytes"]
+            lineage = [
+                {"bucket": b, "rows": r, "bytes": by}
+                for b, (r, by) in sorted(
+                    by_bucket.items(), key=lambda kv: (kv[0] is None, kv[0])
+                )
+            ]
+            return sum(f["bytes"] for f in new), lineage
         except Exception:  # pragma: no cover - metrics must never fail a batch
-            return None
+            return None, None
 
     def _ledger(
         self, batch_id, seq_range, input_rows, deduped_rows, output_delta,
         rejected, touched, bytes_written, latency, version,
+        bucket_lineage=None,
     ) -> LedgerRow:
         row = LedgerRow(
             batch_id=batch_id,
@@ -433,6 +449,7 @@ class CdcEngine:
             bytes_written=bytes_written,
             merge_latency_s=latency,
             snapshot_version=version,
+            bucket_lineage=bucket_lineage,
         )
         if self.ledger_path:
             ledger_append(self.ledger_path, row)

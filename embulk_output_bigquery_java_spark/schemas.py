@@ -62,6 +62,19 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("bytes_written", T.LongType(), True),
         T.StructField("merge_latency_s", T.DoubleType(), True),
         T.StructField("snapshot_version", T.LongType(), True),
+        T.StructField(
+            "bucket_lineage",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("bucket", T.IntegerType(), True),
+                        T.StructField("rows", T.LongType(), True),
+                        T.StructField("bytes", T.LongType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField("committed_at", T.StringType(), False),
     ]
 )

@@ -38,6 +38,11 @@ class LedgerRow:
     bytes_written: int | None
     merge_latency_s: float | None
     snapshot_version: int | None
+    #: per-partition lineage: [{"bucket": id, "rows": n, "bytes": n}, ...]
+    #: for the files this commit added — straight from the snapshot
+    #: manifest, no extra Spark job (north_rule "partition id, offset
+    #: range, row counts, bytes, merge latency").
+    bucket_lineage: list[dict] | None = None
     committed_at: str = ""
 
     def __post_init__(self) -> None:

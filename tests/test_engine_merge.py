@@ -159,3 +159,28 @@ def test_commit_conflict_retry(spark, tmp_table_root, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(
         got[["repo", "path", "content"]], exp[["repo", "path", "content"]]
     )
+
+
+def test_ledger_bucket_lineage(spark, tmp_table_root, tmp_path):
+    """Each ledger row carries per-bucket (partition) rows+bytes lineage of
+    the files its commit added (north_rule per-partition ledger)."""
+    from embulk_output_bigquery_java_spark.streaming.ledger import read_ledger
+
+    n = 800
+    changes = gen_changes(spark, n, n_repos=10, paths_per_repo=5)
+    ledger = str(tmp_path / "ledger.jsonl")
+    cfg = IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=4, merge_strategy="mor")
+    eng = CdcEngine(spark, cfg, tmp_table_root, ledger_path=ledger)
+    eng.ensure_table(REPOS_SCHEMA)
+    row = eng.apply_batch(changes, "b0", seq_range=(0, n))
+
+    assert row.bucket_lineage, "lineage missing"
+    buckets = {e["bucket"] for e in row.bucket_lineage}
+    assert all(b is not None for b in buckets)
+    assert sum(e["bytes"] for e in row.bucket_lineage) == row.bytes_written
+    assert sum(e["rows"] for e in row.bucket_lineage) == row.deduped_rows
+
+    led = read_ledger(spark, ledger).collect()
+    assert len(led) == 1
+    assert {e["bucket"] for e in led[0]["bucket_lineage"]} == buckets
