@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+The reference ships only example-based JUnit tests (SURVEY.md §5); the
+engine's LWW dedup and merge math warrant stronger guarantees: for ANY
+event multiset, every strategy returns exactly the per-key maximum by the
+order tuple, and merge-apply semantics equal the one-shot oracle.
+"""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+
+KEYS = ["k1", "k2"]
+ORDER = ["o1", "o2"]
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 5),      # k1
+        st.integers(0, 3),      # k2
+        st.integers(-10, 10),   # o1
+        st.integers(0, 10),     # o2
+        st.integers(0, 1000),   # payload
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def pandas_lww(rows):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "o1", "o2", "v"])
+    # drop exact duplicate (key, order) tuples: the winner row is then unique
+    df = df.drop_duplicates(["k1", "k2", "o1", "o2"], keep="last")
+    idx = (
+        df.sort_values(["o1", "o2"], kind="mergesort")
+        .groupby(["k1", "k2"], as_index=False)
+        .tail(1)
+    )
+    return idx.sort_values(["k1", "k2"]).reset_index(drop=True)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events)
+def test_lww_strategies_agree_with_pandas(spark, rows):
+    # dedupe (key, order) collisions so the winner is well-defined across
+    # engines (payload of a tied row is unspecified otherwise)
+    pdf = pd.DataFrame(
+        rows, columns=["k1", "k2", "o1", "o2", "v"]
+    ).drop_duplicates(["k1", "k2", "o1", "o2"], keep="last")
+    df = spark.createDataFrame(pdf)
+    exp = pandas_lww(rows)[["k1", "k2", "o1", "o2", "v"]]
+    for strategy in ("window", "maxby", "semi"):
+        got = (
+            lww_dedup(df, KEYS, ORDER, strategy=strategy)
+            .toPandas()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)[["k1", "k2", "o1", "o2", "v"]]
+        )
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), exp.astype("int64"), check_dtype=False
+        ), strategy
+    # salted variant too
+    got = (
+        lww_dedup(df, KEYS, ORDER, strategy="maxby", salt_partitions=3)
+        .toPandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)[["k1", "k2", "o1", "o2", "v"]]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_dtype=False
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events, events)
+def test_merge_union_semantics(spark, target_rows, batch_rows):
+    """survivors ∪ upserts == oracle: target keys not in batch keep their
+    row; batch rows win on their keys; batch deletes (v<100) remove keys."""
+    cols = ["k1", "k2", "o1", "o2", "v"]
+    t = pandas_lww(target_rows)
+    b = pandas_lww(batch_rows)
+    b["op"] = b["v"].map(lambda v: "D" if v < 100 else "U")
+
+    tdf = spark.createDataFrame(t[cols])
+    bdf = spark.createDataFrame(b[cols + ["op"]])
+
+    from pyspark.sql import functions as F
+
+    survivors = tdf.join(
+        F.broadcast(bdf.select("k1", "k2")), on=["k1", "k2"], how="left_anti"
+    )
+    upserts = bdf.where(F.col("op") != "D").drop("op")
+    got = (
+        survivors.unionByName(upserts).toPandas()
+        .sort_values(["k1", "k2"]).reset_index(drop=True)[cols]
+    )
+
+    bk = set(zip(b["k1"], b["k2"]))
+    keep_t = t[~t.apply(lambda r: (r["k1"], r["k2"]) in bk, axis=1)]
+    keep_b = b[b["op"] != "D"][cols]
+    exp = (
+        pd.concat([keep_t[cols], keep_b], ignore_index=True)
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_dtype=False
+    )
