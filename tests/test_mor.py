@@ -201,3 +201,39 @@ def test_mor_with_schema_evolution(spark, tmp_table_root):
     assert "stars" in [f.name for f in t.schema().fields]
     rows = {r["path"]: (r["content"], r["stars"]) for r in t.read().collect()}
     assert rows == {"a": ("x", None), "b": ("y", 5)}
+
+
+def test_cow_after_mor_composes(spark, tmp_table_root):
+    """A cow merge over a table with delta history reads the reconciled
+    state and its bucket overwrite drops the folded deltas."""
+    n = 1200
+    changes = gen_changes(spark, n, n_repos=12, paths_per_repo=5)
+    eng_mor = CdcEngine(
+        spark,
+        IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                     num_buckets=4, merge_strategy="mor"),
+        tmp_table_root,
+    )
+    eng_mor.ensure_table(REPOS_SCHEMA)
+    eng_mor.apply_batch(changes.where(F.col("seq") < 600), "m0",
+                        seq_range=(0, 600))
+    eng_cow = CdcEngine(
+        spark,
+        IngestConfig(table="repos", mode="merge", merge_keys=["repo", "path"],
+                     num_buckets=4, merge_strategy="cow"),
+        tmp_table_root,
+    )
+    eng_cow.apply_batch(changes.where(F.col("seq") >= 600), "c1",
+                        seq_range=(600, n))
+
+    table = LakeTable(spark, tmp_table_root)
+    got = (
+        table.read().toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = replay_final_state(changes.toPandas(), None)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "content"]],
+        exp[["repo", "path", "commit", "content"]],
+    )
