@@ -87,6 +87,58 @@ def cmd_show(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verify(args: argparse.Namespace) -> int:
+    """Diff the table's state against the DuckDB oracle replay of a change
+    stream — the north_star correctness gate as an operational command.
+
+    Test-scale (driver-side oracle): bound --events accordingly.
+    """
+    from pyspark.sql import functions as F
+
+    from .oracle import replay_final_state
+
+    spark = get_spark("cdc-verify", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    if args.changes_path:
+        changes = spark.read.parquet(args.changes_path)
+    else:
+        changes = gen_changes(
+            spark, args.events,
+            n_repos=args.repos, paths_per_repo=args.paths_per_repo,
+        )
+    got = (
+        table.read()
+        .withColumn("content_sha", F.sha2("content", 256))
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = replay_final_state(
+        changes.where(F.col("seq") < args.events).toPandas(), None
+    )
+    cols = ["repo", "path", "commit", "content_sha"]
+    merged = exp[cols].merge(
+        got[cols], on=["repo", "path"], how="outer",
+        suffixes=("_exp", "_got"), indicator=True,
+    )
+    missing = int((merged["_merge"] == "left_only").sum())
+    extra = int((merged["_merge"] == "right_only").sum())
+    both = merged[merged["_merge"] == "both"]
+    sha_mismatch = int((both["content_sha_exp"] != both["content_sha_got"]).sum())
+    commit_mismatch = int((both["commit_exp"] != both["commit_got"]).sum())
+    ok = not (missing or extra or sha_mismatch or commit_mismatch)
+    print(json.dumps({
+        "match": ok,
+        "expected_rows": len(exp),
+        "table_rows": len(got),
+        "missing_keys": missing,
+        "extra_keys": extra,
+        "sha_mismatches": sha_mismatch,
+        "commit_mismatches": commit_mismatch,
+    }))
+    return 0 if ok else 1
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Rewrite current state into right-sized files (post-replay maintenance)."""
     spark = get_spark("cdc-compact", cores=args.cores)
@@ -143,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="print table snapshot summary")
     s.add_argument("--table-root", required=True)
     s.set_defaults(fn=cmd_show)
+
+    v = sub.add_parser(
+        "verify", help="diff table state vs DuckDB oracle replay (test-scale)"
+    )
+    v.add_argument("--table-root", required=True)
+    v.add_argument("--events", type=int, default=100_000)
+    v.add_argument("--changes-path", default=None)
+    v.add_argument("--repos", type=int, default=100)
+    v.add_argument("--paths-per-repo", type=int, default=50)
+    v.add_argument("--cores", type=int, default=None)
+    v.set_defaults(fn=cmd_verify)
 
     c = sub.add_parser("compact", help="rewrite current state into sized files")
     c.add_argument("--table-root", required=True)

@@ -1,55 +1,6 @@
-"""Single-threaded DuckDB reference replay — the correctness oracle.
+"""Test-side alias of the engine-packaged DuckDB oracle."""
 
-Independent of the engine: takes the raw change events + initial table as
-pandas, replays them with plain SQL (global last-writer-wins per key, which
-equals sequential batched LWW application because batches are seq-ordered),
-and returns the expected final table state with sha256(content).
-"""
-
-from __future__ import annotations
-
-import duckdb
-import pandas as pd
-
-FINAL_STATE_SQL = """
-WITH ranked AS (
-    SELECT *,
-           row_number() OVER (
-               PARTITION BY repo, path
-               ORDER BY commit_seq DESC, event_offset DESC
-           ) AS rn
-    FROM changes
-    WHERE seq >= $lo AND seq < $hi
-),
-last AS (SELECT * FROM ranked WHERE rn = 1)
-SELECT repo, path, "commit", lang, content
-FROM initial
-WHERE (repo, path) NOT IN (SELECT (repo, path) FROM last)
-UNION ALL
-SELECT repo, path, "commit", lang, content
-FROM last
-WHERE op <> 'D'
-"""
-
-
-def replay_final_state(
-    changes: pd.DataFrame,
-    initial: pd.DataFrame | None = None,
-    lo: int = 0,
-    hi: int | None = None,
-) -> pd.DataFrame:
-    con = duckdb.connect()
-    if initial is None:
-        initial = pd.DataFrame(
-            {c: pd.Series(dtype=object) for c in
-             ["repo", "path", "commit", "lang", "content"]}
-        )
-    con.register("changes", changes)
-    con.register("initial", initial)
-    if hi is None:
-        hi = int(changes["seq"].max()) + 1 if len(changes) else 0
-    body = FINAL_STATE_SQL.replace("$lo", str(int(lo))).replace("$hi", str(int(hi)))
-    out = con.execute(
-        f"SELECT *, sha256(content) AS content_sha FROM ({body})"
-    ).df()
-    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+from embulk_output_bigquery_java_spark.oracle import (  # noqa: F401
+    FINAL_STATE_SQL,
+    replay_final_state,
+)
