@@ -46,16 +46,24 @@ def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
         spark, cfg, root, checkpoint_path=os.path.join(workdir, "ck.json")
     )
     eng.ensure_table(REPOS_SCHEMA)
-    # Materialize the change stream as a parquet changelog first (untimed
-    # setup): a real CDC replay tails a persisted binlog, not a generator
-    # expression tree — and reading from parquet lets the dedup's narrow
-    # winner scan push column pruning down to the file scan.
-    log_dir = os.path.join(workdir, "changelog")
-    gen_changes(
+    # BENCH_SOURCE=changelog (default): materialize the stream as a parquet
+    # changelog first (untimed setup) — a real CDC replay tails a persisted
+    # binlog, and reading parquet lets the dedup's narrow winner scan push
+    # column pruning down to the file scan. BENCH_SOURCE=generator feeds
+    # the replay from the in-memory generator lineage instead (a Kafka-like
+    # in-memory source): same operators, no storage in the hot path — used
+    # by bench_scaling to measure the compute path's core-scaling without
+    # single-box storage-bandwidth artifacts.
+    gen = gen_changes(
         spark, n_events, n_repos=500, paths_per_repo=100,
         num_partitions=2 * spark.sparkContext.defaultParallelism,
-    ).write.parquet(log_dir)
-    changes = spark.read.parquet(log_dir)
+    )
+    if os.environ.get("BENCH_SOURCE", "changelog") == "generator":
+        changes = gen
+    else:
+        log_dir = os.path.join(workdir, "changelog")
+        gen.write.parquet(log_dir)
+        changes = spark.read.parquet(log_dir)
     stats = eng.replay(
         changes, n_events=n_events, batch_size=max(1, n_events // batches)
     )

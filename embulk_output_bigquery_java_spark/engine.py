@@ -238,6 +238,18 @@ class CdcEngine:
 
         cfg = self.cfg
         keys = cfg.merge_keys or table.merge_keys
+        # project away CDC metadata the merge never uses (before_content,
+        # ts, seq) BEFORE dedup: the semi-join's probe side materializes
+        # every projected column for every event (Catalyst does not pull
+        # projects above joins), so unused KB-scale columns cost a full
+        # compute/scan pass per event — dropping them here halves the
+        # per-event work and, with a parquet changelog source, prunes the
+        # columns out of the file scan entirely.
+        data_cols = [c for c in batch.columns if c not in CDC_META_COLS]
+        keep = list(dict.fromkeys(
+            [*keys, *LWW_ORDER, "op", *data_cols]
+        ))
+        batch = batch.select(*[c for c in keep if c in batch.columns])
         obs = Observation()
         observed = batch.observe(obs, F.count(F.lit(1)).alias("input_rows"))
         deduped = lww_dedup(
