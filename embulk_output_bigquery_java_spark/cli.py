@@ -64,7 +64,9 @@ def cmd_replay(args: argparse.Namespace) -> int:
         "elapsed_s": round(stats.elapsed_s, 3),
         "events_per_s": round(stats.events_per_s, 1),
         "table_version": table.version,
-        "table_rows": table.total_rows(),
+        # exact live rows — under mor, total_rows() is the gross manifest
+        # sum (shadowed + delete-marker delta rows included)
+        "table_rows": table.count_exact(),
     }))
     return 0
 
@@ -73,17 +75,23 @@ def cmd_show(args: argparse.Namespace) -> int:
     spark = get_spark("cdc-show", cores=2)
     table = LakeTable(spark, args.table_root)
     snap = table.snapshot()
-    print(json.dumps({
+    has_delta = any(f.get("kind") == "delta" for f in snap["files"])
+    props = snap["properties"]
+    out = {
         "version": snap["version"],
         "operation": snap["operation"],
-        "total_rows": snap["summary"]["total_rows"],
+        "gross_manifest_rows": snap["summary"]["total_rows"],
         "total_bytes": snap["summary"]["total_bytes"],
         "files": len(snap["files"]),
         "schema": [f.simpleString() for f in table.schema().fields],
         "merge_keys": snap["merge_keys"],
         "partition": snap["partition"],
-        "applied_batches": len(snap["properties"].get("applied_batches", [])),
-    }, indent=2))
+        "applied_batches": len(props.get("applied_batches", [])),
+        "applied_ranges": props.get("applied_ranges", {}),
+    }
+    # live rows == gross sum unless delta files shadow/delete base rows
+    out["live_rows"] = table.count_exact() if has_delta else out["gross_manifest_rows"]
+    print(json.dumps(out, indent=2))
     return 0
 
 
@@ -140,11 +148,17 @@ def cmd_verify(args: argparse.Namespace) -> int:
 
 
 def cmd_compact(args: argparse.Namespace) -> int:
-    """Rewrite current state into right-sized files (post-replay maintenance)."""
+    """Rewrite current state into right-sized files (post-replay maintenance).
+
+    --min-delta-ratio selects only dirty buckets (incremental compaction).
+    """
     spark = get_spark("cdc-compact", cores=args.cores)
     table = LakeTable(spark, args.table_root)
     files_before = len(table.snapshot()["files"])
-    v = table.compact(target_file_rows=args.target_file_rows)
+    v = table.compact(
+        target_file_rows=args.target_file_rows,
+        min_delta_ratio=args.min_delta_ratio,
+    )
     print(json.dumps({
         "version": v,
         "files_before": files_before,
@@ -210,6 +224,9 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="rewrite current state into sized files")
     c.add_argument("--table-root", required=True)
     c.add_argument("--target-file-rows", type=int, default=1_000_000)
+    c.add_argument("--min-delta-ratio", type=float, default=None,
+                   help="incremental: rewrite only buckets whose delta:base "
+                        "row ratio >= this (omit = full rewrite)")
     c.add_argument("--cores", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
 

@@ -119,6 +119,11 @@ class IngestConfig:
     #: fold MOR deltas into base files every N committed batches (0 = only
     #: explicit compact); keeps read-side reconciliation bounded.
     compact_every_batches: int = 0
+    #: incremental-compaction selectivity: only buckets whose delta:base row
+    #: ratio is >= this are rewritten (0.0 = every bucket holding deltas).
+    #: Untouched buckets carry over by reference — compaction cost tracks
+    #: churn, not table size.
+    compact_min_delta_ratio: float = 0.0
     #: replay-loop maintenance cadence: expire old snapshots (keeping
     #: keep_snapshots) every N committed batches; 0 disables. A 10^10-event
     #: replay is ~10^4 batches — unbounded metadata/orphan files otherwise.

@@ -244,10 +244,19 @@ class CdcEngine:
         # projects above joins), so unused KB-scale columns cost a full
         # compute/scan pass per event — dropping them here halves the
         # per-event work and, with a parquet changelog source, prunes the
-        # columns out of the file scan entirely.
+        # columns out of the file scan entirely. Meta columns a merge_rule
+        # fragment references (rules are SQL over T.* and S.*) must survive
+        # the projection, or the rule fails at analysis.
+        import re as _re
+
+        rule_refs: set[str] = set()
+        for frag in (cfg.merge_rule or {}).values():
+            rule_refs.update(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", frag))
         data_cols = [c for c in batch.columns if c not in CDC_META_COLS]
         keep = list(dict.fromkeys(
-            [*keys, *LWW_ORDER, "op", *data_cols]
+            [*keys, *LWW_ORDER, "op",
+             *(c for c in sorted(CDC_META_COLS) if c in rule_refs),
+             *data_cols]
         ))
         batch = batch.select(*[c for c in keep if c in batch.columns])
         obs = Observation()
@@ -386,8 +395,11 @@ class CdcEngine:
                     and batches % self.cfg.compact_every_batches == 0
                 ):
                     # fold MOR deltas into base files so read-side
-                    # reconciliation stays bounded
-                    LakeTable(self.spark, self.table_root).compact()
+                    # reconciliation stays bounded — incremental: only
+                    # buckets holding deltas over the ratio get rewritten
+                    LakeTable(self.spark, self.table_root).compact(
+                        min_delta_ratio=self.cfg.compact_min_delta_ratio
+                    )
                 if (
                     self.cfg.expire_every_batches
                     and batches % self.cfg.expire_every_batches == 0

@@ -45,6 +45,19 @@ from pyspark.sql import types as T
 _BUCKET_COL = "_bucket"
 _OP_COL = "op"
 _V_RE = re.compile(r"v(\d+)\.json$")
+#: engine batch ids are ``<table>:<lo>:<hi>`` offset ranges — compressible
+_BATCH_RE = re.compile(r"^(.+):(\d+):(\d+)$")
+
+
+def _merge_intervals(ivs: list[list[int]]) -> list[list[int]]:
+    """Merge [lo, hi) intervals that overlap or touch."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ivs):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
 
 
 class CommitConflict(RuntimeError):
@@ -160,8 +173,25 @@ class LakeTable:
         return self.snapshot(version)["summary"]["total_rows"]
 
     def has_batch(self, batch_id: str) -> bool:
-        """Exactly-once check: was this batch already committed?"""
-        return batch_id in self.properties.get("applied_batches", [])
+        """Exactly-once check: was this batch already committed?
+
+        Offset-range ids (``table:lo:hi``) are answered from the compressed
+        ``applied_ranges`` intervals (a batch is applied iff its [lo, hi)
+        is contained in a committed interval — in-order replay keeps this a
+        single interval regardless of batch count); opaque ids fall back to
+        the explicit list.
+        """
+        props = self.properties
+        if batch_id in props.get("applied_batches", []):
+            return True
+        m = _BATCH_RE.match(batch_id)
+        if not m:
+            return False
+        lo, hi = int(m.group(2)), int(m.group(3))
+        return any(
+            ilo <= lo and hi <= ihi
+            for ilo, ihi in props.get("applied_ranges", {}).get(m.group(1), [])
+        )
 
     def mark_batch_applied(self, batch_id: str) -> int:
         """Metadata-only commit recording a batch id (empty-batch fast path)."""
@@ -266,7 +296,10 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------- writing
-    def _write_data(self, df: DataFrame, schema_id: int) -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, schema_id: int, *,
+        max_records_per_file: int = 5_000_000,
+    ) -> list[dict]:
         """Write df's rows as data files; returns snapshot file entries.
 
         Partitioned tables write through ``partitionBy(_bucket)`` so every
@@ -291,12 +324,14 @@ class LakeTable:
                 df.withColumn(_BUCKET_COL, bucket)
                 .hint("rebalance", _BUCKET_COL)
                 .write.partitionBy(_BUCKET_COL)
-                .option("maxRecordsPerFile", 5_000_000)
+                .option("maxRecordsPerFile", max_records_per_file)
                 .mode("error")
                 .parquet(abs_dir)
             )
         else:
-            df.write.option("maxRecordsPerFile", 5_000_000).mode("error").parquet(abs_dir)
+            df.write.option(
+                "maxRecordsPerFile", max_records_per_file
+            ).mode("error").parquet(abs_dir)
 
         entries = []
         for path in sorted(
@@ -335,18 +370,37 @@ class LakeTable:
                 f"expected v{expected}, found v{base['version']} at {self.root}"
             )
         new_v = expected + 1
+        parent_paths = {f["path"] for f in base["files"]}
         for f in files:
             # commit seq per file: MOR reconciliation ranks rows by the
-            # commit that wrote them; carried-over entries keep theirs
-            f.setdefault("seq", new_v)
+            # commit that wrote them; carried-over entries keep theirs.
+            # A carried-over file with no seq (written before seq existed)
+            # defaults to 0 — any delta must outrank it; only files new in
+            # THIS commit get stamped new_v (a carried-over base file must
+            # never tie with a delta added in the same commit).
+            f.setdefault("seq", 0 if f["path"] in parent_paths else new_v)
         props = dict(base["properties"])
         if properties_update:
             props.update(properties_update)
         if applied_batch is not None:
-            applied = list(props.get("applied_batches", []))
-            if applied_batch not in applied:
-                applied.append(applied_batch)
-            props["applied_batches"] = applied
+            m = _BATCH_RE.match(applied_batch)
+            if m:
+                # offset-range id -> merged-interval compression: the
+                # manifest stays O(#gaps), not O(#batches) — a 10^10-event
+                # in-order replay records ONE interval, not ~10^4 ids
+                ranges = {
+                    k: [list(iv) for iv in v]
+                    for k, v in props.get("applied_ranges", {}).items()
+                }
+                ivs = ranges.setdefault(m.group(1), [])
+                ivs.append([int(m.group(2)), int(m.group(3))])
+                ranges[m.group(1)] = _merge_intervals(ivs)
+                props["applied_ranges"] = ranges
+            else:
+                applied = list(props.get("applied_batches", []))
+                if applied_batch not in applied:
+                    applied.append(applied_batch)
+                props["applied_batches"] = applied
         snap = {
             "version": new_v,
             "parent": base["version"],
@@ -549,14 +603,64 @@ class LakeTable:
             os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
         return deleted
 
-    def compact(self, target_file_rows: int = 1_000_000) -> int:
-        """Rewrite the current state into freshly-sized files (small-file
-        compaction after many incremental merges). Returns new version."""
+    def dirty_buckets(self, min_delta_ratio: float = 0.2) -> list[int]:
+        """Buckets whose delta:base row ratio exceeds the threshold —
+        the incremental-compaction candidates. Pure manifest arithmetic,
+        no Spark job."""
+        delta_rows: dict[int, int] = {}
+        base_rows: dict[int, int] = {}
+        for f in self.snapshot()["files"]:
+            acc = delta_rows if f.get("kind") == "delta" else base_rows
+            b = f.get("bucket")
+            acc[b] = acc.get(b, 0) + f["rows"]
+        return sorted(
+            b
+            for b, dr in delta_rows.items()
+            if dr >= min_delta_ratio * max(base_rows.get(b, 0), 1)
+        )
+
+    def compact(
+        self,
+        target_file_rows: int = 1_000_000,
+        *,
+        buckets: list[int] | None = None,
+        min_delta_ratio: float | None = None,
+    ) -> int:
+        """Fold MOR deltas into base files / re-size small files.
+
+        Default rewrites the whole table (small-table maintenance). The
+        100-TB path is **incremental**: pass ``buckets`` explicitly or
+        ``min_delta_ratio`` to rewrite only buckets whose delta:base row
+        ratio exceeds the threshold — every other bucket's files carry over
+        to the new snapshot by reference, so compaction cost tracks the
+        churned fraction of the table, not its size. Keys hash to exactly
+        one bucket, so per-bucket MOR reconciliation is self-contained.
+        """
         base = self.snapshot()
-        df = self.read()
-        files = self._write_data(df, base["current_schema_id"])
+        if buckets is None and min_delta_ratio is not None:
+            buckets = self.dirty_buckets(min_delta_ratio)
+            if not buckets:
+                return base["version"]
+        if buckets is None or self.partition is None:
+            df = self.read()
+            files = self._write_data(
+                df, base["current_schema_id"],
+                max_records_per_file=target_file_rows,
+            )
+            return self._commit(
+                operation="compact", files=files, expected_version=base["version"]
+            )
+        bset = set(buckets)
+        new_files = self._write_data(
+            self.read(buckets=buckets),
+            base["current_schema_id"],
+            max_records_per_file=target_file_rows,
+        )
+        kept = [f for f in base["files"] if f["bucket"] not in bset]
         return self._commit(
-            operation="compact", files=files, expected_version=base["version"]
+            operation="compact",
+            files=kept + new_files,
+            expected_version=base["version"],
         )
 
     def tag(self, name: str, version: int | None = None) -> int:

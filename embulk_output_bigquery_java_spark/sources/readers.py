@@ -134,24 +134,48 @@ def read_csv(
     through the plugin with typed columns (TestBigqueryJavaOutputPlugin
     .java:110-113).
     """
-    raw = spark.read.text(path).select(F.col("value").alias("raw"))
-    if header:
-        first = raw.limit(1)
-        raw = raw.exceptAll(first)
-    parsed = raw.select(
-        "raw",
-        F.from_csv(
-            F.col("raw"),
-            ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in _with_corrupt(schema).fields
-            ),
-            {
-                "mode": "PERMISSIVE",
-                "columnNameOfCorruptRecord": _CORRUPT,
-                "delimiter": delimiter,
-            },
-        ).alias("r"),
+    parsed = (
+        spark.read.schema(_with_corrupt(schema))
+        .options(
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=_CORRUPT,
+            # native positional header skip: the scan drops the first
+            # physical line of EVERY file (multi-file globs included) —
+            # never by value, so a data row identical to the header
+            # survives. This is what limit(1)+exceptAll could not guarantee.
+            header=header,
+            delimiter=delimiter,
+        )
+        .csv(path)
     )
-    good, quarantine = _split(parsed, schema, "malformed_or_type_mismatch")
+    good = parsed.where(F.col(_CORRUPT).isNull()).select(
+        *[F.col(f.name) for f in schema.fields]
+    )
+    # The quarantine reason names the fields that failed to parse. Besides
+    # being useful, referencing the data columns — in the FILTER, so column
+    # pruning can never drop them (e.g. under quarantine.count()) — keeps
+    # the scan legal: Spark disallows queries whose only referenced column
+    # is the internal corrupt-record column (UNSUPPORTED_FEATURE.QUERY_
+    # ONLY_CORRUPT_RECORD_COLUMN). length(...) >= 0 is always true but not
+    # constant-foldable, so the reference survives optimization.
+    failed = F.array_join(
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.col(f.name).isNull(), F.lit(f.name))
+                    for f in schema.fields
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    quarantine = parsed.where(
+        F.col(_CORRUPT).isNotNull() & (F.length(failed) >= 0)
+    ).select(
+        F.col(_CORRUPT).alias("raw"),
+        F.concat_ws(":", F.lit("malformed_or_type_mismatch"), failed).alias(
+            "reason"
+        ),
+    )
     return LoadResult(good=good, quarantine=quarantine)

@@ -180,3 +180,31 @@ def test_expire_snapshots_and_compact(spark, tmp_table_root):
     t.compact()
     assert t.read().count() == rows_before
     assert len(t.snapshot()["files"]) <= 4
+
+
+def test_applied_batch_ranges_compress(spark, tmp_table_root):
+    """Offset-range batch ids compress to merged intervals: snapshot
+    metadata stays O(#gaps) over a 10^4-batch replay, and has_batch answers
+    by containment."""
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA,
+        bucket_column="repo", num_buckets=4, merge_keys=["repo", "path"],
+    )
+    df = make_df(spark, ROWS)
+    t.append(df, batch_id="repos:0:100")
+    t.append(df, batch_id="repos:100:200")
+    t.append(df, batch_id="repos:300:400")  # out-of-order gap
+    props = t.properties
+    assert props["applied_ranges"]["repos"] == [[0, 200], [300, 400]]
+    assert props.get("applied_batches", []) == []
+    assert t.has_batch("repos:0:100")
+    assert t.has_batch("repos:50:150")  # containment, not exact id match
+    assert not t.has_batch("repos:200:300")
+    assert not t.has_batch("repos:150:350")  # spans the gap
+    # filling the gap merges everything into ONE interval
+    t.append(df, batch_id="repos:200:300")
+    assert t.properties["applied_ranges"]["repos"] == [[0, 400]]
+    # opaque (non-range) ids still work via the explicit list
+    t.append(df, batch_id="adhoc-load")
+    assert t.has_batch("adhoc-load")
+    assert not t.has_batch("other-load")

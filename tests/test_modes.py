@@ -183,3 +183,31 @@ def test_column_options_cast_in_engine(spark, tmp_table_root):
     t = LakeTable(spark, tmp_table_root)
     assert dict(t.read().dtypes)["when_str"] == "timestamp"
     assert str(t.read().collect()[0].when_str) == "2020-05-01 12:00:00"
+
+
+def test_merge_rule_may_reference_cdc_meta_columns(spark, tmp_table_root):
+    """A cow merge_rule fragment may reference CDC meta columns (S.ts
+    here): the engine's pre-dedup projection must keep any meta column a
+    rule mentions, even though it is not part of the table schema."""
+    eng = mk_engine(
+        spark, tmp_table_root, "merge",
+        merge_rule={"index": "T.index + S.ts"},
+    )
+    schema = T.StructType(SCHEMA.fields + [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("commit_seq", T.LongType(), False),
+        T.StructField("event_offset", T.LongType(), False),
+        T.StructField("ts", T.LongType(), True),
+    ])
+    eng.apply_batch(
+        spark.createDataFrame([("k1", True, 1.0, "I", 1, 0, 100)], schema), "b1"
+    )
+    eng.apply_batch(
+        spark.createDataFrame([("k1", False, 5.0, "U", 2, 0, 200)], schema), "b2"
+    )
+    got = state(spark, tmp_table_root)
+    # matched: index = T.index + S.ts = 1.0 + 200; other cols from S
+    assert got == [("k1", False, 201.0)]
+    # ts itself must NOT leak into the table schema
+    cols = [f.name for f in LakeTable(spark, tmp_table_root).schema().fields]
+    assert "ts" not in cols

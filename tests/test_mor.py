@@ -237,3 +237,65 @@ def test_cow_after_mor_composes(spark, tmp_table_root):
         got[["repo", "path", "commit", "content"]],
         exp[["repo", "path", "commit", "content"]],
     )
+
+
+def test_pre_seq_base_files_lose_to_deltas(spark, kv_table):
+    """Migration: a snapshot written before per-file commit seqs existed has
+    seq-less file entries. A later commit must NOT stamp those carried-over
+    base files with its own seq (they would tie with that commit's delta
+    files and win/lose nondeterministically); they default to 0 so any
+    delta outranks them."""
+    import json
+    import os
+
+    snap_path = os.path.join(kv_table.meta_dir, f"v{kv_table.version}.json")
+    with open(snap_path) as f:
+        snap = json.load(f)
+    for fe in snap["files"]:
+        fe.pop("seq", None)
+    with open(snap_path, "w") as f:
+        json.dump(snap, f)
+
+    kv_table.append_deltas(_delta(spark, [("a", None, "D"), ("b", 99, "U")]))
+    got = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    assert got == {"b": 99, "c": 3}
+    # the carried-over base entries were backfilled with seq=0
+    base_seqs = {f["seq"] for f in kv_table.snapshot()["files"]
+                 if f.get("kind") != "delta"}
+    assert base_seqs == {0}
+
+
+def test_incremental_compact_touches_only_dirty_buckets(spark, kv_table):
+    kv_table.append_deltas(_delta(spark, [("a", 10, "U")]))
+    before = {f["path"] for f in kv_table.snapshot()["files"]}
+    (row,) = spark.range(1).select(
+        kv_table.bucket_of(F.lit("a")).alias("b")
+    ).collect()
+    ba = row["b"]
+    assert kv_table.dirty_buckets(0.0) == [ba]
+
+    kv_table.compact(min_delta_ratio=0.0)
+    snap = kv_table.snapshot()
+    assert not any(f.get("kind") == "delta" for f in snap["files"])
+    # untouched buckets carry over by reference; the dirty bucket's files
+    # are fresh
+    untouched = [f for f in snap["files"] if f["bucket"] != ba]
+    assert untouched and all(f["path"] in before for f in untouched)
+    dirty = [f for f in snap["files"] if f["bucket"] == ba]
+    assert dirty and all(f["path"] not in before for f in dirty)
+    got = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    assert got == {"a": 10, "b": 2, "c": 3}
+    # clean table: ratio-selected compact is a no-op commit-wise
+    v = kv_table.version
+    assert kv_table.compact(min_delta_ratio=0.0) == v
+
+
+def test_compact_target_file_rows_respected(spark, kv_table):
+    """The target_file_rows knob must reach the writer (maxRecordsPerFile)."""
+    kv_table.append_deltas(_delta(spark, [("a", 10, "U"), ("b", 20, "U"),
+                                          ("c", 30, "U"), ("d", 40, "I")]))
+    kv_table.compact(target_file_rows=1)
+    for f in kv_table.snapshot()["files"]:
+        assert f["rows"] <= 1
+    got = {r["k"]: r["v"] for r in kv_table.read().collect()}
+    assert got == {"a": 10, "b": 20, "c": 30, "d": 40}

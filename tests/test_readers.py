@@ -79,3 +79,19 @@ def test_csv_quarantine(spark, tmp_path):
     assert res.quarantine.count() == 1
     good, n_bad = res.enforce_budget(max_bad_records=1)
     assert n_bad == 1
+
+
+def test_csv_multifile_header_positional(spark, tmp_path):
+    """header=True must drop exactly the first PHYSICAL line of every file
+    — never by value. A data row whose text equals the header survives to
+    parsing (and quarantines on type mismatch here, since 'id' is not a
+    long), and multi-file globs lose one header per file."""
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "f1.csv").write_text("id,name,score\n1,a,1.5\n2,b,2.5\n")
+    (d / "f2.csv").write_text("id,name,score\nid,name,score\n3,c,3.5\n")
+    res = read_csv(spark, str(d), SCHEMA, header=True)
+    assert sorted(r["id"] for r in res.good.collect()) == [1, 2, 3]
+    (bad,) = res.quarantine.collect()
+    assert bad["raw"] == "id,name,score"
+    assert bad["reason"].startswith("malformed_or_type_mismatch")
