@@ -611,7 +611,8 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, q, k=5, planes=4, tables=8).select(
+    # dim passed explicitly: no driver-side first() during plan construction
+    return lsh_topk(e, q, k=5, dim=64, planes=4, tables=8).select(
         "query_id", "vec_id", "rank"
     )
 
@@ -626,8 +627,46 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1_000_000
     )
     return embedding_near_dup_pairs(
-        e.unionByName(dup), threshold=0.999
+        e.unionByName(dup), threshold=0.999, dim=64
     ).orderBy("id_a", "id_b")
+
+
+# media suite: gen_media derives kind/duration via modular arithmetic and
+# payload via seeded sha256 — all three queries are DuckDB-expressible, so
+# the media plumbing is value-checked, not just rows-only.
+_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT i AS media_id,
+         CASE CAST(i % 3 AS INTEGER)
+              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(sha256(CAST(i AS VARCHAR) || ':42')) AS payload_sha
+  FROM range(200) t(i)
+)
+SELECT media_id, kind, payload_sha FROM m
+"""
+
+_MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT i AS media_id, (i % 30 + 1) * 1000 AS duration_ms
+  FROM range(200) t(i) WHERE i % 3 = 2
+),
+f AS (
+  SELECT media_id, duration_ms,
+         unnest(range(0, greatest(CAST(duration_ms / 1000.0 * 2.0 AS BIGINT), 1)))
+             AS frame_idx
+  FROM m
+)
+SELECT media_id, frame_idx, duration_ms,
+       CAST(frame_idx * 500.0 AS BIGINT) AS frame_ts_ms
+FROM f
+"""
+
+_MEDIA_RESIZE_SQL = """
+SELECT i AS media_id,
+       CAST(640 AS INTEGER) AS width, CAST(480 AS INTEGER) AS height,
+       CAST(128 AS INTEGER) AS target_width, CAST(96 AS INTEGER) AS target_height
+FROM range(200) t(i) WHERE i % 3 = 0
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_keep": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "cosine_topk": _COSINE_SQL,
-        # minhash/simhash/LSH/media: hash-family values are engine-specific
+        "media_features": _MEDIA_FEATURES_SQL,
+        "media_frame_sample": _MEDIA_FRAMES_SQL,
+        "media_resize_plan": _MEDIA_RESIZE_SQL,
+        # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 vs duckdb hash); rows-only check by design.
     }

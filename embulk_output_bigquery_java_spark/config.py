@@ -18,6 +18,7 @@ Differences from the reference (documented, deliberate):
 
 from __future__ import annotations
 
+import re
 import uuid
 from dataclasses import dataclass, field
 from enum import Enum
@@ -56,6 +57,41 @@ class ColumnType(str, Enum):
 #: (PluginTask.java:78-80).
 DEFAULT_TIMESTAMP_FORMAT = "%Y-%m-%d %H:%M:%S.%6N %:z"
 DEFAULT_TIMEZONE = "UTC"
+
+
+#: Partition-decorator suffix — ``table$20160929`` targets one partition
+#: (BigqueryUtil.java:14, chomp at :71-73).
+DECORATOR_RE = re.compile(r"\$(.+)\Z")
+
+#: Time-partitioning granularities (config/BigqueryTimePartitioning.java:8-19,
+#: validated BigqueryConfigValidator.java:32-41) and their decorator/encoding
+#: digit counts (BigQuery decorator format: $YYYYMMDD for DAY etc.).
+TIME_PARTITION_TYPES = {"HOUR": 10, "DAY": 8, "MONTH": 6, "YEAR": 4}
+
+
+@dataclass
+class TimePartitioning:
+    """Time-partitioning spec — config/BigqueryTimePartitioning.java:8-19.
+
+    ``type`` is HOUR/DAY/MONTH/YEAR; ``field`` the timestamp column;
+    ``expiration_ms`` an optional partition TTL (BigqueryClient.java:289-317
+    applies all three when building the table).
+    """
+
+    type: str
+    field: str | None = None
+    expiration_ms: int | None = None
+
+    def __post_init__(self) -> None:
+        self.type = str(self.type).upper()
+        if self.type not in TIME_PARTITION_TYPES:
+            # BigqueryConfigValidator.java:32-41 raises on unknown type
+            raise ConfigError(
+                f"unknown time_partitioning type {self.type!r} "
+                f"(expected one of {sorted(TIME_PARTITION_TYPES)})"
+            )
+        if self.expiration_ms is not None and self.expiration_ms <= 0:
+            raise ConfigError("time_partitioning expiration_ms must be positive")
 
 
 @dataclass
@@ -103,6 +139,14 @@ class IngestConfig:
     default_timestamp_format: str = DEFAULT_TIMESTAMP_FORMAT
     default_timezone: str = DEFAULT_TIMEZONE
     num_buckets: int = 16  # bucket(N, repo) partition spec at test scale
+    #: HOUR/DAY/MONTH/YEAR field partitioning with optional TTL —
+    #: BigqueryClient.java:289-317; accepted as a TimePartitioning or a
+    #: plain dict {"type": ..., "field": ..., "expiration_ms": ...}.
+    time_partitioning: TimePartitioning | None = None
+    #: ordered clustering fields (BigqueryClient.java:209-212,
+    #: config/BigqueryClustering.java:9-13): rows are sorted by these within
+    #: every written file so parquet min/max stats support data skipping.
+    clustering: list[str] = field(default_factory=list)
     template_table: str | None = None  # PluginTask.java:115-117
     run_id: str = ""  # staging/temp naming seed — BigqueryTaskBuilder.java:46-54
     # dedup strategy: 'semi' (winners + semi-join — wide-row scale path),
@@ -142,6 +186,8 @@ class IngestConfig:
             self.abort_on_error = self.max_bad_records == 0
         if not self.run_id:
             self.run_id = uuid.uuid4().hex[:12]
+        if isinstance(self.time_partitioning, dict):
+            self.time_partitioning = TimePartitioning(**self.time_partitioning)
         self.validate()
 
     # -- validation (BigqueryConfigValidator.java:13-49) ---------------------
@@ -168,8 +214,43 @@ class IngestConfig:
             raise ConfigError("merge_rule requires merge_strategy='cow'")
         if self.num_buckets <= 0:
             raise ConfigError("num_buckets must be positive")
+        if self.time_partitioning is not None and not self.time_partitioning.field:
+            # divergence from the reference (which allows a null field =
+            # ingestion-time partitioning): a replay engine has no ingestion
+            # time, so the partition field is mandatory here.
+            raise ConfigError("time_partitioning requires a field column")
+        if self.clustering and not all(
+            isinstance(c, str) and c for c in self.clustering
+        ):
+            # validateClustering: clustering requires fields
+            # (BigqueryConfigValidator.java:43-49)
+            raise ConfigError("clustering requires non-empty field names")
+        deco = self.partition_decorator
+        if deco is not None:
+            if self.time_partitioning is None:
+                raise ConfigError(
+                    f"table {self.table!r} has a partition decorator but no "
+                    "time_partitioning is configured"
+                )
+            want = TIME_PARTITION_TYPES[self.time_partitioning.type]
+            if not (deco.isdigit() and len(deco) == want):
+                raise ConfigError(
+                    f"partition decorator {deco!r} does not match "
+                    f"{self.time_partitioning.type} format ({want} digits)"
+                )
+
+    # -- partition decorator (BigqueryUtil.java:14, 71-73) -------------------
+    @property
+    def table_base_name(self) -> str:
+        """Table name with any ``$decorator`` suffix chomped."""
+        return DECORATOR_RE.sub("", self.table)
+
+    @property
+    def partition_decorator(self) -> str | None:
+        m = DECORATOR_RE.search(self.table)
+        return m.group(1) if m else None
 
     @property
     def staging_table(self) -> str:
         """LOAD_TEMP_<uuid>_<table> analog — BigqueryTaskBuilder.java:46-54."""
-        return f"LOAD_TEMP_{self.run_id}_{self.table}"
+        return f"LOAD_TEMP_{self.run_id}_{self.table_base_name}"

@@ -100,6 +100,23 @@ class CdcEngine:
                 raise FileNotFoundError(
                     f"table {self.table_root} missing and auto_create_table=false"
                 )
+            # D6 template table: an existing table's schema wins over the
+            # batch-built one (BigqueryClient.java:810-813; silently falls
+            # back when the template does not exist, as the reference does)
+            if self.cfg.template_table:
+                if LakeTable.exists(self.cfg.template_table):
+                    schema = LakeTable(
+                        self.spark, self.cfg.template_table
+                    ).schema()
+                    log.info(
+                        "schema taken from template_table %s",
+                        self.cfg.template_table,
+                    )
+                else:
+                    log.warning(
+                        "template_table %s not found — building schema "
+                        "from the batch", self.cfg.template_table,
+                    )
             names = {f.name for f in schema.fields}
             if self.cfg.merge_keys:
                 keys = self.cfg.merge_keys
@@ -113,6 +130,14 @@ class CdcEngine:
                 raise ValueError(
                     f"merge keys {missing} not in batch schema {sorted(names)}"
                 )
+            tp_spec = None
+            if self.cfg.time_partitioning:
+                tpc = self.cfg.time_partitioning
+                tp_spec = {
+                    "column": tpc.field,
+                    "granularity": tpc.type.lower(),
+                    "expiration_ms": tpc.expiration_ms,
+                }
             return LakeTable.create(
                 self.spark,
                 self.table_root,
@@ -120,6 +145,8 @@ class CdcEngine:
                 bucket_column=keys[0],
                 num_buckets=self.cfg.num_buckets,
                 merge_keys=keys,
+                time_partition=tp_spec,
+                clustering=self.cfg.clustering or None,
                 if_not_exists=True,
             )
         return LakeTable(self.spark, self.table_root)
@@ -357,7 +384,15 @@ class CdcEngine:
             do(lambda: table.tag(f"backup-{batch_id}"))
             v = do(lambda: table.replace(projected, batch_id=batch_id))
         elif cfg.mode is Mode.DELETE_IN_ADVANCE:
-            do(lambda: table.delete_all())
+            # W9: a partition decorator on the table name (`repos$20160929`)
+            # scopes the pre-delete to that time partition
+            # (BigqueryClient.java:779-792, BigqueryUtil.java:71-73);
+            # without one the whole table is truncated.
+            deco = cfg.partition_decorator
+            if deco is not None:
+                do(lambda: table.delete_time_partitions([int(deco)]))
+            else:
+                do(lambda: table.delete_all())
             v = do(lambda: table.append(projected, batch_id=batch_id))
         else:  # pragma: no cover
             raise ValueError(f"unhandled mode {cfg.mode}")
@@ -405,10 +440,12 @@ class CdcEngine:
                     and batches % self.cfg.expire_every_batches == 0
                 ):
                     # bound snapshot metadata + orphaned files over long
-                    # replays (temp-table GC analog, W10)
-                    LakeTable(self.spark, self.table_root).expire_snapshots(
-                        keep_last=self.cfg.keep_snapshots
-                    )
+                    # replays (temp-table GC analog, W10). Partition TTL
+                    # (D3 expiration_ms) runs first so the expired files
+                    # become unreferenced and the snapshot GC reclaims them.
+                    t = LakeTable(self.spark, self.table_root)
+                    t.expire_time_partitions()
+                    t.expire_snapshots(keep_last=self.cfg.keep_snapshots)
             if self.checkpoint_path:
                 ckpt.store(
                     self.checkpoint_path,

@@ -145,9 +145,45 @@ def cast_expr(
     tz = opt.timezone if opt else "UTC"
     ts_fmt = opt.timestamp_format if opt else None
     scale = opt.scale if opt else 9
+    mode = opt.mode if opt else "NULLABLE"
 
-    out = _edge(col, kind, target, name, tz, ts_fmt, scale,
-                default_timestamp_format, as_string)
+    if mode == "REPEATED":
+        # BigQuery REPEATED = array column (BigqueryColumnOption.java:31-33;
+        # the reference only declares the mode on the Field and lets
+        # BigQuery enforce it — BigqueryClient.java:823-828). Engine-side:
+        # the source must already be an array; the option `type` describes
+        # the ELEMENT type. Anything else is a plan-time C27 error.
+        if not isinstance(src_type, T.ArrayType):
+            raise NotSupportedTypeError(
+                f"column {name!r}: REPEATED mode requires an array source, "
+                f"got {src_type.simpleString()}"
+            )
+        elem_type = {
+            ColumnType.BOOLEAN: "boolean",
+            ColumnType.INTEGER: "long",
+            ColumnType.FLOAT: "double",
+            ColumnType.STRING: "string",
+        }.get(target)
+        if elem_type is None:
+            raise NotSupportedTypeError(
+                f"column {name!r}: REPEATED with element type "
+                f"{target.value} is not supported"
+            )
+        out = F.transform(col, lambda x: x.cast(elem_type))
+        if as_string:
+            out = F.to_json(out)
+    else:
+        out = _edge(col, kind, target, name, tz, ts_fmt, scale,
+                    default_timestamp_format, as_string)
+    if mode == "REQUIRED":
+        # REQUIRED null -> error. BigQuery rejects the row at load; the
+        # engine fails fast like every other conversion error (we do not
+        # copy the reference's silent row drop — SURVEY.md quirks ledger).
+        out = F.when(out.isNotNull(), out).otherwise(
+            F.raise_error(
+                F.lit(f"column {name!r} is REQUIRED but the value is NULL")
+            )
+        )
     return out.alias(name)
 
 

@@ -34,7 +34,7 @@ import json
 import os
 import re
 import uuid
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -43,7 +43,57 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET_COL = "_bucket"
+_TP_COL = "_tp"
 _OP_COL = "op"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: time-partition transforms (D3 — BigqueryClient.java:289-317): partition
+#: value = the timestamp formatted at the granularity, as an integer. The
+#: encoding is the BigQuery partition-decorator format ($YYYYMMDD etc.,
+#: BigqueryUtil.java:14), order-preserving within a granularity.
+_TP_PATTERNS = {
+    "hour": "yyyyMMddHH",
+    "day": "yyyyMMdd",
+    "month": "yyyyMM",
+    "year": "yyyy",
+}
+
+
+def tp_start(value: int, granularity: str) -> datetime:
+    """UTC start instant of an encoded time partition."""
+    s = str(value)
+    if granularity == "year":
+        return datetime(int(s), 1, 1, tzinfo=timezone.utc)
+    if granularity == "month":
+        return datetime(int(s[:4]), int(s[4:6]), 1, tzinfo=timezone.utc)
+    if granularity == "day":
+        return datetime(int(s[:4]), int(s[4:6]), int(s[6:8]), tzinfo=timezone.utc)
+    if granularity == "hour":
+        return datetime(
+            int(s[:4]), int(s[4:6]), int(s[6:8]), int(s[8:10]),
+            tzinfo=timezone.utc,
+        )
+    raise ValueError(f"unknown time-partition granularity {granularity!r}")
+
+
+def tp_end(value: int, granularity: str) -> datetime:
+    """UTC end instant (exclusive) of an encoded time partition."""
+    st = tp_start(value, granularity)
+    if granularity == "hour":
+        return st + timedelta(hours=1)
+    if granularity == "day":
+        return st + timedelta(days=1)
+    if granularity == "month":
+        if st.month == 12:
+            return st.replace(year=st.year + 1, month=1)
+        return st.replace(month=st.month + 1)
+    return st.replace(year=st.year + 1)
+
+
+def tp_encode(ts: datetime, granularity: str) -> int:
+    """Encode a datetime (assumed UTC) into its partition value."""
+    fmt = {"hour": "%Y%m%d%H", "day": "%Y%m%d", "month": "%Y%m", "year": "%Y"}
+    return int(ts.strftime(fmt[granularity]))
 _V_RE = re.compile(r"v(\d+)\.json$")
 #: engine batch ids are ``<table>:<lo>:<hi>`` offset ranges — compressible
 _BATCH_RE = re.compile(r"^(.+):(\d+):(\d+)$")
@@ -95,16 +145,33 @@ class LakeTable:
         bucket_column: str | None = None,
         num_buckets: int = 16,
         merge_keys: list[str] | None = None,
+        time_partition: dict[str, Any] | None = None,
+        clustering: list[str] | None = None,
         properties: dict[str, Any] | None = None,
         if_not_exists: bool = False,
     ) -> "LakeTable":
         """CREATE TABLE [IF NOT EXISTS] — idempotent like the reference's
-        auto-create, which swallows 409 Already Exists (BigqueryClient.java:194-228)."""
+        auto-create, which swallows 409 Already Exists (BigqueryClient.java:194-228).
+
+        ``time_partition`` = ``{"column", "granularity", "expiration_ms"}``
+        (granularity hour/day/month/year — the D3 analog of
+        BigqueryClient.java:289-317); ``clustering`` = ordered sort fields
+        within every written file (D4, BigqueryClient.java:209-212).
+        """
         root = os.path.abspath(root)
         if cls.exists(root):
             if if_not_exists:
                 return cls(spark, root)
             raise FileExistsError(f"lake table already exists at {root}")
+        if time_partition:
+            gran = time_partition.get("granularity")
+            if gran not in _TP_PATTERNS:
+                raise ValueError(f"unknown time-partition granularity {gran!r}")
+            if time_partition.get("column") not in {f.name for f in schema.fields}:
+                raise ValueError(
+                    f"time-partition column {time_partition.get('column')!r} "
+                    "not in schema"
+                )
         os.makedirs(os.path.join(root, "meta"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         snap = {
@@ -118,6 +185,8 @@ class LakeTable:
                 if bucket_column
                 else None
             ),
+            "time_partition": dict(time_partition) if time_partition else None,
+            "clustering": list(clustering or []),
             "merge_keys": merge_keys or [],
             "files": [],
             "properties": dict(properties or {}),
@@ -169,6 +238,14 @@ class LakeTable:
     def partition(self) -> dict | None:
         return self.snapshot()["partition"]
 
+    @property
+    def time_partition(self) -> dict | None:
+        return self.snapshot().get("time_partition")
+
+    @property
+    def clustering(self) -> list[str]:
+        return self.snapshot().get("clustering", [])
+
     def total_rows(self, version: int | None = None) -> int:
         return self.snapshot(version)["summary"]["total_rows"]
 
@@ -210,8 +287,19 @@ class LakeTable:
         assert part, "table is unpartitioned"
         return F.pmod(F.xxhash64(col), F.lit(part["num_buckets"])).cast("int")
 
+    def tp_of(self, col) -> F.Column:
+        """Time-partition transform: encoded partition value of a timestamp
+        (session timezone is pinned UTC in session.py, so the encoding is
+        stable across engines/runs)."""
+        tp = self.time_partition
+        assert tp, "table has no time partitioning"
+        return F.date_format(col, _TP_PATTERNS[tp["granularity"]]).cast("long")
+
     def read(
-        self, version: int | None = None, buckets: list[int] | None = None
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        tp_range: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Scan, optionally pruned to a set of buckets (file-level pruning).
 
@@ -233,6 +321,18 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if tp_range is not None:
+            if not snap.get("time_partition"):
+                raise ValueError("tp_range requires a time-partitioned table")
+            # time-range file pruning (D3): only files whose encoded time
+            # partition falls in [lo, hi] are scanned. tp=None files hold
+            # only null-timestamp rows, which never match a time predicate,
+            # so they prune away too.
+            lo, hi = tp_range
+            files = [
+                f for f in files
+                if f.get("tp") is not None and lo <= f["tp"] <= hi
+            ]
         if not files:
             return self.spark.createDataFrame([], cur_schema)
 
@@ -310,28 +410,39 @@ class LakeTable:
         write_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
         abs_dir = os.path.join(self.root, write_dir)
         part = self.partition
+        tp = self.time_partition
+        cluster = [c for c in self.clustering if c in df.columns]
+        part_cols: list[str] = []
         if part:
             bucket = F.pmod(
                 F.xxhash64(F.col(part["column"])), F.lit(part["num_buckets"])
             ).cast("int")
-            (
-                # cluster rows by bucket before the partitioned write so a
-                # task writes whole buckets (~1 file per bucket per commit,
-                # not #input-partitions x #buckets small files). REBALANCE
-                # (AQE) instead of repartition(N, bucket): a hot-key bucket
-                # (skewed repo) is split across multiple tasks by data size,
-                # so write parallelism follows bytes, not bucket count.
-                df.withColumn(_BUCKET_COL, bucket)
-                .hint("rebalance", _BUCKET_COL)
-                .write.partitionBy(_BUCKET_COL)
-                .option("maxRecordsPerFile", max_records_per_file)
-                .mode("error")
-                .parquet(abs_dir)
-            )
-        else:
-            df.write.option(
-                "maxRecordsPerFile", max_records_per_file
-            ).mode("error").parquet(abs_dir)
+            df = df.withColumn(_BUCKET_COL, bucket)
+            part_cols.append(_BUCKET_COL)
+        if tp:
+            df = df.withColumn(_TP_COL, self.tp_of(F.col(tp["column"])))
+            part_cols.append(_TP_COL)
+        if part_cols:
+            # cluster rows by partition value before the partitioned write so
+            # a task writes whole partitions (~1 file per partition per
+            # commit, not #input-partitions x #partitions small files).
+            # REBALANCE (AQE) instead of repartition(): a hot partition
+            # (skewed repo / hot day) is split across multiple tasks by data
+            # size, so write parallelism follows bytes, not partition count.
+            df = df.hint("rebalance", *part_cols)
+        if cluster:
+            # D4 clustering: order rows by the cluster fields inside each
+            # written file so parquet row-group min/max stats support data
+            # skipping on those columns (BigqueryClient.java:209-212 analog).
+            # Sorting by (partition cols, cluster cols) also satisfies the
+            # file writer's required ordering, so it does not re-sort.
+            df = df.sortWithinPartitions(*part_cols, *cluster)
+        writer = df.write
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.option("maxRecordsPerFile", max_records_per_file).mode(
+            "error"
+        ).parquet(abs_dir)
 
         entries = []
         for path in sorted(
@@ -339,15 +450,21 @@ class LakeTable:
         ):
             rel = os.path.relpath(path, self.root)
             m = re.search(rf"{_BUCKET_COL}=(\d+)", rel)
-            entries.append(
-                {
-                    "path": rel,
-                    "bucket": int(m.group(1)) if m else None,
-                    "rows": pq.ParquetFile(path).metadata.num_rows,
-                    "bytes": os.path.getsize(path),
-                    "schema_id": schema_id,
-                }
-            )
+            entry = {
+                "path": rel,
+                "bucket": int(m.group(1)) if m else None,
+                "rows": pq.ParquetFile(path).metadata.num_rows,
+                "bytes": os.path.getsize(path),
+                "schema_id": schema_id,
+            }
+            if tp:
+                mt = re.search(rf"{_TP_COL}=([^/]+)", rel)
+                entry["tp"] = (
+                    int(mt.group(1))
+                    if mt and mt.group(1) != _HIVE_NULL
+                    else None
+                )
+            entries.append(entry)
         return entries
 
     def _commit(
@@ -412,6 +529,8 @@ class LakeTable:
             ),
             "schemas": schemas if schemas is not None else base["schemas"],
             "partition": base["partition"],
+            "time_partition": base.get("time_partition"),
+            "clustering": base.get("clustering", []),
             "merge_keys": merge_keys if merge_keys is not None else base["merge_keys"],
             "files": files,
             "properties": props,
@@ -533,14 +652,58 @@ class LakeTable:
         )
 
     def delete_buckets(self, buckets: list[int]) -> int:
-        """Metadata-only partition delete (the `table$YYYYMMDD` decorator
-        analog, BigqueryUtil.java:71-73 — drop one partition, keep the rest)."""
+        """Metadata-only hash-partition delete (drop buckets, keep the rest)."""
         base = self.snapshot()
         bset = set(buckets)
         kept = [f for f in base["files"] if f["bucket"] not in bset]
         return self._commit(
             operation="delete", files=kept, expected_version=base["version"]
         )
+
+    def delete_time_partitions(self, values: list[int]) -> int:
+        """Metadata-only time-partition delete — the ``table$20160929``
+        decorator target (BigqueryUtil.java:71-73, BigqueryClient.java:779-792:
+        delete one partition, keep the rest). ``values`` are encoded
+        partition values at the table's granularity."""
+        if not self.time_partition:
+            raise ValueError("table has no time partitioning")
+        base = self.snapshot()
+        vset = set(values)
+        kept = [f for f in base["files"] if f.get("tp") not in vset]
+        return self._commit(
+            operation="delete-partition",
+            files=kept,
+            expected_version=base["version"],
+        )
+
+    def expire_time_partitions(self, *, now: datetime | None = None) -> list[int]:
+        """Retention (D3 ``expiration_ms``): drop every time partition whose
+        END instant is older than now - expiration_ms — the engine-side
+        analog of BigQuery's partition TTL. Metadata-only commit; the data
+        files are reclaimed by :meth:`expire_snapshots`. Returns the expired
+        partition values (empty = no commit was made)."""
+        tp = self.time_partition
+        if not tp or not tp.get("expiration_ms"):
+            return []
+        now = now if now is not None else datetime.now(timezone.utc)
+        cutoff = now - timedelta(milliseconds=tp["expiration_ms"])
+        base = self.snapshot()
+        expired: set[int] = set()
+        kept = []
+        for f in base["files"]:
+            v = f.get("tp")
+            if v is not None and tp_end(v, tp["granularity"]) <= cutoff:
+                expired.add(v)
+            else:
+                kept.append(f)
+        if not expired:
+            return []
+        self._commit(
+            operation="expire-partitions",
+            files=kept,
+            expected_version=base["version"],
+        )
+        return sorted(expired)
 
     def update_schema(
         self, new_schema: T.StructType, *, operation: str = "evolve-schema"

@@ -69,10 +69,16 @@ def _fake_features(payload: bytes) -> list[float]:
 
 
 def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded pseudo-bytes)."""
+    """Deterministic synthetic media table (payload = seeded pseudo-bytes).
+
+    kind and duration derive from plain modular arithmetic on media_id (NOT
+    a hash family) so every downstream media query is expressible as an
+    ANSI-SQL oracle; the payload stays a seeded sha256 — also mirrorable
+    (sha256 of the id:seed string, hex-encoded to bytes).
+    """
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     i = F.col("id")
-    kind = F.element_at(kinds, (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(3)) + 1).cast("int"))
+    kind = F.element_at(kinds, (i % 3 + 1).cast("int"))
     payload = F.sha2(F.concat(i.cast("string"), F.lit(f":{seed}")), 256).cast("binary")
     return spark.range(n).select(
         i.alias("media_id"),
@@ -83,7 +89,7 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             .otherwise("mp4").alias("format"),
             F.when(kind == "image", 640).cast("int").alias("width"),
             F.when(kind == "image", 480).cast("int").alias("height"),
-            F.when(kind != "image", (F.pmod(F.xxhash64(i), F.lit(30)) + 1) * 1000)
+            F.when(kind != "image", (i % 30 + 1) * 1000)
             .cast("long").alias("duration_ms"),
             F.when(kind == "audio", 16000).cast("int").alias("sample_rate"),
         ).alias("meta"),

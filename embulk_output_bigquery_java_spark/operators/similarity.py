@@ -127,7 +127,11 @@ def lsh_topk(
     tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to LSH bucket collisions
-    across `tables` independent hash tables (see lsh_buckets for tuning)."""
+    across `tables` independent hash tables (see lsh_buckets for tuning).
+
+    Pass ``dim`` explicitly: the fallback inference runs a Spark job
+    (`first()`) during plan construction — a driver roundtrip per call.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     buckets = lambda col: F.explode(
@@ -243,7 +247,8 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify.
 
     Long signatures (high planes) are right here: near-dups have cos ~1, so
-    per-plane collision odds are ~1 and candidates stay sparse."""
+    per-plane collision odds are ~1 and candidates stay sparse.
+    Pass ``dim`` explicitly (the fallback `first()` is a driver roundtrip)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sig = df.select(

@@ -77,12 +77,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_gram_df: int | None = 100_000,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold.
 
     Inverted-index plan: explode grams -> equi-join on gram (shuffle keyed by
     gram, AQE splits hot grams) -> count shared grams per pair -> Jaccard
     from |A|,|B|,|A∩B|. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    **Hot-gram cap (the 100-TB guard):** a gram shared by d documents emits
+    d·(d−1)/2 join rows — a natural-language stop-gram has d ≈ corpus size,
+    which AQE can spread but not shrink. Grams with document frequency >
+    ``max_gram_df`` are dropped from the inverted index before the
+    self-join (they carry ~no signal for NEAR-duplicate identification);
+    sizes |A|,|B| still count them, so the reported jaccard is a lower
+    bound for pairs whose overlap leaned on capped grams. Any cap >= the
+    true max DF leaves results bit-identical (threshold-invariance, test-
+    pinned). ``None`` disables.
     """
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -90,6 +101,15 @@ def ngram_jaccard_pairs(
     ).withColumn("n_grams", F.size("grams"))
     sizes = grams.select("id", "n_grams")
     inv = grams.select("id", F.explode("grams").alias("gram"), "n_grams")
+    if max_gram_df is not None:
+        hot = (
+            inv.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        # anti-join against the (tiny) hot-gram set; broadcast by AQE
+        inv = inv.join(F.broadcast(hot), on="gram", how="left_anti")
 
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
@@ -115,6 +135,29 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop every LSH band bucket holding more than max_bucket_size docs.
+
+    A degenerate bucket (e.g. all empty/boilerplate docs share one band
+    hash) would emit |bucket|² candidate rows; buckets that big carry no
+    near-dup signal anyway (the verify stage would reject almost all of
+    the pairs). Pairs whose ONLY collision was a capped bucket are lost —
+    a recall trade documented at the call sites. The over-cap bucket list
+    is tiny by construction, so it broadcasts.
+    """
+    if max_bucket_size is None:
+        return banded
+    big = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(big), on=keys, how="left_anti")
 
 
 # ----------------------------------------------------------------- minhash
@@ -193,12 +236,14 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact shingle Jaccard.
 
     rows per doc after banding = `bands` (not |shingles|); candidates are
     band-hash collisions only. The verify join recomputes true Jaccard on the
     candidate set — estimator error cannot produce false positives.
+    ``max_bucket_size`` bounds degenerate band buckets (see _cap_buckets).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -224,6 +269,7 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
 
     cand = (
         banded.alias("a")
@@ -251,11 +297,52 @@ def minhash_lsh_pairs(
 
 
 # ----------------------------------------------------------------- simhash
+def _sig_from_votes(votes: Column) -> Column:
+    """Fold a 64-counter vote array into the signed-long signature
+    (bit i set iff votes[i] > 0; bit 63 is the sign bit)."""
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out + F.when(
+            F.element_at(votes, i + 1) > 0,
+            F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63)),
+        ).otherwise(0)
+    return out
+
+
 def simhash64(col: Column) -> Column:
-    """64-bit SimHash: per-bit majority vote of token xxhash64 bits,
-    computed as 64 vectorized bit-sums inside one projection."""
+    """64-bit SimHash: per-bit majority vote of token xxhash64 bits.
+
+    Single-pass form: ONE ``F.aggregate`` over the token hashes whose
+    accumulator is a 64-counter array — each hash is expanded to its ±1 bit
+    votes and zip_with-added, so the token array is traversed once instead
+    of 64 times (the previous 64-aggregate form cost O(64·tokens) array
+    traversals; this is O(tokens) traversals with the same 64 ops/token).
+    Output is bit-identical to the spec form (pinned by test).
+    """
     toks = F.array_distinct(_tokens(col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bits(h: Column) -> Column:
+        return F.array(*[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1)
+            for i in range(64)
+        ])
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + b),
+    )
+    return _sig_from_votes(votes)
+
+
+def simhash64_spec(col: Column) -> Column:
+    """The 64-independent-aggregates specification form — kept as the
+    executable definition the single-pass plan must agree with (test-pinned,
+    not used in pipelines)."""
+    toks = F.array_distinct(_tokens(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
     def vote(i: int):
         # closure factory: F.aggregate inspects lambda arity, so the bit
         # index must be captured, not passed as a defaulted third arg
@@ -263,11 +350,8 @@ def simhash64(col: Column) -> Column:
             F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
         ).cast("int")
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)]
-    out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63))).otherwise(0)
-    return out
+    votes = F.array(*[F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)])
+    return _sig_from_votes(votes)
 
 
 def _hamming64(a: Column, b: Column) -> Column:
@@ -280,10 +364,12 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairs within Hamming distance d via 4-band blocking (pigeonhole:
     d<=3 => at least one identical 16-bit quarter). Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming). ``max_bucket_size`` bounds degenerate band
+    buckets (all-empty docs share sig 0 — see _cap_buckets)."""
     sigs = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
     )
@@ -304,6 +390,7 @@ def simhash_pairs(
             )
         ).alias("e"),
     ).select("id", "sig", "e.band", "e.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bh"])

@@ -220,3 +220,46 @@ def test_build_projection_whole_schema(spark):
     # plan is pure projection: no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- column mode
+def test_required_mode_null_raises(spark):
+    opt = ColumnOption("c", mode="REQUIRED")
+    # non-null passes through
+    v, _ = one(spark, "x", T.StringType(), opt)
+    assert v == "x"
+    with pytest.raises(Exception, match="REQUIRED"):
+        one(spark, None, T.StringType(), opt)
+
+
+def test_required_mode_applies_after_cast(spark):
+    # a REQUIRED timestamp built from a string: null INPUT fails, not just
+    # null output
+    opt = ColumnOption("c", type="INTEGER", mode="REQUIRED")
+    v, dt = one(spark, 7, T.LongType(), opt)
+    assert (v, dt.simpleString()) == (7, "bigint")
+    with pytest.raises(Exception, match="REQUIRED"):
+        one(spark, None, T.LongType(), opt)
+
+
+def test_repeated_mode_array_identity_and_element_cast(spark):
+    opt = ColumnOption("c", type="INTEGER", mode="REPEATED")
+    schema = T.StructType(
+        [T.StructField("c", T.ArrayType(T.IntegerType()), True)]
+    )
+    df = spark.createDataFrame([([1, 2, 3],)], schema)
+    out = df.select(cast_expr("c", schema["c"].dataType, opt))
+    assert out.collect()[0][0] == [1, 2, 3]
+    assert out.schema["c"].dataType.simpleString() == "array<bigint>"
+
+
+def test_repeated_mode_requires_array_source():
+    opt = ColumnOption("c", mode="REPEATED")
+    with pytest.raises(NotSupportedTypeError, match="REPEATED"):
+        cast_expr("c", T.StringType(), opt)
+
+
+def test_repeated_mode_unsupported_element_type():
+    opt = ColumnOption("c", type="NUMERIC", mode="REPEATED")
+    with pytest.raises(NotSupportedTypeError, match="element type"):
+        cast_expr("c", T.ArrayType(T.StringType()), opt)

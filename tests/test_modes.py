@@ -211,3 +211,36 @@ def test_merge_rule_may_reference_cdc_meta_columns(spark, tmp_table_root):
     # ts itself must NOT leak into the table schema
     cols = [f.name for f in LakeTable(spark, tmp_table_root).schema().fields]
     assert "ts" not in cols
+
+
+def test_template_table_schema_wins(spark, tmp_path):
+    """D6: when template_table points at an existing table, its schema wins
+    over the batch-built one (BigqueryClient.java:810-813); a missing
+    template silently falls back, as the reference does."""
+    tmpl_root = str(tmp_path / "tmpl")
+    tmpl_schema = T.StructType([
+        T.StructField("c0", T.StringType(), True),
+        T.StructField("c1", T.BooleanType(), True),
+        T.StructField("index", T.DoubleType(), True),
+        T.StructField("extra", T.LongType(), True),  # not in the batch
+    ])
+    LakeTable.create(spark, tmpl_root, tmpl_schema, bucket_column="c0",
+                     merge_keys=["c0"])
+
+    root = str(tmp_path / "dest")
+    eng = mk_engine(spark, root, "append", template_table=tmpl_root)
+    eng.apply_batch(df_of(spark, BATCH1), "b1")
+    cols = [f.name for f in LakeTable(spark, root).schema().fields]
+    assert cols == ["c0", "c1", "index", "extra"]
+    # batch rows land with NULL for the template-only column
+    assert LakeTable(spark, root).read().where(
+        F.col("extra").isNull()).count() == 2
+
+    # missing template -> fall back to batch schema
+    root2 = str(tmp_path / "dest2")
+    eng2 = mk_engine(spark, root2, "append",
+                     template_table=str(tmp_path / "nope"))
+    eng2.apply_batch(df_of(spark, BATCH1), "b1")
+    assert [f.name for f in LakeTable(spark, root2).schema().fields] == [
+        "c0", "c1", "index"
+    ]

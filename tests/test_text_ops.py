@@ -182,3 +182,86 @@ def test_sha256_pandas_udf_matches_jvm(spark, docs):
     assert out
     for r in out:
         assert r["jvm"] == r["py"]
+
+
+def test_simhash_single_pass_matches_spec(spark, docs):
+    """The single-aggregate simhash64 must be bit-identical to the
+    64-aggregate specification form."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        simhash64,
+        simhash64_spec,
+    )
+
+    sample = docs.limit(40).select(
+        "doc_id",
+        simhash64(F.col("text")).alias("fast"),
+        simhash64_spec(F.col("text")).alias("spec"),
+    )
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, None), (9004, "one token")],
+        "doc_id long, text string",
+    ).select("doc_id", simhash64(F.col("text")).alias("fast"),
+             simhash64_spec(F.col("text")).alias("spec"))
+    rows = sample.unionByName(extra).collect()
+    assert rows and all(r["fast"] == r["spec"] for r in rows)
+
+
+def test_ngram_cap_threshold_invariance(spark, docs):
+    """Any max_gram_df >= the corpus's true max gram DF leaves the pairs
+    bit-identical to the uncapped run."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = docs.where(F.col("doc_id") < 120)
+    uncapped = sorted(
+        map(tuple, ngram_jaccard_pairs(d, threshold=0.2,
+                                       max_gram_df=None).collect())
+    )
+    capped = sorted(
+        map(tuple, ngram_jaccard_pairs(d, threshold=0.2,
+                                       max_gram_df=10**6).collect())
+    )
+    assert uncapped == capped
+
+
+def test_ngram_hot_gram_cap_bounds_join_input(spark):
+    """Stop-gram-heavy corpus: every doc shares one 3-gram. The cap must
+    remove it from the inverted index (bounding the self-join) while
+    unique grams survive."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        token_ngrams,
+    )
+
+    n_docs = 60
+    rows = [(i, f"the quick fox uniq{i}a uniq{i}b uniq{i}c") for i in range(n_docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc holds 'the quick fox' -> DF = 60 > cap 5; the capped run
+    # must produce no pairs at all (remaining grams are unique per doc)
+    out = ngram_jaccard_pairs(d, threshold=0.01, max_gram_df=5)
+    assert out.count() == 0
+    # uncapped, the hot gram alone links every pair: 60*59/2 candidates
+    out_uncapped = ngram_jaccard_pairs(d, threshold=0.01, max_gram_df=None)
+    assert out_uncapped.count() == n_docs * (n_docs - 1) // 2
+
+
+def test_band_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpus: 40 empty docs share every band hash. With a
+    bucket cap the candidate join input is bounded (here: no candidates);
+    real near-dups in the same run still surface."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    empties = [(i, "") for i in range(40)]
+    real = [(100, "a long enough shared document body for shingling"),
+            (101, "a long enough shared document body for shingling")]
+    d = spark.createDataFrame(empties + real, "doc_id long, text string")
+    mh = minhash_lsh_pairs(d, threshold=0.9, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert got == {(100, 101)}  # empty-doc bucket capped away
+    sh = simhash_pairs(d, max_hamming=3, max_bucket_size=10)
+    got_sh = {(r["id_a"], r["id_b"]) for r in sh.collect()}
+    assert got_sh == {(100, 101)}

@@ -1,0 +1,244 @@
+"""Time partitioning (D3) + clustering (D4): create, prune, expire, decorator.
+
+Reference surface being mirrored: HOUR/DAY/MONTH/YEAR field partitioning
+with expiration_ms (BigqueryClient.java:289-317,
+config/BigqueryTimePartitioning.java:8-19, validator
+BigqueryConfigValidator.java:32-41), the `table$20160929` partition
+decorator (BigqueryUtil.java:71-73, BigqueryClient.java:779-792), and
+clustering sort fields (BigqueryClient.java:209-212).
+"""
+
+from datetime import datetime, timezone
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.config import (
+    ConfigError,
+    IngestConfig,
+    TimePartitioning,
+)
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.lake.table import (
+    tp_encode,
+    tp_end,
+    tp_start,
+)
+
+TS_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("mtime", T.TimestampType(), True),
+    ]
+)
+
+
+def _dt(day: int, hour: int = 0) -> datetime:
+    return datetime(2024, 1, day, hour, tzinfo=timezone.utc)
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(rows, TS_SCHEMA)
+
+
+@pytest.fixture()
+def day_table(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, TS_SCHEMA,
+        bucket_column="k", num_buckets=2, merge_keys=["k"],
+        time_partition={
+            "column": "mtime", "granularity": "day", "expiration_ms": None,
+        },
+    )
+    t.append(_rows_df(spark, [
+        ("a", 1, _dt(1)), ("b", 2, _dt(1, 6)),
+        ("c", 3, _dt(2)), ("d", 4, _dt(3)),
+        ("e", 5, None),  # null ts -> null partition
+    ]))
+    return t
+
+
+def test_files_carry_time_partition_values(day_table):
+    tps = sorted(
+        f["tp"] for f in day_table.snapshot()["files"] if f["tp"] is not None
+    )
+    assert set(tps) == {20240101, 20240102, 20240103}
+    assert any(f["tp"] is None for f in day_table.snapshot()["files"])
+
+
+def test_time_range_read_prunes_files(day_table):
+    pruned = day_table.read(tp_range=(20240101, 20240102))
+    # file-level pruning: only the files of the two matching days are in
+    # the scan — not day 3's and not the null-partition file
+    scanned = pruned.inputFiles()
+    all_files = day_table.read().inputFiles()
+    assert 0 < len(scanned) < len(all_files)
+    assert sorted(r["k"] for r in pruned.collect()) == ["a", "b", "c"]
+
+
+def test_tp_range_rejected_without_time_partition(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TS_SCHEMA, bucket_column="k")
+    with pytest.raises(ValueError, match="time-partitioned"):
+        t.read(tp_range=(0, 1))
+
+
+def test_delete_time_partition_decorator_scope(day_table):
+    day_table.delete_time_partitions([20240102])
+    got = sorted(r["k"] for r in day_table.read().collect())
+    assert got == ["a", "b", "d", "e"]  # day 2 gone; null-partition row kept
+
+
+def test_expire_time_partitions_retention(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, TS_SCHEMA,
+        bucket_column="k", num_buckets=2,
+        time_partition={
+            "column": "mtime", "granularity": "day",
+            "expiration_ms": 2 * 24 * 3600 * 1000,
+        },
+    )
+    t.append(_rows_df(spark, [
+        ("a", 1, _dt(1)), ("b", 2, _dt(2)), ("c", 3, _dt(3)),
+    ]))
+    expired = t.expire_time_partitions(now=_dt(5))
+    # cutoff = Jan 3 00:00; partitions whose END <= cutoff: day1, day2
+    assert expired == [20240101, 20240102]
+    assert sorted(r["k"] for r in t.read().collect()) == ["c"]
+    # idempotent: nothing left to expire -> no new commit
+    v = t.version
+    assert t.expire_time_partitions(now=_dt(5)) == []
+    assert t.version == v
+
+
+def test_tp_encode_decode_roundtrip():
+    for gran, val in [
+        ("hour", 2024010523), ("day", 20240105),
+        ("month", 202401), ("year", 2024),
+    ]:
+        st = tp_start(val, gran)
+        assert tp_encode(st, gran) == val
+        assert tp_end(val, gran) > st
+
+
+def test_month_and_hour_granularities(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, TS_SCHEMA, bucket_column="k",
+        time_partition={"column": "mtime", "granularity": "month",
+                        "expiration_ms": None},
+    )
+    t.append(_rows_df(spark, [
+        ("a", 1, datetime(2024, 1, 15, tzinfo=timezone.utc)),
+        ("b", 2, datetime(2024, 2, 20, tzinfo=timezone.utc)),
+    ]))
+    assert {f["tp"] for f in t.snapshot()["files"]} == {202401, 202402}
+    only_jan = t.read(tp_range=(202401, 202401))
+    assert [r["k"] for r in only_jan.collect()] == ["a"]
+
+
+# --------------------------------------------------------------- engine wiring
+def _mk_engine(spark, root, table_name, **cfg_kw):
+    cfg = IngestConfig(
+        table=table_name, mode="delete_in_advance", merge_keys=["k"],
+        num_buckets=2,
+        time_partitioning={"type": "DAY", "field": "mtime"},
+        **cfg_kw,
+    )
+    return CdcEngine(spark, cfg, root)
+
+
+def test_delete_in_advance_with_decorator_targets_one_partition(
+    spark, tmp_table_root
+):
+    # full-table fixture: days 1 and 2
+    eng_all = _mk_engine(spark, tmp_table_root, "t")
+    eng_all.apply_batch(_rows_df(spark, [
+        ("a", 1, _dt(1)), ("b", 2, _dt(2)),
+    ]), "b1")
+
+    # decorator-scoped load: only day 2 is pre-deleted, day 1 survives
+    eng_part = _mk_engine(spark, tmp_table_root, "t$20240102")
+    eng_part.apply_batch(_rows_df(spark, [("c", 30, _dt(2, 6))]), "b2")
+    got = {r["k"]: r["v"] for r in
+           LakeTable(spark, tmp_table_root).read().collect()}
+    assert got == {"a": 1, "c": 30}
+
+
+def test_engine_creates_time_partitioned_table(spark, tmp_table_root):
+    eng = _mk_engine(spark, tmp_table_root, "t")
+    eng.apply_batch(_rows_df(spark, [("a", 1, _dt(1))]), "b1")
+    t = LakeTable(spark, tmp_table_root)
+    assert t.time_partition == {
+        "column": "mtime", "granularity": "day", "expiration_ms": None,
+    }
+
+
+def test_config_validation_matrix():
+    with pytest.raises(ConfigError, match="unknown time_partitioning type"):
+        TimePartitioning(type="WEEK", field="ts")
+    with pytest.raises(ConfigError, match="requires a field"):
+        IngestConfig(table="t", time_partitioning={"type": "DAY"})
+    with pytest.raises(ConfigError, match="decorator"):
+        # decorator without time partitioning
+        IngestConfig(table="t$20240101")
+    with pytest.raises(ConfigError, match="does not match"):
+        # DAY decorator must be 8 digits
+        IngestConfig(
+            table="t$2024",
+            time_partitioning={"type": "DAY", "field": "ts"},
+        )
+    cfg = IngestConfig(
+        table="t$20240101",
+        time_partitioning={"type": "DAY", "field": "ts"},
+    )
+    assert cfg.table_base_name == "t"
+    assert cfg.partition_decorator == "20240101"
+    assert cfg.staging_table.endswith("_t")
+
+
+# ------------------------------------------------------------------ clustering
+def test_clustering_sorts_rows_within_files(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, TS_SCHEMA,
+        bucket_column="k", num_buckets=2, clustering=["v"],
+    )
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"k{i}", rng.randrange(10_000), _dt(1)) for i in range(500)]
+    t.append(_rows_df(spark, rows))
+    import os
+
+    checked = 0
+    for fe in t.snapshot()["files"]:
+        vals = pq.read_table(
+            os.path.join(t.root, fe["path"]), columns=["v"]
+        )["v"].to_pylist()
+        assert vals == sorted(vals)
+        checked += 1
+    assert checked >= 2  # both buckets produced files
+
+
+def test_clustered_write_keeps_engine_state_correct(spark, tmp_table_root):
+    cfg = IngestConfig(
+        table="t", mode="merge", merge_keys=["k"], num_buckets=2,
+        clustering=["v"],
+    )
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    schema = T.StructType(TS_SCHEMA.fields + [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("commit_seq", T.LongType(), False),
+        T.StructField("event_offset", T.LongType(), False),
+    ])
+    eng.apply_batch(spark.createDataFrame(
+        [("a", 5, _dt(1), "I", 1, 0), ("b", 1, _dt(1), "I", 1, 1)], schema
+    ), "b1")
+    eng.apply_batch(spark.createDataFrame(
+        [("a", 9, _dt(2), "U", 2, 0), ("c", 3, _dt(2), "I", 2, 1)], schema
+    ), "b2")
+    got = {r["k"]: r["v"] for r in
+           LakeTable(spark, tmp_table_root).read().collect()}
+    assert got == {"a": 9, "b": 1, "c": 3}
