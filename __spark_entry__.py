@@ -575,6 +575,79 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPING: connected components (min-label propagation) over
+    n-gram-Jaccard pairs — the stage that turns pairwise dedup output into
+    keep-one-per-group decisions. Pairs come from the (oracle-mirrored)
+    ngram plan, so values are engine-independent."""
+    from embulk_output_bigquery_java_spark.operators.graph import (
+        connected_components,
+    )
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    dup1 = d.where(F.col("doc_id") < 15).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    dup2 = d.where(F.col("doc_id") < 8).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    corpus = d.unionByName(dup1).unionByName(dup2)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.6)
+    return connected_components(pairs).orderBy("id")
+
+
+_COMPONENTS_SQL = r"""
+WITH RECURSIVE
+all_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 15
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 8
+),
+docs AS (
+    SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM all_docs
+),
+grams AS (
+    SELECT doc_id, list_distinct([
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        FOR i IN range(1, len(toks) - 1)
+    ]) AS gs
+    FROM docs
+),
+sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+inv AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) s
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / (sa.n + sb.n - shared) >= 0.6
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+    SELECT id, id AS comp FROM nodes
+    UNION
+    SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS comp
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # hash-family ops: engine-specific values -> rows-only driver check
 # --------------------------------------------------------------------------
@@ -728,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_components": q_near_dup_components,
         "cosine_topk": q_cosine_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -759,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _DUPGROUP_SQL,
         "exact_dedup_keep": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_SQL,
+        "near_dup_components": _COMPONENTS_SQL,
         "cosine_topk": _COSINE_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,

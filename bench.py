@@ -38,9 +38,14 @@ def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
         # mor is the default: the only merge strategy whose per-batch cost
         # is independent of table size (see operators/merge.py); cow numbers
         # via BENCH_MERGE_STRATEGY=cow for comparison
-        dedup_strategy=os.environ.get("BENCH_DEDUP", "semi"),
+        # maxby, not semi: measured at 2M-event batches the two-phase
+        # max_by materializes full deduped rows 1.1x (8 cores) to 1.6x
+        # (32 cores) faster than the winners+semi-join plan AND scales
+        # better with cores (semi's broadcast probe has a serial floor)
+        dedup_strategy=os.environ.get("BENCH_DEDUP", "maxby"),
         merge_strategy=os.environ.get("BENCH_MERGE_STRATEGY", "mor"),
         compact_every_batches=int(os.environ.get("BENCH_COMPACT_EVERY", "0")),
+        pipeline=os.environ.get("BENCH_PIPELINE", "1") != "0",
     )
     eng = CdcEngine(
         spark, cfg, root, checkpoint_path=os.path.join(workdir, "ck.json")

@@ -155,6 +155,11 @@ class IngestConfig:
     # JIT; 'semi' wins when payload columns are wide AND the JVM is warm.
     dedup_strategy: str = "maxby"
     salt_partitions: int = 0  # >0 forces explicit salting in dedup phase 1
+    #: pipelined merge replay: batch N+1's prepare stage (dedup + counts,
+    #: and for mor the delta write) overlaps batch N's commit on a prefetch
+    #: thread. Prepare mutates nothing, the exactly-once check runs at
+    #: commit — semantics identical, per-batch serial floor removed.
+    pipeline: bool = True
     #: merge commit strategy: 'cow' rewrites touched buckets (read-optimized);
     #: 'mor' appends bucketed delta files with O(batch) write cost and
     #: read-time reconciliation (write-optimized — the 100-TB-target path).

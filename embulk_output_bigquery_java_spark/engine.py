@@ -22,8 +22,10 @@ retryable class (R2) — here CommitConflict; validation errors are fatal.
 from __future__ import annotations
 
 import logging
+import re
 import time
-from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +34,7 @@ from pyspark.storagelevel import StorageLevel
 from .config import IngestConfig, Mode
 from .lake import CommitConflict, LakeTable
 from .operators.dedup import lww_dedup
-from .operators.evolve import ensure_schema
+from .operators.evolve import diff_schemas, ensure_schema
 from .operators.merge import merge_apply
 from .schemas import LWW_ORDER, REPOS_KEY
 from .streaming import checkpoint as ckpt
@@ -63,6 +65,34 @@ def retry(fn, *, retries: int, initial_s: float, max_s: float,
             log.warning("retryable failure (attempt %d/%d, sleep %.1fs): %s",
                         attempt, retries, delay, exc)
             time.sleep(delay)
+
+
+@dataclass
+class PreparedMerge:
+    """Stage-1 output of a merge batch: everything computable WITHOUT
+    touching table state, so batch N+1's preparation can overlap batch N's
+    commit (the pipelined replay's unit of work).
+
+    Exactly one of ``deduped`` (cow / evolution path: the persisted LWW
+    result) or ``delta_files`` (mor fast path: delta files already written
+    under an uncommitted uuid dir — invisible until the metadata CAS
+    publishes them) is set.
+    """
+
+    batch_id: str
+    t0: float
+    keys: list[str]
+    input_rows: int
+    deduped_rows: int
+    touched: list[int] | None
+    data_schema: object
+    deduped: DataFrame | None = None
+    delta_files: list[dict] | None = field(default=None)
+
+    def release(self) -> None:
+        if self.deduped is not None:
+            self.deduped.unpersist()
+            self.deduped = None
 
 
 @dataclass
@@ -152,43 +182,63 @@ class CdcEngine:
         return LakeTable(self.spark, self.table_root)
 
     # ------------------------------------------------------------ one batch
+    def _cast_batch(self, batch: DataFrame) -> DataFrame:
+        """The C-matrix as one vectorized projection (§2.2); CDC meta
+        columns pass through untouched."""
+        if not self.cfg.column_options:
+            return batch
+        from pyspark.sql import types as T
+
+        from .functions.casts import build_projection
+
+        meta = [c for c in batch.columns if c in CDC_META_COLS]
+        data_fields = [
+            f for f in batch.schema.fields if f.name not in CDC_META_COLS
+        ]
+        return batch.select(
+            *[F.col(c) for c in meta],
+            *build_projection(
+                T.StructType(data_fields),
+                self.cfg.column_options,
+                default_timestamp_format=self.cfg.default_timestamp_format,
+            ),
+        )
+
     def apply_batch(
         self,
         batch: DataFrame,
         batch_id: str,
         *,
         seq_range: tuple[int, int] | None = None,
+        _prepared: PreparedMerge | None = None,
     ) -> LedgerRow | None:
         """Apply one micro-batch under the configured mode. None = no-op replay."""
         cfg = self.cfg
         t0 = time.monotonic()
-        if cfg.column_options:
-            # the C-matrix as one vectorized projection (§2.2); CDC meta
-            # columns pass through untouched
-            from pyspark.sql import types as T
 
-            from .functions.casts import build_projection
-
-            meta = [c for c in batch.columns if c in CDC_META_COLS]
-            data_fields = [
-                f for f in batch.schema.fields if f.name not in CDC_META_COLS
-            ]
-            batch = batch.select(
-                *[F.col(c) for c in meta],
-                *build_projection(
-                    T.StructType(data_fields),
-                    cfg.column_options,
-                    default_timestamp_format=cfg.default_timestamp_format,
-                ),
+        if cfg.mode is Mode.MERGE:
+            if LakeTable.exists(self.table_root):
+                if LakeTable(self.spark, self.table_root).has_batch(batch_id):
+                    log.info(
+                        "batch %s already applied — exactly-once no-op",
+                        batch_id,
+                    )
+                    if _prepared is not None:
+                        _prepared.release()
+                    return None
+            prepared = (
+                _prepared
+                if _prepared is not None
+                else self._prepare_merge(batch, batch_id)
             )
+            table = LakeTable(self.spark, self.table_root)
+            return self._commit_merge(table, prepared, seq_range)
 
+        batch = self._cast_batch(batch)
         table = self.ensure_table(self._data_schema(batch))
         if cfg.mode is not Mode.APPEND_DIRECT and table.has_batch(batch_id):
             log.info("batch %s already applied — exactly-once no-op", batch_id)
             return None
-
-        if cfg.mode is Mode.MERGE:
-            return self._apply_merge(table, batch, batch_id, seq_range, t0)
 
         batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -244,26 +294,27 @@ class CdcEngine:
         finally:
             batch.unpersist()
 
-    def _apply_merge(
-        self,
-        table: LakeTable,
-        batch: DataFrame,
-        batch_id: str,
-        seq_range: tuple[int, int] | None,
-        t0: float,
-    ) -> LedgerRow | None:
-        """Merge fast path: ONE materialization of the deduped batch.
+    def _prepare_merge(self, batch: DataFrame, batch_id: str) -> PreparedMerge:
+        """Stage 1 of a merge batch — no table mutation, safe to run for
+        batch N+1 while batch N commits.
 
         input-row counting rides the dedup job as an observe() metric
         (A1 analog: partial per-partition counts summed by Spark, the
         reference's per-writer count + driver sum,
-        BigqueryFileWriter.java:62-69) instead of a separate count() pass
-        over the raw batch; the merge commit then reuses the cached dedup
-        result for bucket discovery, the anti-join and the upserts.
+        BigqueryFileWriter.java:62-69) instead of a separate count() pass;
+        touched buckets ride the same job as a collect_set metric.
+
+        mor fast path: when no merge_rule applies and the batch needs no
+        schema evolution, the delta files are WRITTEN here too (one job,
+        no persist/count materialization at all) — uncommitted files are
+        invisible, so only the metadata CAS remains for the commit stage.
         """
         from pyspark.sql import Observation
 
         cfg = self.cfg
+        t0 = time.monotonic()
+        batch = self._cast_batch(batch)
+        table = self.ensure_table(self._data_schema(batch))
         keys = cfg.merge_keys or table.merge_keys
         # project away CDC metadata the merge never uses (before_content,
         # ts, seq) BEFORE dedup: the semi-join's probe side materializes
@@ -274,11 +325,9 @@ class CdcEngine:
         # columns out of the file scan entirely. Meta columns a merge_rule
         # fragment references (rules are SQL over T.* and S.*) must survive
         # the projection, or the rule fails at analysis.
-        import re as _re
-
         rule_refs: set[str] = set()
         for frag in (cfg.merge_rule or {}).values():
-            rule_refs.update(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", frag))
+            rule_refs.update(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", frag))
         data_cols = [c for c in batch.columns if c not in CDC_META_COLS]
         keep = list(dict.fromkeys(
             [*keys, *LWW_ORDER, "op",
@@ -293,8 +342,6 @@ class CdcEngine:
             strategy=cfg.dedup_strategy,
             salt_partitions=cfg.salt_partitions,
         )
-        # touched buckets ride the same dedup job as a collect_set metric —
-        # no separate distinct+collect job per batch
         bucket_obs = None
         if table.partition:
             bucket_obs = Observation()
@@ -304,48 +351,85 @@ class CdcEngine:
                     table.bucket_of(F.col(table.partition["column"]))
                 ).alias("buckets"),
             )
-        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            deduped_rows = deduped.count()
-            input_rows = obs.get["input_rows"]
-            touched = sorted(bucket_obs.get["buckets"]) if bucket_obs else None
-            do = lambda fn: retry(
-                fn, retries=cfg.retries,
-                initial_s=cfg.retry_initial_backoff_s,
-                max_s=cfg.retry_max_backoff_s,
+        data_schema = self._data_schema(deduped)
+        needs_evolution = bool(diff_schemas(table.schema(), data_schema)[0])
+
+        if cfg.merge_strategy == "mor" and not cfg.merge_rule and not needs_evolution:
+            cnt = Observation()
+            counted = deduped.observe(cnt, F.count(F.lit(1)).alias("n"))
+            files = table.write_delta_files(counted)
+            return PreparedMerge(
+                batch_id, t0, keys,
+                int(obs.get["input_rows"]), int(cnt.get["n"]),
+                sorted(bucket_obs.get["buckets"]) if bucket_obs else None,
+                data_schema, delta_files=files,
             )
-            if deduped_rows == 0:
+
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        deduped_rows = deduped.count()
+        return PreparedMerge(
+            batch_id, t0, keys,
+            int(obs.get["input_rows"]), deduped_rows,
+            sorted(bucket_obs.get["buckets"]) if bucket_obs else None,
+            data_schema, deduped=deduped,
+        )
+
+    def _commit_merge(
+        self,
+        table: LakeTable,
+        prepared: PreparedMerge,
+        seq_range: tuple[int, int] | None,
+    ) -> LedgerRow:
+        """Stage 2 of a merge batch: schema evolution (if any), the merge
+        commit, count verification and the ledger row."""
+        cfg = self.cfg
+        do = lambda fn: retry(
+            fn, retries=cfg.retries,
+            initial_s=cfg.retry_initial_backoff_s,
+            max_s=cfg.retry_max_backoff_s,
+        )
+        batch_id = prepared.batch_id
+        try:
+            if prepared.deduped_rows == 0:
                 do(lambda: table.mark_batch_applied(batch_id))
                 return self._ledger(
-                    batch_id, seq_range, input_rows, 0, 0, 0, None, None,
-                    time.monotonic() - t0, table.version,
+                    batch_id, seq_range, prepared.input_rows, 0, 0, 0,
+                    None, None, time.monotonic() - prepared.t0, table.version,
                 )
 
-            actions = ensure_schema(table, self._data_schema(deduped))
-            for a in actions:
-                log.info("schema evolution [%s]: %s", batch_id, a)
-
             rows_before = table.total_rows()
-            res = do(lambda: merge_apply(
-                table, deduped, keys=keys,
-                merge_rule=cfg.merge_rule or None,
-                batch_id=batch_id, batch_rows=deduped_rows,
-                touched_buckets=touched,
-                strategy=cfg.merge_strategy,
-            ))
+            if prepared.delta_files is not None:
+                # mor fast path: files already on disk — publish them
+                version = do(lambda: table.commit_delta_files(
+                    prepared.delta_files, batch_id=batch_id,
+                ))
+                touched = prepared.touched or []
+            else:
+                actions = ensure_schema(table, prepared.data_schema)
+                for a in actions:
+                    log.info("schema evolution [%s]: %s", batch_id, a)
+                res = do(lambda: merge_apply(
+                    table, prepared.deduped, keys=prepared.keys,
+                    merge_rule=cfg.merge_rule or None,
+                    batch_id=batch_id, batch_rows=prepared.deduped_rows,
+                    touched_buckets=prepared.touched,
+                    strategy=cfg.merge_strategy,
+                ))
+                version, touched = res.version, res.touched_buckets
             # NOTE: under mor, total_rows is the gross manifest sum (base +
             # deltas incl. shadowed/delete rows); the ledger's output delta
             # then reads as "rows materialized this commit". count_exact()
             # reconciles when an exact live count is needed.
             rows_after = table.total_rows()
-            bytes_w, lineage = self._commit_footprint(table, res.version)
+            bytes_w, lineage = self._commit_footprint(table, version)
             return self._ledger(
-                batch_id, seq_range, input_rows, deduped_rows,
-                rows_after - rows_before, 0, len(res.touched_buckets),
-                bytes_w, time.monotonic() - t0, res.version, lineage,
+                batch_id, seq_range, prepared.input_rows,
+                prepared.deduped_rows, rows_after - rows_before, 0,
+                len(touched), bytes_w,
+                time.monotonic() - prepared.t0, version, lineage,
             )
         finally:
-            deduped.unpersist()
+            prepared.release()
 
     def _commit_mode(
         self, table: LakeTable, batch: DataFrame, batch_id: str, input_rows: int
@@ -399,6 +483,15 @@ class CdcEngine:
         return input_rows, v, None
 
     # ------------------------------------------------------------ replay loop
+    def _prepare_in_pool(self, batch: DataFrame, batch_id: str) -> PreparedMerge:
+        """Prefetch-thread entry: runs prepare under a separate FAIR
+        scheduler pool so its jobs share executors with the committing
+        batch instead of queueing behind it."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "prefetch"
+        )
+        return self._prepare_merge(batch, batch_id)
+
     def replay(
         self,
         changes: DataFrame,
@@ -407,55 +500,106 @@ class CdcEngine:
         batch_size: int,
         seq_col: str = "seq",
     ) -> ReplayStats:
-        """Deterministic micro-batch replay over the offset axis, resumable."""
+        """Deterministic micro-batch replay over the offset axis, resumable.
+
+        Merge-mode replay is **pipelined** (cfg.pipeline): batch N+1's
+        prepare stage — cast, dedup, counts, and for mor the delta-file
+        write — runs on a prefetch thread while batch N commits. Correct
+        because prepare mutates nothing: only the commit stage (ordered,
+        main thread) publishes state, and the exactly-once check happens
+        at commit. This attacks the per-batch serial floor that otherwise
+        caps scaling: the driver's commit bookkeeping and the cluster's
+        compute overlap instead of alternating.
+        """
         cp = ckpt.load(self.checkpoint_path) if self.checkpoint_path else ckpt.Checkpoint()
         start = cp.seq_hi
         t0 = time.monotonic()
         events = 0
         batches = skipped = 0
-        for lo in range(start, n_events, batch_size):
-            hi = min(lo + batch_size, n_events)
-            batch_id = f"{self.cfg.table}:{lo}:{hi}"
-            batch = changes.where(
-                (F.col(seq_col) >= lo) & (F.col(seq_col) < hi)
-            )
-            row = self.apply_batch(batch, batch_id, seq_range=(lo, hi))
-            if row is None:
-                skipped += 1
-            else:
-                batches += 1
-                events += row.input_rows
-                if (
-                    self.cfg.compact_every_batches
-                    and batches % self.cfg.compact_every_batches == 0
-                ):
-                    # fold MOR deltas into base files so read-side
-                    # reconciliation stays bounded — incremental: only
-                    # buckets holding deltas over the ratio get rewritten
-                    LakeTable(self.spark, self.table_root).compact(
-                        min_delta_ratio=self.cfg.compact_min_delta_ratio
-                    )
-                if (
-                    self.cfg.expire_every_batches
-                    and batches % self.cfg.expire_every_batches == 0
-                ):
-                    # bound snapshot metadata + orphaned files over long
-                    # replays (temp-table GC analog, W10). Partition TTL
-                    # (D3 expiration_ms) runs first so the expired files
-                    # become unreferenced and the snapshot GC reclaims them.
-                    t = LakeTable(self.spark, self.table_root)
-                    t.expire_time_partitions()
-                    t.expire_snapshots(keep_last=self.cfg.keep_snapshots)
-            if self.checkpoint_path:
-                ckpt.store(
-                    self.checkpoint_path,
-                    ckpt.Checkpoint(
-                        seq_hi=hi,
-                        batches=cp.batches + batches,
-                        table_version=LakeTable(self.spark, self.table_root).version,
-                        run_id=self.cfg.run_id,
-                    ),
+        ranges = [
+            (lo, min(lo + batch_size, n_events))
+            for lo in range(start, n_events, batch_size)
+        ]
+        pipelined = (
+            self.cfg.pipeline
+            and self.cfg.mode is Mode.MERGE
+            and len(ranges) > 1
+        )
+        pool = ThreadPoolExecutor(max_workers=1) if pipelined else None
+        fut = None
+        try:
+            for i, (lo, hi) in enumerate(ranges):
+                batch_id = f"{self.cfg.table}:{lo}:{hi}"
+                prepared = None
+                if fut is not None:
+                    prepared = fut.result()
+                    fut = None
+                # prefetch the NEXT batch before committing this one
+                if pool is not None and i + 1 < len(ranges):
+                    nlo, nhi = ranges[i + 1]
+                    nid = f"{self.cfg.table}:{nlo}:{nhi}"
+                    already = LakeTable.exists(self.table_root) and LakeTable(
+                        self.spark, self.table_root
+                    ).has_batch(nid)
+                    if not already:
+                        nbatch = changes.where(
+                            (F.col(seq_col) >= nlo) & (F.col(seq_col) < nhi)
+                        )
+                        fut = pool.submit(self._prepare_in_pool, nbatch, nid)
+                batch = changes.where(
+                    (F.col(seq_col) >= lo) & (F.col(seq_col) < hi)
                 )
+                row = self.apply_batch(
+                    batch, batch_id, seq_range=(lo, hi), _prepared=prepared
+                )
+                if row is None:
+                    skipped += 1
+                else:
+                    batches += 1
+                    events += row.input_rows
+                    if (
+                        self.cfg.compact_every_batches
+                        and batches % self.cfg.compact_every_batches == 0
+                    ):
+                        # fold MOR deltas into base files so read-side
+                        # reconciliation stays bounded — incremental: only
+                        # buckets holding deltas over the ratio are rewritten
+                        LakeTable(self.spark, self.table_root).compact(
+                            min_delta_ratio=self.cfg.compact_min_delta_ratio
+                        )
+                    if (
+                        self.cfg.expire_every_batches
+                        and batches % self.cfg.expire_every_batches == 0
+                    ):
+                        # bound snapshot metadata + orphaned files over long
+                        # replays (temp-table GC analog, W10). Partition TTL
+                        # (D3 expiration_ms) runs first so the expired files
+                        # become unreferenced and the snapshot GC reclaims
+                        # them.
+                        t = LakeTable(self.spark, self.table_root)
+                        t.expire_time_partitions()
+                        t.expire_snapshots(keep_last=self.cfg.keep_snapshots)
+                if self.checkpoint_path:
+                    ckpt.store(
+                        self.checkpoint_path,
+                        ckpt.Checkpoint(
+                            seq_hi=hi,
+                            batches=cp.batches + batches,
+                            table_version=LakeTable(
+                                self.spark, self.table_root
+                            ).version,
+                            run_id=self.cfg.run_id,
+                        ),
+                    )
+        finally:
+            if fut is not None:
+                # abandoned prefetch (commit raised): drain + unpersist
+                try:
+                    fut.result().release()
+                except Exception:  # pragma: no cover - best-effort cleanup
+                    pass
+            if pool is not None:
+                pool.shutdown(wait=False)
         return ReplayStats(events, batches, skipped, time.monotonic() - t0)
 
     # ------------------------------------------------------------ helpers

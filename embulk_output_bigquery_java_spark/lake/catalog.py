@@ -1,0 +1,90 @@
+"""R10 analog — the pluggable catalog / credential seam.
+
+The reference authenticates to BigQuery through five strategies
+(Auth.java:30-48: service_account / authorized_user / compute_engine /
+application_default / workload_identity_federation, with AWS-role chaining
+in WorkloadIdentityFederationCredentials.java:18-50). The engine's tables
+live behind a filesystem/object-store URI instead of a warehouse API, so
+credentials belong to the STORAGE CONNECTOR, not the engine: this seam is
+where they plug in.
+
+A :class:`CatalogConfig` names the warehouse root plus the Hadoop/Spark
+configuration entries the chosen auth method requires, and ``apply()``
+installs them on the live session's Hadoop configuration. The engine never
+interprets credentials itself — exactly like the reference, which hands
+``GoogleCredentials`` to the client library and never reads token fields.
+
+``AUTH_CONF_TEMPLATES`` documents the public connector settings each
+reference auth method maps onto (GCS connector / S3A, both public Hadoop
+connectors); values are caller-supplied.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+#: Reference auth strategy -> the public Hadoop connector keys it maps to.
+#: (Auth.java:30-48; templates only — values always come from the caller.)
+AUTH_CONF_TEMPLATES: dict[str, dict[str, str]] = {
+    # service_account json keyfile (reference: json_keyfile)
+    "service_account": {
+        "fs.gs.auth.type": "SERVICE_ACCOUNT_JSON_KEYFILE",
+        "fs.gs.auth.service.account.json.keyfile": "<path>",
+    },
+    # ambient credentials of the runtime (reference: application_default /
+    # compute_engine)
+    "application_default": {"fs.gs.auth.type": "APPLICATION_DEFAULT"},
+    "compute_engine": {"fs.gs.auth.type": "COMPUTE_ENGINE"},
+    # workload identity federation incl. the AWS-role chain: the connector
+    # (or an S3A assumed-role provider) performs the STS exchange
+    "workload_identity_federation": {
+        "fs.s3a.aws.credentials.provider":
+            "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider",
+        "fs.s3a.assumed.role.arn": "<role-arn>",
+    },
+}
+
+
+class CatalogError(ValueError):
+    pass
+
+
+@dataclass
+class CatalogConfig:
+    """Where tables live + how the storage layer authenticates.
+
+    ``warehouse`` is the root URI (local path, ``s3a://...``, ``gs://...``);
+    table roots are ``<warehouse>/<namespace>/<table>``. ``hadoop_conf``
+    carries the connector credentials (see AUTH_CONF_TEMPLATES);
+    ``auth_method`` is advisory metadata mirroring the reference's enum.
+    """
+
+    warehouse: str
+    auth_method: str = "application_default"
+    hadoop_conf: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.auth_method not in (
+            "service_account",
+            "authorized_user",
+            "compute_engine",
+            "application_default",
+            "workload_identity_federation",
+        ):
+            # mirrors the reference's auth-method validation surface
+            raise CatalogError(f"unknown auth_method {self.auth_method!r}")
+
+    def table_root(self, namespace: str, table: str) -> str:
+        """D1 namespace layout: warehouse/<namespace>/<table>."""
+        if not namespace or not table:
+            raise CatalogError("namespace and table must be non-empty")
+        return posixpath.join(self.warehouse.rstrip("/"), namespace, table)
+
+    def apply(self, spark: SparkSession) -> None:
+        """Install the connector credentials on the live session."""
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in self.hadoop_conf.items():
+            hconf.set(k, v)

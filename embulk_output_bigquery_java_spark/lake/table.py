@@ -194,7 +194,14 @@ class LakeTable:
             "committed_at": _now_iso(),
         }
         path = os.path.join(root, "meta", "v0.json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if if_not_exists:
+                # lost the creation race to a concurrent writer — that's
+                # exactly the 409 Already Exists the reference swallows
+                return cls(spark, root)
+            raise
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
         return cls(spark, root)
@@ -444,10 +451,11 @@ class LakeTable:
             "error"
         ).parquet(abs_dir)
 
-        entries = []
-        for path in sorted(
+        paths = sorted(
             glob.glob(os.path.join(abs_dir, "**", "*.parquet"), recursive=True)
-        ):
+        )
+
+        def entry_of(path: str) -> dict:
             rel = os.path.relpath(path, self.root)
             m = re.search(rf"{_BUCKET_COL}=(\d+)", rel)
             entry = {
@@ -464,8 +472,16 @@ class LakeTable:
                     if mt and mt.group(1) != _HIVE_NULL
                     else None
                 )
-            entries.append(entry)
-        return entries
+            return entry
+
+        # footer reads are per-file driver I/O — do them concurrently (the
+        # per-commit serial floor is what caps pipelined replay throughput)
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(paths) > 4:
+            with ThreadPoolExecutor(min(16, len(paths))) as ex:
+                return list(ex.map(entry_of, paths))
+        return [entry_of(p) for p in paths]
 
     def _commit(
         self,
@@ -606,6 +622,53 @@ class LakeTable:
             properties_update=properties,
         )
 
+    def write_delta_files(self, df: DataFrame) -> list[dict]:
+        """Write a (LWW-deduped) batch as delta files WITHOUT committing.
+
+        The returned entries become visible only via
+        :meth:`commit_delta_files` — data files under an uncommitted uuid
+        dir are invisible to every reader, so a pipelined replay can write
+        batch N+1's deltas while batch N's metadata commit is in flight
+        (only the tiny CAS is serialized). ``df`` must carry every table
+        column plus ``op`` ('I'/'U'/'D'; delete rows may have NULL non-key
+        columns).
+        """
+        # cast to the table schema: a batch carrying a (legally) narrower
+        # type would otherwise write parquet that mismatches the schema id
+        # stamped on the file entries
+        ordered = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.schema().fields
+            ],
+            _OP_COL,
+        )
+        new_files = self._write_data(
+            ordered, self.snapshot()["current_schema_id"]
+        )
+        for f in new_files:
+            f["kind"] = "delta"
+        return new_files
+
+    def commit_delta_files(
+        self, files: list[dict], *, batch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Publish pre-written delta files (see :meth:`write_delta_files`).
+
+        Entries are re-cloned without ``seq`` on every call so a
+        CommitConflict retry re-stamps them with the version it actually
+        wins."""
+        base = self.snapshot()
+        clean = [{k: v for k, v in f.items() if k != "seq"} for f in files]
+        return self._commit(
+            operation="merge-delta",
+            files=base["files"] + clean,
+            expected_version=base["version"],
+            applied_batch=batch_id,
+            properties_update=properties,
+        )
+
     def append_deltas(
         self, df: DataFrame, *, batch_id: str | None = None,
         properties: dict | None = None,
@@ -616,21 +679,12 @@ class LakeTable:
 
         Write cost is O(batch); readers reconcile per key by commit seq
         (see :meth:`read`), and :meth:`compact` folds deltas back into base
-        files. ``df`` must carry every table column plus ``op``
-        ('I'/'U'/'D'; delete rows may have NULL non-key columns).
+        files.
         """
-        base = self.snapshot()
-        schema_cols = [f.name for f in self.schema().fields]
-        ordered = df.select(*schema_cols, _OP_COL)
-        new_files = self._write_data(ordered, base["current_schema_id"])
-        for f in new_files:
-            f["kind"] = "delta"
-        return self._commit(
-            operation="merge-delta",
-            files=base["files"] + new_files,
-            expected_version=base["version"],
-            applied_batch=batch_id,
-            properties_update=properties,
+        return self.commit_delta_files(
+            self.write_delta_files(df),
+            batch_id=batch_id,
+            properties=properties,
         )
 
     def count_exact(self, version: int | None = None) -> int:

@@ -1,0 +1,115 @@
+"""Connected components over near-duplicate pairs — the grouping stage of
+a dedup pipeline.
+
+The pair generators (text_dedup / similarity) emit edges (id_a, id_b);
+keeping one canonical document per NEAR-DUP GROUP requires the transitive
+closure: components of the pair graph. This is iterative (not a single
+relational expression), implemented as min-label propagation:
+
+    every node starts labeled with itself; each round, every node takes
+    the min of its own label and its neighbors' labels; fixpoint = each
+    node labeled with the min id of its component.
+
+Scale shape (100 TB story):
+- per round: ONE shuffle (edge join + min-aggregate, map-side combined) —
+  no driver-side data, no collect;
+- rounds needed = graph diameter, which for near-dup clusters is tiny
+  (dup groups are dense cliques-ish; diameter 2-4). ``max_iter`` bounds
+  adversarial chains; convergence is detected with a count action whose
+  result also rides the loop as the stopping condition;
+- lineage is truncated every round by materializing to a persisted
+  DataFrame (otherwise the plan doubles per iteration);
+- for planet-scale graphs with giant components the alternating
+  small-star/large-star algorithm (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14) halves rounds; label propagation is
+  the right default for dedup graphs where components are small.
+
+DuckDB-oracle-expressible via WITH RECURSIVE transitive closure, so the
+contract query is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, comp) for every node appearing in ``pairs``; ``comp`` is the
+    minimum id of the node's connected component."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    # symmetrize once; propagation then only needs one direction per round
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            # min label among neighbors, one shuffle (partial-aggregated)
+            prop = (
+                edges.join(labels, edges["a"] == labels["id"])
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            new_labels = (
+                labels.join(prop, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # one action per round: materializes new_labels AND counts the
+            # still-moving nodes for the stopping condition
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup group: the kept
+    document is the minimum id of its component (docs in no pair are kept
+    untouched — they are their own component)."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

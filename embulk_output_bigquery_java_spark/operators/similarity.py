@@ -256,6 +256,11 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         F.explode(lsh_buckets(F.col(vec_col), dim, planes, tables)).alias("bucket"),
     )
+    # persist: the a x b self-join would evaluate the (planes x tables
+    # dot-product) signature expression twice otherwise
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         sig.alias("a")
         .join(sig.alias("b"), on="bucket")

@@ -269,6 +269,13 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+    # materialize the (tiny: docs x bands rows) banded signatures: the
+    # bucket-size cap and the a x b self-join would otherwise re-evaluate
+    # the full signature pipeline once per reference — at 100 TB the
+    # signature table IS the index and is always persisted
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
 
     cand = (
@@ -336,6 +343,53 @@ def simhash64(col: Column) -> Column:
     return _sig_from_votes(votes)
 
 
+def simhash_signatures_df(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig): the BATCH plan for SimHash signatures.
+
+    explode tokens -> xxhash64 -> 32 packed-lane sums -> signature. Two
+    32-bit lanes share each long accumulator (per token a lane gains
+    bit*2+1 ∈ {1,3}, all-positive so lanes never borrow; votes recovered
+    as lane − 2·n_tokens), so the grouped aggregate carries 32 sum
+    expressions instead of 64 — Janino codegen compile time, which
+    dominates the expression forms at small batch sizes, halves, and the
+    per-row work is a vectorized two-phase hash aggregate that map-side
+    combines (the same shape as minhash_signatures_df). Bit-identical to
+    :func:`simhash64` (test-pinned).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(_tokens(F.col(text_col)))
+        ).alias("t"),
+    )
+    h = F.xxhash64("t")
+
+    def inc(i: int) -> Column:
+        return F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 + 1
+
+    packs = [
+        F.sum(
+            F.when(F.col("t").isNull(), F.lit(0).cast("long"))
+            .otherwise(inc(2 * j) + inc(2 * j + 1) * F.lit(2 ** 32))
+        ).alias(f"p{j}")
+        for j in range(32)
+    ]
+    cnt = F.sum(F.when(F.col("t").isNull(), 0).otherwise(1)).alias("n")
+    agg = exploded.groupBy("id").agg(*packs, cnt)
+    votes = []
+    for j in range(32):
+        p = F.col(f"p{j}")
+        votes.append(
+            (p.bitwiseAND(F.lit(0xFFFFFFFF)) - 2 * F.col("n")).cast("int")
+        )
+        votes.append(
+            (F.shiftrightunsigned(p, 32) - 2 * F.col("n")).cast("int")
+        )
+    return agg.select("id", _sig_from_votes(F.array(*votes)).alias("sig"))
+
+
 def simhash64_spec(col: Column) -> Column:
     """The 64-independent-aggregates specification form — kept as the
     executable definition the single-pass plan must agree with (test-pinned,
@@ -370,9 +424,7 @@ def simhash_pairs(
     d<=3 => at least one identical 16-bit quarter). Returns
     (id_a, id_b, hamming). ``max_bucket_size`` bounds degenerate band
     buckets (all-empty docs share sig 0 — see _cap_buckets)."""
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
-    )
+    sigs = simhash_signatures_df(df, text_col=text_col, id_col=id_col)
     banded = sigs.select(
         "id",
         "sig",
@@ -390,6 +442,11 @@ def simhash_pairs(
             )
         ).alias("e"),
     ).select("id", "sig", "e.band", "e.bh")
+    # persist before cap + self-join: see minhash_lsh_pairs note (the
+    # simhash signature costs one full token scan per evaluation)
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     cand = (
         banded.alias("a")

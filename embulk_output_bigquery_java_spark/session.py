@@ -36,6 +36,11 @@ def get_spark(
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR scheduling: the pipelined replay submits batch N+1's prepare
+        # jobs from a prefetch thread (pool "prefetch") while batch N's
+        # commit jobs run — FAIR shares executors between the two pools
+        # instead of queueing one behind the other (engine.py::replay)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -57,7 +62,8 @@ def get_spark(
         # Same flags belong in spark.executor.extraJavaOptions on a cluster.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{mem} -XX:+AlwaysPreTouch",
+            f"-Xms{mem} -XX:+AlwaysPreTouch "
+            + os.environ.get("SPARK_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,68 @@
+"""W1/W3 — JSONL row encoding + (gzip) staging export.
+
+The reference materializes every row as a JSONL line into per-thread spill
+files (JsonColumnVisitor.java:29-32 encoder; BigqueryFileWriter.java:34-60
+32 KB buffered stream with optional GZIP; file naming/extension derivation
+BigqueryTaskBuilder.java:31-44) and uploads those files as load jobs. The
+engine needs no local spill — Spark's shuffle and the lake staging replace
+it — but the JSONL boundary format itself stays useful as an export /
+interchange sink, so it exists here as a fully distributed write:
+
+- encoding is ONE columnar ``to_json(struct(*))`` projection (JVM-side,
+  whole-stage codegen) — the visitor's row-at-a-time ObjectNode building
+  collapses into an expression;
+- one output file per task replaces one spill file per worker thread
+  (W2's thread-partitioning is Spark's task parallelism);
+- ``compression="gzip"`` mirrors the reference's GZIP option, applied by
+  the text sink's codec, and the file extension derivation mirrors
+  ``BigqueryTaskBuilder.java:31-44``.
+
+Round-trips through :func:`..sources.readers.read_jsonl`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def file_ext(source_format: str = "NEWLINE_DELIMITED_JSON",
+             compression: str | None = None) -> str:
+    """Spill-file extension — BigqueryTaskBuilder.java:31-44 derivation:
+    ``.jsonl`` or ``.csv`` by source_format, ``.gz`` appended under GZIP."""
+    base = ".csv" if source_format.upper() == "CSV" else ".jsonl"
+    if compression and compression.upper() == "GZIP":
+        return base + ".gz"
+    return base
+
+
+def encode_jsonl(df: DataFrame) -> DataFrame:
+    """The W1 row encoder as a single projection: every row becomes one
+    JSON text line (column ``value``). Null columns serialize as absent
+    keys unless ignoreNullFields is disabled — the reference emits explicit
+    nulls (JsonColumnVisitor putNull), so we keep them."""
+    return df.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str | None = None,
+    mode: str = "error",
+) -> str:
+    """Write df as JSONL text files (one per task), optionally gzip'd.
+
+    The reference's per-thread spill files map to per-task part files;
+    compression is the sink codec, not a Python-side stream wrap.
+    """
+    writer = encode_jsonl(df).write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression.lower())
+    writer.text(path)
+    return path

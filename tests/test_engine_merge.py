@@ -184,3 +184,26 @@ def test_ledger_bucket_lineage(spark, tmp_table_root, tmp_path):
     led = read_ledger(spark, ledger).collect()
     assert len(led) == 1
     assert {e["bucket"] for e in led[0]["bucket_lineage"]} == buckets
+
+
+def test_pipelined_replay_equals_sequential(spark, tmp_path):
+    """cfg.pipeline only changes scheduling (prepare N+1 overlaps commit N)
+    — the final table state must be identical to the sequential loop."""
+    from embulk_output_bigquery_java_spark.lake import LakeTable
+
+    n = 2000
+    changes = gen_changes(spark, n, **GEN_KNOBS)
+    states = {}
+    for flag in (True, False):
+        root = str(tmp_path / f"t_{flag}")
+        cfg = IngestConfig(table="repos", mode="merge",
+                           merge_keys=["repo", "path"], num_buckets=4,
+                           pipeline=flag)
+        eng = CdcEngine(spark, cfg, root)
+        eng.ensure_table(REPOS_SCHEMA)
+        stats = eng.replay(changes, n_events=n, batch_size=400)
+        assert stats.batches == 5 and stats.events == n
+        states[flag] = sorted(
+            tuple(r) for r in LakeTable(spark, root).read().collect()
+        )
+    assert states[True] == states[False]

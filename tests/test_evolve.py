@@ -133,3 +133,31 @@ def test_column_metadata_retention_takeover():
     # retention off -> dropped
     patched3 = patch_schema_metadata(pre, new, retain_descriptions=False)
     assert patched3["c0"].metadata == {}
+
+
+def test_policy_tag_metadata_retained_alongside_descriptions():
+    """BigqueryClient.java:259-287 retains BOTH descriptions and policy
+    tags across a replace. The engine's metadata channel is generic: any
+    cached field-metadata key (here `policy_tags`) carries over to the
+    same-named column, while column-option descriptions still win."""
+    from pyspark.sql import types as T
+
+    from embulk_output_bigquery_java_spark.config import ColumnOption
+
+    pre = T.StructType([
+        T.StructField("c0", T.StringType(), True,
+                      {"description": "d0",
+                       "policy_tags": ["projects/p/taxonomies/t/policyTags/x"]}),
+        T.StructField("c1", T.LongType(), True, {"policy_tags": ["pt1"]}),
+    ])
+    new = T.StructType([
+        T.StructField("c0", T.StringType(), True),
+        T.StructField("c1", T.LongType(), True),
+    ])
+    patched = patch_schema_metadata(
+        pre, new, {"c0": ColumnOption("c0", description="opt-d0")}
+    )
+    meta0 = patched["c0"].metadata
+    assert meta0["policy_tags"] == ["projects/p/taxonomies/t/policyTags/x"]
+    assert meta0["description"] == "opt-d0"  # column option wins (precedence)
+    assert patched["c1"].metadata["policy_tags"] == ["pt1"]

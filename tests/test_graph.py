@@ -1,0 +1,38 @@
+"""Connected components / canonical dedup over near-dup pairs."""
+
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.graph import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_chain_and_isolated_components(spark):
+    # chain 1-2-3-4 (diameter 3 > 1 round) + separate pair 10-11
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_merging_components_converges(spark):
+    # two chains joined by a late edge: 1-2, 3-4, then 2-3 merges them
+    pairs = _pairs(spark, [(1, 2), (3, 4), (2, 3), (6, 7)])
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 6: 6, 7: 6}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(0, 3), (3, 5), (1, 4)])
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    # components {0,3,5} -> keep 0; {1,4} -> keep 1; 2 untouched
+    assert kept == [0, 1, 2]

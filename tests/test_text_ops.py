@@ -185,25 +185,30 @@ def test_sha256_pandas_udf_matches_jvm(spark, docs):
 
 
 def test_simhash_single_pass_matches_spec(spark, docs):
-    """The single-aggregate simhash64 must be bit-identical to the
-    64-aggregate specification form."""
+    """All three signature forms must be bit-identical: the 64-aggregate
+    spec, the single-aggregate expression, and the packed-lane batch plan
+    (simhash_signatures_df) that simhash_pairs actually uses."""
     from embulk_output_bigquery_java_spark.operators.text_dedup import (
         simhash64,
         simhash64_spec,
+        simhash_signatures_df,
     )
 
-    sample = docs.limit(40).select(
-        "doc_id",
-        simhash64(F.col("text")).alias("fast"),
-        simhash64_spec(F.col("text")).alias("spec"),
-    )
     extra = spark.createDataFrame(
         [(9001, ""), (9002, "   "), (9003, None), (9004, "one token")],
         "doc_id long, text string",
-    ).select("doc_id", simhash64(F.col("text")).alias("fast"),
-             simhash64_spec(F.col("text")).alias("spec"))
-    rows = sample.unionByName(extra).collect()
+    )
+    corpus = docs.limit(40).select("doc_id", "text").unionByName(extra)
+    sample = corpus.select(
+        F.col("doc_id").alias("id"),
+        simhash64(F.col("text")).alias("fast"),
+        simhash64_spec(F.col("text")).alias("spec"),
+    )
+    rows = sample.collect()
     assert rows and all(r["fast"] == r["spec"] for r in rows)
+    batch = {r["id"]: r["sig"]
+             for r in simhash_signatures_df(corpus).collect()}
+    assert batch == {r["id"]: r["fast"] for r in rows}
 
 
 def test_ngram_cap_threshold_invariance(spark, docs):
