@@ -101,6 +101,11 @@ def ngram_jaccard_pairs(
     ).withColumn("n_grams", F.size("grams"))
     sizes = grams.select("id", "n_grams")
     inv = grams.select("id", F.explode("grams").alias("gram"), "n_grams")
+    # persist: the DF-cap aggregation and the a x b self-join would each
+    # re-run tokenization + gram explosion otherwise (3 evaluations)
+    from pyspark.storagelevel import StorageLevel
+
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
     if max_gram_df is not None:
         hot = (
             inv.groupBy("gram")

@@ -153,3 +153,24 @@ def test_join_revenue_broadcasts_dims(spark):
     df = entry_mod.queries()["join_revenue_by_nation"](spark, SF)
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ann_plan_construction_runs_no_jobs_with_explicit_dim(spark):
+    """lsh_topk / embedding_near_dup_pairs with dim passed explicitly must
+    not run any Spark job during plan construction (the dim-inference
+    fallback is a driver-side first()). In-memory frames isolate this from
+    parquet footer-read jobs."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_topk,
+    )
+
+    rows = [(i, [float(i), float(i + 1)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.limit(2).selectExpr("vec_id as query_id", "embedding")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    lsh_topk(df, q, dim=2, planes=2, tables=2)
+    embedding_near_dup_pairs(df, dim=2, planes=2, tables=2)
+    new = set(tracker.getJobIdsForGroup() or []) - before
+    assert not new, f"plan construction ran Spark jobs: {new}"
