@@ -105,6 +105,14 @@ def cmd_verify(args: argparse.Namespace) -> int:
 
     from .oracle import replay_final_state
 
+    if args.events > 2_000_000:
+        print(
+            f"warning: verify collects the full final state + oracle replay "
+            f"onto the driver; --events {args.events} will materialize "
+            f"millions of rows in pandas — this subcommand is a test-scale "
+            f"spot check, not a production audit (sample an offset range "
+            f"instead)", file=sys.stderr,
+        )
     spark = get_spark("cdc-verify", cores=args.cores)
     table = LakeTable(spark, args.table_root)
     if args.changes_path:
@@ -173,8 +181,10 @@ def cmd_expire(args: argparse.Namespace) -> int:
     spark = get_spark("cdc-expire", cores=2)
     table = LakeTable(spark, args.table_root)
     deleted = table.expire_snapshots(keep_last=args.keep_last)
+    orphans = table.gc_orphans(grace_s=args.orphan_grace_s)
     print(json.dumps({
         "deleted_files": len(deleted),
+        "deleted_orphans": len(orphans),
         "current_version": table.version,
     }))
     return 0
@@ -233,6 +243,9 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire", help="expire snapshots, GC orphaned files")
     e.add_argument("--table-root", required=True)
     e.add_argument("--keep-last", type=int, default=10)
+    e.add_argument("--orphan-grace-s", type=float, default=3600.0,
+                   help="only delete unreferenced files older than this "
+                        "(protects in-flight pipelined writes)")
     e.set_defaults(fn=cmd_expire)
 
     args = p.parse_args(argv)

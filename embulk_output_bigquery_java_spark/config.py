@@ -149,10 +149,13 @@ class IngestConfig:
     clustering: list[str] = field(default_factory=list)
     template_table: str | None = None  # PluginTask.java:115-117
     run_id: str = ""  # staging/temp naming seed — BigqueryTaskBuilder.java:46-54
-    # dedup strategy: 'semi' (winners + semi-join — wide-row scale path),
-    # 'maxby' (two-phase agg), or 'window' (row_number spec form); results
-    # identical, see operators/dedup.py. maxby default: stable under cold
-    # JIT; 'semi' wins when payload columns are wide AND the JVM is warm.
+    # dedup strategy: 'semi' (winners + semi-join — avoids materializing
+    # payloads for losing rows), 'maxby' (two-phase agg), or 'window'
+    # (row_number spec form); results identical, see operators/dedup.py.
+    # maxby default: measured fastest AND best-scaling at bench batch
+    # shapes (semi's broadcast probe carries a serial floor); semi remains
+    # the right call when payload columns are huge relative to the key+
+    # order columns and the loser fraction is high.
     dedup_strategy: str = "maxby"
     salt_partitions: int = 0  # >0 forces explicit salting in dedup phase 1
     #: pipelined merge replay: batch N+1's prepare stage (dedup + counts,

@@ -579,6 +579,10 @@ class CdcEngine:
                         t = LakeTable(self.spark, self.table_root)
                         t.expire_time_partitions()
                         t.expire_snapshots(keep_last=self.cfg.keep_snapshots)
+                        # reclaim uncommitted write dirs (lost CAS retries,
+                        # crashed pipelined prepares); the grace window
+                        # protects this run's in-flight prefetch
+                        t.gc_orphans(grace_s=3600.0)
                 if self.checkpoint_path:
                     ckpt.store(
                         self.checkpoint_path,

@@ -820,6 +820,53 @@ class LakeTable:
             os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
         return deleted
 
+    def gc_orphans(self, *, grace_s: float = 3600.0) -> list[str]:
+        """Delete data files referenced by NO retained snapshot.
+
+        Two sources of orphans: aborted writes (a commit that lost its CAS
+        and was retried wrote a fresh uuid dir) and pipelined prepares
+        whose commit never happened (crash between delta write and CAS).
+        ``grace_s`` protects in-flight writes: only files older than the
+        grace window are candidates (an uncommitted prepare younger than
+        that may still be published). Returns deleted paths.
+        """
+        import time as _time
+
+        live: set[str] = set()
+        for p in glob.glob(os.path.join(self.meta_dir, "v*.json")):
+            m = _V_RE.search(os.path.basename(p))
+            if m:
+                live.update(
+                    f["path"] for f in self.snapshot(int(m.group(1)))["files"]
+                )
+        cutoff = _time.time() - grace_s
+        deleted: list[str] = []
+        # every file under data/ that no snapshot references is a candidate
+        # (includes _SUCCESS markers — write artifacts, never read)
+        for path in glob.glob(
+            os.path.join(self.root, "data", "**", "*"), recursive=True
+        ):
+            if not os.path.isfile(path):
+                continue
+            rel = os.path.relpath(path, self.root)
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue
+                os.remove(path)
+                deleted.append(rel)
+            except OSError:  # pragma: no cover - concurrent cleanup
+                continue
+        # sweep now-empty write dirs (bottom-up; rmdir refuses non-empty)
+        for d in glob.glob(os.path.join(self.root, "data", "w-*")):
+            for sub, _dirs, _files in os.walk(d, topdown=False):
+                try:
+                    os.rmdir(sub)
+                except OSError:
+                    pass
+        return deleted
+
     def dirty_buckets(self, min_delta_ratio: float = 0.2) -> list[int]:
         """Buckets whose delta:base row ratio exceeds the threshold —
         the incremental-compaction candidates. Pure manifest arithmetic,

@@ -208,3 +208,40 @@ def test_applied_batch_ranges_compress(spark, tmp_table_root):
     t.append(df, batch_id="adhoc-load")
     assert t.has_batch("adhoc-load")
     assert not t.has_batch("other-load")
+
+
+def test_gc_orphans_reclaims_uncommitted_writes(spark, tmp_table_root):
+    """Files written ahead of a commit that never happened (crashed
+    pipelined prepare / lost-CAS retry leftovers) are reclaimed once past
+    the grace window; referenced files are never touched."""
+    import os
+
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA,
+        bucket_column="repo", num_buckets=4, merge_keys=["repo", "path"],
+    )
+    t.append(make_df(spark, ROWS))
+    live_before = {f["path"] for f in t.snapshot()["files"]}
+
+    # simulate a crashed prepare: delta files written, commit never ran
+    delta_schema = T.StructType(
+        list(REPOS_SCHEMA.fields) + [T.StructField("op", T.StringType(), True)]
+    )
+    orphan_files = t.write_delta_files(
+        spark.createDataFrame(
+            [("orgX/repoX", "src/x.py", "c9", "python", "print(9)", "I")],
+            delta_schema,
+        )
+    )
+    assert orphan_files
+
+    # within grace: nothing deleted
+    assert t.gc_orphans(grace_s=3600) == []
+    # past grace: orphans (incl. their _SUCCESS markers) deleted,
+    # live files intact, table still reads
+    deleted = t.gc_orphans(grace_s=0)
+    assert any(p.endswith(".parquet") for p in deleted)
+    assert all(f["path"] not in deleted for f in t.snapshot()["files"])
+    for p in live_before:
+        assert os.path.exists(os.path.join(t.root, p))
+    assert t.read().count() == len(ROWS)

@@ -113,3 +113,33 @@ def test_merge_union_semantics(spark, target_rows, batch_rows):
     pd.testing.assert_frame_equal(
         got.astype("int64"), exp.astype("int64"), check_dtype=False
     )
+
+
+def test_interval_merge_properties():
+    """applied-batch interval compression: merged intervals are sorted,
+    disjoint, non-touching, and cover exactly the union of inputs."""
+    from hypothesis import given, settings, strategies as st
+
+    from embulk_output_bigquery_java_spark.lake.table import _merge_intervals
+
+    iv = st.tuples(st.integers(0, 400), st.integers(1, 60)).map(
+        lambda t: [t[0], t[0] + t[1]]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(iv, max_size=30))
+    def check(ivs):
+        merged = _merge_intervals([list(x) for x in ivs])
+        # sorted, strictly separated
+        for (lo1, hi1), (lo2, hi2) in zip(merged, merged[1:]):
+            assert hi1 < lo2
+        # exact coverage of the union
+        want = set()
+        for lo, hi in ivs:
+            want.update(range(lo, hi))
+        got = set()
+        for lo, hi in merged:
+            got.update(range(lo, hi))
+        assert got == want
+
+    check()
