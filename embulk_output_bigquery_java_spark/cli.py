@@ -30,6 +30,13 @@ def cmd_replay(args: argparse.Namespace) -> int:
     spark = get_spark("cdc-replay", cores=args.cores,
                       shuffle_partitions=args.shuffle_partitions)
     try:
+        tp = None
+        if args.time_partition_field:
+            tp = {
+                "type": args.time_partition_type,
+                "field": args.time_partition_field,
+                "expiration_ms": args.time_partition_expiration_ms,
+            }
         cfg = IngestConfig(
             table=args.table,
             mode=args.mode,
@@ -39,6 +46,12 @@ def cmd_replay(args: argparse.Namespace) -> int:
             salt_partitions=args.salt_partitions,
             merge_strategy=args.merge_strategy,
             compact_every_batches=args.compact_every,
+            time_partitioning=tp,
+            clustering=(
+                [c for c in args.clustering.split(",") if c]
+                if args.clustering else []
+            ),
+            pipeline=not args.no_pipeline,
         )
     except ConfigError as exc:
         print(f"config error: {exc}", file=sys.stderr)
@@ -210,6 +223,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--merge-strategy", default="cow", choices=["cow", "mor"])
     r.add_argument("--compact-every", type=int, default=0,
                    help="fold MOR deltas into base every N batches")
+    r.add_argument("--time-partition-field", default=None,
+                   help="enable HOUR/DAY/MONTH/YEAR time partitioning on "
+                        "this timestamp column")
+    r.add_argument("--time-partition-type", default="DAY",
+                   choices=["HOUR", "DAY", "MONTH", "YEAR"])
+    r.add_argument("--time-partition-expiration-ms", type=int, default=None)
+    r.add_argument("--clustering", default=None,
+                   help="comma-separated sort fields within written files")
+    r.add_argument("--no-pipeline", action="store_true",
+                   help="disable prepare/commit batch pipelining")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--ledger", default=None)
     r.add_argument("--cores", type=int, default=None)

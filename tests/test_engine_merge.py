@@ -207,3 +207,53 @@ def test_pipelined_replay_equals_sequential(spark, tmp_path):
             tuple(r) for r in LakeTable(spark, root).read().collect()
         )
     assert states[True] == states[False]
+
+
+def test_chaos_pipelined_mor_conflicts_and_resume(spark, tmp_path, monkeypatch):
+    """Everything at once: pipelined MOR replay with pre-written delta
+    files, every other commit CAS rejected (retry must re-stamp the
+    pre-written entries with the version it actually wins), interruption
+    mid-stream, then resume from checkpoint with a fresh engine — final
+    state must equal the oracle replay exactly."""
+    from embulk_output_bigquery_java_spark.lake import CommitConflict
+    from embulk_output_bigquery_java_spark.lake import table as lt
+
+    root = str(tmp_path / "chaos")
+    ck = str(tmp_path / "chaos.ck")
+    n = 3000
+    changes = gen_changes(spark, n, **GEN_KNOBS)
+
+    def mk_cfg():
+        return IngestConfig(
+            table="repos", mode="merge", merge_keys=["repo", "path"],
+            num_buckets=4, merge_strategy="mor", compact_every_batches=2,
+            retry_initial_backoff_s=0.01, retry_max_backoff_s=0.02,
+        )
+
+    orig = lt.LakeTable.commit_delta_files
+    calls = {"n": 0}
+
+    def flaky(self, files, **kw):
+        calls["n"] += 1
+        if calls["n"] % 2 == 1:
+            raise CommitConflict("injected")
+        return orig(self, files, **kw)
+
+    monkeypatch.setattr(lt.LakeTable, "commit_delta_files", flaky)
+
+    eng = CdcEngine(spark, mk_cfg(), root, checkpoint_path=ck)
+    eng.ensure_table(REPOS_SCHEMA)
+    eng.replay(changes, n_events=1500, batch_size=500)  # interrupted run
+
+    eng2 = CdcEngine(spark, mk_cfg(), root, checkpoint_path=ck)
+    stats = eng2.replay(changes, n_events=n, batch_size=500)
+    assert stats.batches == 3  # only the tail was applied
+    assert calls["n"] >= 6  # every batch hit at least one injected conflict
+
+    got = engine_state(spark, root)
+    exp = replay_final_state(changes.toPandas(), None)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "content_sha"]],
+        exp[["repo", "path", "commit", "content_sha"]],
+    )
