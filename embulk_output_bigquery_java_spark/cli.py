@@ -84,6 +84,45 @@ def cmd_replay(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stream(args: argparse.Namespace) -> int:
+    """Structured-Streaming ingest: tail a change-event landing directory
+    through foreachBatch into the same engine (exactly-once via the batch
+    manifest on top of Spark's epoch checkpoint). Default is
+    availableNow=True: drain what has landed, then exit (cron-friendly);
+    --continuous keeps the tail running."""
+    from .streaming.stream import start_cdc_stream, stream_changes_from_dir
+
+    spark = get_spark("cdc-stream", cores=args.cores)
+    try:
+        cfg = IngestConfig(
+            table=args.table, mode="merge", merge_keys=["repo", "path"],
+            num_buckets=args.num_buckets, merge_strategy=args.merge_strategy,
+        )
+    except ConfigError as exc:
+        print(f"config error: {exc}", file=sys.stderr)
+        return 2
+    eng = CdcEngine(spark, cfg, args.table_root, ledger_path=args.ledger)
+    eng.ensure_table(REPOS_SCHEMA)
+    changes = stream_changes_from_dir(
+        spark, args.source_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q = start_cdc_stream(
+        eng, changes, checkpoint_dir=args.checkpoint,
+        available_now=not args.continuous,
+    )
+    if args.continuous:
+        q.awaitTermination()
+    else:
+        q.awaitTermination()
+        table = LakeTable(spark, args.table_root)
+        print(json.dumps({
+            "table_version": table.version,
+            "table_rows": table.count_exact(),
+        }))
+    return 0
+
+
 def cmd_show(args: argparse.Namespace) -> int:
     spark = get_spark("cdc-show", cores=2)
     table = LakeTable(spark, args.table_root)
@@ -238,6 +277,22 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--cores", type=int, default=None)
     r.add_argument("--shuffle-partitions", type=int, default=None)
     r.set_defaults(fn=cmd_replay)
+
+    st = sub.add_parser(
+        "stream", help="streaming ingest: tail a change-file landing dir"
+    )
+    st.add_argument("--table-root", required=True)
+    st.add_argument("--source-dir", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--table", default="repos")
+    st.add_argument("--num-buckets", type=int, default=16)
+    st.add_argument("--merge-strategy", default="mor", choices=["cow", "mor"])
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--continuous", action="store_true",
+                    help="keep tailing instead of drain-and-exit")
+    st.add_argument("--ledger", default=None)
+    st.add_argument("--cores", type=int, default=None)
+    st.set_defaults(fn=cmd_stream)
 
     s = sub.add_parser("show", help="print table snapshot summary")
     s.add_argument("--table-root", required=True)
