@@ -334,11 +334,17 @@ class LakeTable:
             # time-range file pruning (D3): only files whose encoded time
             # partition falls in [lo, hi] are scanned. tp=None files hold
             # only null-timestamp rows, which never match a time predicate,
-            # so they prune away too.
+            # so they prune away too. DELTA files are exempt from pruning:
+            # an update can MOVE a key to another time partition, and
+            # pruning away the newer out-of-range delta would resurrect the
+            # stale in-range base row — all (small) deltas participate in
+            # reconciliation and a residual time filter on the WINNING row
+            # enforces the range exactly (applied below).
             lo, hi = tp_range
             files = [
                 f for f in files
-                if f.get("tp") is not None and lo <= f["tp"] <= hi
+                if f.get("kind") == "delta"
+                or (f.get("tp") is not None and lo <= f["tp"] <= hi)
             ]
         if not files:
             return self.spark.createDataFrame([], cur_schema)
@@ -397,10 +403,23 @@ class LakeTable:
             )
             .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
         )
-        return (
+        live = (
             winner.where(F.col("_op").isNull() | (F.col("_op") != "D"))
             .select(*data_cols)
         )
+        if tp_range is not None:
+            # residual time filter on the reconciled winners: deltas were
+            # scanned un-pruned (see above), so a key whose current version
+            # moved outside the range must drop here
+            tp_conf = snap["time_partition"]
+            tp_expr = F.date_format(
+                F.col(tp_conf["column"]), _TP_PATTERNS[tp_conf["granularity"]]
+            ).cast("long")
+            lo, hi = tp_range
+            live = live.where(
+                tp_expr.isNotNull() & (tp_expr >= lo) & (tp_expr <= hi)
+            )
+        return live
 
     # ------------------------------------------------------------- writing
     def _write_data(

@@ -242,3 +242,32 @@ def test_clustered_write_keeps_engine_state_correct(spark, tmp_table_root):
     got = {r["k"]: r["v"] for r in
            LakeTable(spark, tmp_table_root).read().collect()}
     assert got == {"a": 9, "b": 1, "c": 3}
+
+
+def test_mor_deltas_compose_with_time_range_reads(spark, tmp_table_root):
+    """An update that MOVES a key to another day must not leave its stale
+    version visible in the old day's range read: deltas are scanned
+    un-pruned and a residual time filter applies to the winners."""
+    t = LakeTable.create(
+        spark, tmp_table_root, TS_SCHEMA,
+        bucket_column="k", num_buckets=2, merge_keys=["k"],
+        time_partition={
+            "column": "mtime", "granularity": "day", "expiration_ms": None,
+        },
+    )
+    t.append(_rows_df(spark, [("a", 1, _dt(1)), ("b", 2, _dt(1))]))
+    delta_schema = T.StructType(
+        list(TS_SCHEMA.fields) + [T.StructField("op", T.StringType(), True)]
+    )
+    # 'a' moves day1 -> day2; 'b' gets deleted (marker has NULL mtime)
+    t.append_deltas(spark.createDataFrame(
+        [("a", 10, _dt(2), "U"), ("b", None, None, "D")], delta_schema
+    ))
+    day1 = {r["k"]: r["v"] for r in
+            t.read(tp_range=(20240101, 20240101)).collect()}
+    assert day1 == {}  # stale 'a' must NOT resurrect; 'b' is deleted
+    day2 = {r["k"]: r["v"] for r in
+            t.read(tp_range=(20240102, 20240102)).collect()}
+    assert day2 == {"a": 10}
+    full = {r["k"]: r["v"] for r in t.read().collect()}
+    assert full == {"a": 10}
