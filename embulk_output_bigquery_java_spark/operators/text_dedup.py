@@ -13,7 +13,13 @@ Four families, each with a distinct scale profile:
   path: cost ~ O(docs x k) + O(collisions), no quadratic stage.
 - **SimHash**: 64-bit signature from token-hash bit votes; near-dups =
   signatures within Hamming distance d, found via 4x16-bit band blocking
-  (pigeonhole: d<=3 pairs share >=1 of 4 bands).
+  (pigeonhole: d<=3 pairs share >=1 of 4 bands). Three bit-identical
+  signature forms: spec (64 aggregates), single-aggregate expression, and
+  the packed-lane explode+sum batch plan the pair pipeline uses.
+
+All candidate joins carry caps against degenerate hot keys (gram document
+frequency / band bucket size); pair grouping into keep-one-per-component
+decisions lives in operators/graph.py.
 
 Embedding near-dup (cosine) lives in operators/similarity.py.
 """

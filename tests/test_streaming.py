@@ -141,3 +141,29 @@ def test_stateful_lww_filter_suppresses_stale(spark, tmp_path):
     assert len(m) == len(winners)
     assert (m["commit_seq_exp"] == m["commit_seq_got"]).all()
     assert (m["event_offset_exp"] == m["event_offset_got"]).all()
+
+
+def test_cli_stream_drains_landing_dir(spark, tmp_path, capsys):
+    """The stream subcommand drains a parquet landing dir (availableNow)
+    into the lake table and is exactly-once across re-invocations."""
+    import json
+
+    from embulk_output_bigquery_java_spark import cli
+    from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+    landing = str(tmp_path / "landing")
+    gen_changes(spark, 2000, n_repos=20, paths_per_repo=10).write.parquet(
+        landing
+    )
+    args = [
+        "stream", "--table-root", str(tmp_path / "t"),
+        "--source-dir", landing, "--checkpoint", str(tmp_path / "ck"),
+        "--cores", "4",
+    ]
+    assert cli.main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["table_rows"] > 0
+    # nothing new landed: re-run drains zero epochs, state unchanged
+    assert cli.main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["table_rows"] == first["table_rows"]
