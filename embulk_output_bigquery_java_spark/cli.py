@@ -228,6 +228,25 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rebucket(args: argparse.Namespace) -> int:
+    """Rewrite the table under a new hash-bucket count (growth maintenance;
+    run offline — not concurrently with a replay)."""
+    spark = get_spark("cdc-rebucket", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    before = table.partition
+    v = table.rebucket(
+        args.num_buckets, target_file_rows=args.target_file_rows
+    )
+    print(json.dumps({
+        "version": v,
+        "buckets_before": before["num_buckets"] if before else None,
+        "buckets_after": args.num_buckets,
+        "files": len(table.snapshot()["files"]),
+        "total_rows": table.total_rows(),
+    }))
+    return 0
+
+
 def cmd_expire(args: argparse.Namespace) -> int:
     """Expire old snapshots + delete orphaned data files (W10 GC analog)."""
     spark = get_spark("cdc-expire", cores=2)
@@ -317,6 +336,13 @@ def main(argv: list[str] | None = None) -> int:
                         "row ratio >= this (omit = full rewrite)")
     c.add_argument("--cores", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    rb = sub.add_parser("rebucket", help="rewrite under a new bucket count")
+    rb.add_argument("--table-root", required=True)
+    rb.add_argument("--num-buckets", type=int, required=True)
+    rb.add_argument("--target-file-rows", type=int, default=1_000_000)
+    rb.add_argument("--cores", type=int, default=None)
+    rb.set_defaults(fn=cmd_rebucket)
 
     e = sub.add_parser("expire", help="expire snapshots, GC orphaned files")
     e.add_argument("--table-root", required=True)

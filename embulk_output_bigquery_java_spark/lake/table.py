@@ -425,6 +425,7 @@ class LakeTable:
     def _write_data(
         self, df: DataFrame, schema_id: int, *,
         max_records_per_file: int = 5_000_000,
+        partition: dict | None = None,
     ) -> list[dict]:
         """Write df's rows as data files; returns snapshot file entries.
 
@@ -435,7 +436,7 @@ class LakeTable:
         """
         write_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
         abs_dir = os.path.join(self.root, write_dir)
-        part = self.partition
+        part = partition if partition is not None else self.partition
         tp = self.time_partition
         cluster = [c for c in self.clustering if c in df.columns]
         part_cols: list[str] = []
@@ -513,6 +514,7 @@ class LakeTable:
         schemas: dict | None = None,
         current_schema_id: int | None = None,
         merge_keys: list[str] | None = None,
+        partition: dict | None = None,
     ) -> int:
         """Atomically publish a new snapshot; O_EXCL create is the commit point."""
         base = self.snapshot()
@@ -563,7 +565,7 @@ class LakeTable:
                 else base["current_schema_id"]
             ),
             "schemas": schemas if schemas is not None else base["schemas"],
-            "partition": base["partition"],
+            "partition": partition if partition is not None else base["partition"],
             "time_partition": base.get("time_partition"),
             "clustering": base.get("clustering", []),
             "merge_keys": merge_keys if merge_keys is not None else base["merge_keys"],
@@ -944,6 +946,41 @@ class LakeTable:
             operation="compact",
             files=kept + new_files,
             expected_version=base["version"],
+        )
+
+    def rebucket(
+        self, num_buckets: int, *, target_file_rows: int = 1_000_000
+    ) -> int:
+        """Change the hash-bucket count — table-growth maintenance.
+
+        A table created with N buckets eventually outgrows them (per-bucket
+        bytes keep rising as the key space grows); re-bucketing rewrites the
+        current state under ``bucket(new_N, key)`` and atomically updates
+        the partition spec with the data, so every later merge prunes and
+        writes against the new layout. This is the one whole-table rewrite
+        in the maintenance suite — run it offline/rarely, sized so each new
+        bucket lands in the 100 MB-1 GB range at the target table size.
+        Readers of OLD snapshots still reconcile correctly (bucket pruning
+        consults the snapshot being read).
+        """
+        part = self.partition
+        if not part:
+            raise ValueError("table is unpartitioned")
+        if num_buckets <= 0:
+            raise ValueError("num_buckets must be positive")
+        base = self.snapshot()
+        new_part = {"column": part["column"], "num_buckets": num_buckets}
+        files = self._write_data(
+            self.read(),  # folds any outstanding MOR deltas too
+            base["current_schema_id"],
+            max_records_per_file=target_file_rows,
+            partition=new_part,
+        )
+        return self._commit(
+            operation="rebucket",
+            files=files,
+            expected_version=base["version"],
+            partition=new_part,
         )
 
     def tag(self, name: str, version: int | None = None) -> int:

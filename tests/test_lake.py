@@ -245,3 +245,36 @@ def test_gc_orphans_reclaims_uncommitted_writes(spark, tmp_table_root):
     for p in live_before:
         assert os.path.exists(os.path.join(t.root, p))
     assert t.read().count() == len(ROWS)
+
+
+def test_rebucket_changes_layout_and_composes_with_merge(spark, tmp_path):
+    """Re-bucketing rewrites under the new bucket(N, key) spec atomically;
+    subsequent engine merges prune and write against the new layout."""
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+    root = str(tmp_path / "t")
+    cfg = IngestConfig(table="repos", mode="merge",
+                       merge_keys=["repo", "path"], num_buckets=2)
+    eng = CdcEngine(spark, cfg, root)
+    eng.ensure_table(REPOS_SCHEMA)
+    changes = gen_changes(spark, 1500, n_repos=30, paths_per_repo=8)
+    eng.replay(changes, n_events=1000, batch_size=500)
+
+    t = LakeTable(spark, root)
+    state_before = sorted(tuple(r) for r in t.read().collect())
+    t.rebucket(8)
+    assert t.partition == {"column": "repo", "num_buckets": 8}
+    assert {f["bucket"] for f in t.snapshot()["files"]} <= set(range(8))
+    assert sorted(tuple(r) for r in t.read().collect()) == state_before
+
+    # merges after the rebucket use the new spec (engine re-reads partition)
+    stats = eng.replay(changes, n_events=1500, batch_size=500)
+    assert stats.batches == 1  # first two ranges are exactly-once no-ops
+    # the new commit's files all carry buckets under the new count
+    snap = t.snapshot()
+    new_files = [f for f in snap["files"] if f.get("seq") == snap["version"]]
+    assert new_files and all(f["bucket"] < 8 for f in new_files)
+    # time travel across the spec change still works
+    assert sorted(tuple(r) for r in t.read(version=2).collect()) == state_before
