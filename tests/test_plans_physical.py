@@ -174,3 +174,22 @@ def test_ann_plan_construction_runs_no_jobs_with_explicit_dim(spark):
     embedding_near_dup_pairs(df, dim=2, planes=2, tables=2)
     new = set(tracker.getJobIdsForGroup() or []) - before
     assert not new, f"plan construction ran Spark jobs: {new}"
+
+
+def test_salted_dedup_plan_has_two_aggregate_phases(spark, changelog):
+    """Explicit-salt dedup (adversarial hot keys): the plan must carry TWO
+    grouped aggregations — partial per (key, salt), final per key — so no
+    single reducer ever holds more than ~|hot key|/salt rows. Each hash
+    aggregate itself also gets a map-side partial, so four HashAggregate
+    operators appear in total."""
+    df = spark.read.parquet(changelog)
+    out = lww_dedup(
+        df, ["repo", "path"], ["commit_seq", "event_offset"],
+        strategy="maxby", salt_partitions=16,
+    )
+    plan = plan_of(out)
+    # struct-valued max_by buffers plan as SortAggregate; either flavor
+    # must appear in two grouped phases, each with its own partial+final
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 4, plan
+    assert "_salt" in plan  # the salt column is real, not folded away
