@@ -64,6 +64,9 @@ def run_level(cores: int, events: int, batches: int, repeats: int = 1,
         BENCH_SKIP_QUERIES="1",
         BENCH_MERGE_STRATEGY=strategy,
         BENCH_SOURCE=source,
+        # this harness interleaves + accumulates its own best-of; one
+        # replay per level per round keeps both levels in the same weather
+        BENCH_REPLAY_REPEATS="1",
     )
     best = None
     for _ in range(max(1, repeats)):
