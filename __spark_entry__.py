@@ -3,9 +3,11 @@
 entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query (omitted only for
-                 hash-family ops whose values are engine-specific:
-                 minhash/simhash/LSH — those get rows-only checks).
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query. 23 of 27 queries
+                 are value-checked (incl. the media suite and the
+                 recursive-CTE components oracle); only the four
+                 hash-family ops whose values are engine-specific
+                 (minhash/simhash banding, hyperplane LSH) are rows-only.
 
 Every computed column is aliased identically in both forms; floats that
 cross engines are rounded to 6 decimals inside both plans.
