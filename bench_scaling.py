@@ -120,12 +120,14 @@ def main() -> None:
         "dedup": os.environ.get("BENCH_DEDUP", "maxby"),
     }
     prior_runs = 0
+    prior_host_max = 0.0
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             prev = json.load(f)
         if prev.get("config") == config_key:
             small, large = prev.get("small"), prev.get("large")
             prior_runs = prev.get("runs", 0)
+            prior_host_max = prev.get("host_factor", 0.0)
     host_factors = []
     for _ in range(max(1, args.repeats)):
         host_factors.append(host_speedup(args.n_cores, args.xn_cores))
@@ -138,7 +140,11 @@ def main() -> None:
         if large is None or l["value"] < large["value"]:
             large = l
     host_factors.append(host_speedup(args.n_cores, args.xn_cores))
-    host_factor = max(host_factors)
+    # normalize the ACCUMULATED bests by the max host capacity observed
+    # across ALL accumulating invocations — conservative: the best job
+    # windows may have coincided with the best host windows, so dividing
+    # by anything less would overstate the job's share of deliverable
+    host_factor = max(host_factors + [prior_host_max])
     total_runs = prior_runs + max(1, args.repeats)
     with open(sidecar, "w") as f:
         json.dump(
