@@ -82,17 +82,36 @@ def run_replay(spark, n_events: int, batches: int, workdir: str) -> dict:
     }
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query timings: best-of-N (headline) and cold first-run.
+
+    Single-shot per-query timing confounded the engine with this
+    virtualized host's weather AND first-evaluation costs (Janino codegen
+    compile, Python-worker spawn for the Arrow queries) — round 2 recorded
+    a 3.5x phantom regression that way. Each query now runs
+    BENCH_QUERY_REPEATS times (default 2, fresh plan each run — only JVM/
+    codegen/python-worker state is warm, nothing query-specific is cached);
+    the min is the steady-state number, the first run is reported
+    separately as cold-start.
+    """
     import __spark_entry__ as entry_mod
 
-    out = {}
+    repeats = max(1, int(os.environ.get("BENCH_QUERY_REPEATS", "2")))
+    best: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        out[name] = round(time.monotonic() - t0, 3)
-        assert n >= 0
-    return out
+        for i in range(repeats):
+            spark.catalog.clearCache()  # no cross-run result caching
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            dt = round(time.monotonic() - t0, 3)
+            assert n >= 0
+            if i == 0:
+                cold[name] = dt
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    return best, cold
 
 
 def main() -> None:
@@ -135,11 +154,10 @@ def main() -> None:
             att = run_replay(spark, n_events, batches, att_dir)
             if replay is None or att["elapsed_s"] < replay["elapsed_s"]:
                 replay = att
-        queries = (
-            {}
-            if os.environ.get("BENCH_SKIP_QUERIES")
-            else run_queries(spark, sf_dir)
-        )
+        if os.environ.get("BENCH_SKIP_QUERIES"):
+            queries, queries_cold = {}, {}
+        else:
+            queries, queries_cold = run_queries(spark, sf_dir)
         total = round(time.monotonic() - t0, 3)
         print(
             json.dumps(
@@ -153,6 +171,7 @@ def main() -> None:
                     "final_rows": replay["final_rows"],
                     "cores": cpus,
                     "queries": queries,
+                    "queries_cold": queries_cold,
                     "total_sec": total,
                     "sf": sf,
                 }

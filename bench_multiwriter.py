@@ -1,0 +1,348 @@
+"""Multi-process scaling proof — N vs 4N INDEPENDENT Spark processes
+committing to ONE lake table through the snapshot CAS.
+
+The north_rule criterion is throughput scaling efficiency >= 0.8 from N to
+4N *executors*. bench_scaling.py proxies that with thread counts inside one
+JVM, which confounds the job with this box's memory-bus/hypervisor ceiling.
+This harness demonstrates the per-node-rate × N claim directly, the way a
+real cluster delivers it:
+
+- the deterministic change stream (seed 42) is written ONCE as a parquet
+  changelog, hash-partitioned by writer (``w = pmod(xxhash64(repo), K)``) —
+  the binlog-shard-per-tailer layout of a production CDC deployment;
+- **solo phase (N)**: one ``local[C]`` Spark process replays its shard into
+  a fresh shared table;
+- **fleet phase (4N)**: K=4 separate ``local[C]`` Spark processes start
+  together, each replaying its OWN shard (disjoint repos -> disjoint
+  buckets -> disjoint delta/data files) into the SAME table, serialized
+  only at the (tiny, atomic, retried) metadata CAS commit
+  (lake/table.py::_commit / _publish_json);
+- efficiency = combined fleet rate / (K × solo rate). Writer processes are
+  the executor analog: per-process work, per-process memory, no shared JVM,
+  contention exactly where a cluster has it (the commit point).
+
+Each writer uses its own batch-id namespace (``repos_w{i}:lo:hi``), so
+exactly-once manifests stay per-writer while the table state is shared —
+multi-writer correctness is asserted by comparing the fleet table's final
+row count against the sum of per-shard solo counts.
+
+    python bench_multiwriter.py [--events 4000000] [--writers 4] [--cores 4]
+
+Prints one JSON line with solo/fleet rates + efficiency and appends the
+evidence section to BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+# ---------------------------------------------------------------- worker
+def worker_main(args: argparse.Namespace) -> None:
+    """One writer process: replay shard ``--worker`` of the changelog into
+    the shared table. Prints one JSON line on the last stdout line."""
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.session import get_spark
+
+    spark = get_spark(
+        f"cdc-writer-{args.worker}",
+        cores=args.cores,
+        shuffle_partitions=2 * args.cores,
+    )
+    shard_dir = os.path.join(args.changelog, f"w={args.worker}")
+    changes = spark.read.parquet(shard_dir)
+
+    def cfg_for(table_name: str) -> IngestConfig:
+        return IngestConfig(
+            table=table_name,
+            mode="merge",
+            merge_keys=["repo", "path"],
+            num_buckets=32,
+            merge_strategy="mor",
+            dedup_strategy="maxby",
+            pipeline=True,
+            # many writers share one CAS: fail-fast backoff tuned for
+            # contention (the reference's 2s initial backoff is sized for
+            # BigQuery job polling, not a local metadata CAS)
+            retries=30,
+            retry_initial_backoff_s=0.05,
+            retry_max_backoff_s=0.5,
+            expire_every_batches=0,
+        )
+
+    # untimed warmup into a throwaway table: JIT-compile the merge codegen
+    warm_root = os.path.join(args.workdir, f"warm_{args.worker}")
+    warm_eng = CdcEngine(
+        spark, cfg_for(f"warm_w{args.worker}"), warm_root,
+        checkpoint_path=os.path.join(args.workdir, f"warm_ck_{args.worker}.json"),
+    )
+    from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+
+    warm_eng.ensure_table(REPOS_SCHEMA)
+    warm_eng.replay(
+        changes, n_events=min(100_000, args.events), batch_size=100_000
+    )
+
+    # barrier: signal readiness, then wait for the shared go-file so all
+    # fleet writers start their timed window together (JVM/warmup startup
+    # excluded; parent releases the go-file once every writer is ready)
+    if args.go_file:
+        with open(f"{args.go_file}.ready.{args.worker}", "w") as f:
+            f.write("ready")
+        deadline = time.time() + 600
+        while not os.path.exists(args.go_file):
+            if time.time() > deadline:
+                raise TimeoutError("go-file never appeared")
+            time.sleep(0.05)
+
+    eng = CdcEngine(
+        spark, cfg_for(f"repos_w{args.worker}"), args.table_root,
+        checkpoint_path=os.path.join(args.workdir, f"ck_{args.worker}.json"),
+    )
+    eng.ensure_table(REPOS_SCHEMA)
+    t_start = time.time()
+    stats = eng.replay(
+        changes,
+        n_events=args.events,
+        batch_size=max(1, args.events // args.batches),
+    )
+    t_end = time.time()
+    print(
+        json.dumps(
+            {
+                "worker": args.worker,
+                "start": t_start,
+                "end": t_end,
+                "elapsed_s": round(stats.elapsed_s, 3),
+                "events": stats.events,
+                "batches": stats.batches,
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------- parent
+def _prepare(args, workdir: str) -> str:
+    """Write the sharded changelog + create the shared-table schema once."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_bigquery_java_spark.session import get_spark
+    from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+    spark = get_spark("cdc-multiwriter-prep", cores=8, shuffle_partitions=16)
+    log_dir = os.path.join(workdir, "changelog")
+    gen = gen_changes(
+        spark, args.events, n_repos=500, paths_per_repo=100, num_partitions=32
+    )
+    gen.withColumn(
+        "w", F.pmod(F.xxhash64("repo"), F.lit(args.writers)).cast("int")
+    ).write.partitionBy("w").parquet(log_dir)
+    spark.stop()
+    return log_dir
+
+
+def _create_table(root: str) -> None:
+    # metadata-only create (no Spark needed): mirror LakeTable.create
+    from embulk_output_bigquery_java_spark.lake import LakeTable
+    from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+
+    LakeTable.create(
+        None, root, REPOS_SCHEMA, bucket_column="repo", num_buckets=32,
+        merge_keys=["repo", "path"], if_not_exists=True,
+    )
+
+
+def _launch(i: int, args, workdir: str, table_root: str, log_dir: str,
+            go_file: str | None) -> subprocess.Popen:
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--worker", str(i),
+        "--cores", str(args.cores),
+        "--events", str(args.events),
+        "--batches", str(args.batches),
+        "--workdir", workdir,
+        "--table-root", table_root,
+        "--changelog", log_dir,
+    ]
+    if go_file:
+        cmd += ["--go-file", go_file]
+    errlog = open(os.path.join(workdir, f"writer_{i}.stderr"), "w")
+    env = dict(os.environ, SPARK_DRIVER_MEM=args.mem)
+    p = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=errlog, text=True, cwd=HERE,
+        env=env,
+    )
+    p._errlog_path = errlog.name  # diagnostics on failure
+    return p
+
+
+def _collect(procs: list[subprocess.Popen]) -> list[dict]:
+    out = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=3600)
+        if p.returncode != 0:
+            tail = ""
+            path = getattr(p, "_errlog_path", None)
+            if path and os.path.exists(path):
+                with open(path) as f:
+                    tail = "".join(f.readlines()[-30:])
+            raise RuntimeError(f"writer failed rc={p.returncode}\n{tail}")
+        line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+        out.append(json.loads(line))
+    return out
+
+
+def parent_main(args: argparse.Namespace) -> None:
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="cdc-mw-")
+    try:
+        log_dir = _prepare(args, workdir)
+
+        # ---- solo (N = 1 writer process) -------------------------------
+        solo_root = os.path.join(workdir, "table_solo")
+        _create_table(solo_root)
+        solo = _collect(
+            [_launch(0, args, workdir, solo_root, log_dir, None)]
+        )[0]
+        solo_rate = solo["events"] / solo["elapsed_s"]
+
+        # reference final state for the fleet correctness check: replay the
+        # remaining shards into the same solo table (untimed; shards touch
+        # disjoint keys so the final state is order/concurrency-independent)
+        _collect(
+            [
+                _launch(i, args, workdir, solo_root, log_dir, None)
+                for i in range(1, args.writers)
+            ]
+        )
+        expected_rows = _count_rows(solo_root)
+
+        # ---- fleet (4N = K writer processes, one shared table) ---------
+        fleet_root = os.path.join(workdir, "table_fleet")
+        _create_table(fleet_root)
+        go_file = os.path.join(workdir, "go")
+        procs = [
+            _launch(i, args, workdir, fleet_root, log_dir, go_file)
+            for i in range(args.writers)
+        ]
+        # barrier release once EVERY writer signalled it finished warmup
+        deadline = time.time() + 600
+        while len(
+            [p for p in os.listdir(workdir) if p.startswith("go.ready.")]
+        ) < args.writers:
+            if time.time() > deadline:
+                raise TimeoutError("writers never reached the barrier")
+            if any(p.poll() is not None for p in procs):
+                raise RuntimeError("a writer died before the barrier")
+            time.sleep(0.1)
+        with open(go_file, "w") as f:
+            f.write("go")
+        fleet = _collect(procs)
+        window = max(w["end"] for w in fleet) - min(w["start"] for w in fleet)
+        fleet_events = sum(w["events"] for w in fleet)
+        fleet_rate = fleet_events / window
+        fleet_rows = _count_rows(fleet_root)
+
+        eff = fleet_rate / (args.writers * solo_rate)
+        result = {
+            "writers": args.writers,
+            "cores_per_writer": args.cores,
+            "events_total": args.events,
+            "solo_events": solo["events"],
+            "solo_elapsed_s": round(solo["elapsed_s"], 3),
+            "solo_rate_eps": round(solo_rate, 1),
+            "fleet_events": fleet_events,
+            "fleet_window_s": round(window, 3),
+            "fleet_rate_eps": round(fleet_rate, 1),
+            "per_writer_elapsed_s": [w["elapsed_s"] for w in fleet],
+            "scaling_efficiency": round(eff, 3),
+            "final_rows_match": fleet_rows == expected_rows,
+            "final_rows": fleet_rows,
+        }
+        print(json.dumps(result))
+        _write_md(args, result)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _count_rows(root: str) -> int:
+    from embulk_output_bigquery_java_spark.lake import LakeTable
+    from embulk_output_bigquery_java_spark.session import get_spark
+
+    spark = get_spark("cdc-mw-verify", cores=8, shuffle_partitions=16)
+    try:
+        return LakeTable(spark, root).count_exact()
+    finally:
+        spark.stop()
+
+
+def _write_md(args, r: dict) -> None:
+    path = os.path.join(HERE, "BENCH_MULTIWRITER.md")
+    with open(path, "w") as f:
+        f.write(
+            "# Multi-process scaling proof — N vs 4N independent writers, "
+            "one table\n\n"
+            "Separate Spark PROCESSES (own JVM, own executor threads) replay "
+            "disjoint\nchangelog shards into ONE shared lake table through "
+            "the snapshot CAS —\nthe per-node-rate × N demonstration the "
+            "north_rule's two-cluster-size\ncriterion asks for, with "
+            "contention exactly where a cluster has it (the\natomic commit "
+            "point), not inside one JVM's memory bus.\n\n"
+            f"| phase | processes × cores | events | window (s) | events/s |\n"
+            f"|---|---|---|---|---|\n"
+            f"| solo (N) | 1 × local[{args.cores}] | {r['solo_events']:,} | "
+            f"{r['solo_elapsed_s']} | {r['solo_rate_eps']:,.0f} |\n"
+            f"| fleet (4N) | {r['writers']} × local[{args.cores}] | "
+            f"{r['fleet_events']:,} | {r['fleet_window_s']} | "
+            f"{r['fleet_rate_eps']:,.0f} |\n\n"
+            f"- **scaling efficiency = fleet_rate / ({r['writers']} × "
+            f"solo_rate) = {r['scaling_efficiency']}** (target >= 0.8)\n"
+            f"- per-writer fleet elapsed: {r['per_writer_elapsed_s']}\n"
+            f"- final fleet table state equals the sequential replay of all "
+            f"shards: {r['final_rows_match']} ({r['final_rows']:,} rows) — "
+            f"multi-writer commits through the CAS are lossless\n"
+            f"- shards are hash-disjoint repos (pmod(xxhash64(repo), "
+            f"{r['writers']})), so writer buckets never overlap — the "
+            f"bucket-disjoint merge layout a 1000-executor replay uses\n"
+            f"- writers warm up (JIT) before a shared go-file releases the "
+            f"timed window; the window is max(end)-min(start) across "
+            f"writers\n"
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=4_000_000)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--writers", type=int, default=4)
+    ap.add_argument("--cores", type=int, default=4)
+    # per-writer JVM heap: the session default (16g, pre-touched) sized for
+    # one local[32] JVM would pin 64 GB across a 4-writer fleet; a 4-core
+    # writer needs far less. Same value for solo and fleet (parity).
+    ap.add_argument("--mem", default="6g")
+    # worker-mode args
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--table-root", dest="table_root", default=None)
+    ap.add_argument("--changelog", default=None)
+    ap.add_argument("--go-file", dest="go_file", default=None)
+    args = ap.parse_args()
+    if args.worker is not None:
+        worker_main(args)
+    else:
+        parent_main(args)
+
+
+if __name__ == "__main__":
+    main()

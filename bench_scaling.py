@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import statistics
 import json
 import multiprocessing
 import os
@@ -112,6 +113,8 @@ def main() -> None:
     # better hypervisor window is still the same job — keeping per-level
     # minima widens the weather sample instead of discarding it.
     small = large = None
+    hist_small: list[float] = []
+    hist_large: list[float] = []
     sidecar = os.path.join(HERE, "BENCH_SCALING.json")
     config_key = {
         "strategy": args.strategy, "source": args.source,
@@ -128,6 +131,8 @@ def main() -> None:
             small, large = prev.get("small"), prev.get("large")
             prior_runs = prev.get("runs", 0)
             prior_host_max = prev.get("host_factor", 0.0)
+            hist_small = prev.get("hist_small", [])
+            hist_large = prev.get("hist_large", [])
     host_factors = []
     for _ in range(max(1, args.repeats)):
         host_factors.append(host_speedup(args.n_cores, args.xn_cores))
@@ -135,6 +140,8 @@ def main() -> None:
                       args.strategy, args.source)
         l = run_level(args.xn_cores, args.events, args.batches, 1,
                       args.strategy, args.source)
+        hist_small.append(s["value"])
+        hist_large.append(l["value"])
         if small is None or s["value"] < small["value"]:
             small = s
         if large is None or l["value"] < large["value"]:
@@ -149,12 +156,19 @@ def main() -> None:
     with open(sidecar, "w") as f:
         json.dump(
             {"config": config_key, "small": small, "large": large,
-             "runs": total_runs, "host_factor": host_factor},
+             "runs": total_runs, "host_factor": host_factor,
+             "hist_small": hist_small, "hist_large": hist_large},
             f,
         )
     factor = args.xn_cores / args.n_cores
     speedup = small["value"] / large["value"]
     eff = speedup / factor
+    # median-of-runs companion (statistics over every recorded window of
+    # this config): a single-window, reproducible-run summary reported
+    # ALONGSIDE the accumulated best so neither stands alone
+    med_small = statistics.median(hist_small) if hist_small else small["value"]
+    med_large = statistics.median(hist_large) if hist_large else large["value"]
+    eff_median = (med_small / med_large) / factor
     # efficiency relative to what the host can actually deliver right now:
     # the job cannot scale past the hardware's deliverable parallelism
     eff_host = speedup / min(factor, host_factor)
@@ -171,6 +185,9 @@ def main() -> None:
         "eps_n": small["events_per_s"],
         "eps_4n": large["events_per_s"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(eff_median, 3),
+        "t_n_median_sec": round(med_small, 3),
+        "t_4n_median_sec": round(med_large, 3),
         "host_deliverable_speedup": round(host_factor, 2),
         "host_normalized_efficiency": round(eff_host, 3),
         "final_rows_match": small["final_rows"] == large["final_rows"],
@@ -193,7 +210,14 @@ def main() -> None:
             f"{result['final_rows_match']} ({small['final_rows']})\n"
             f"- **scaling efficiency = (T_N / T_4N) / "
             f"{int(factor)} = {result['scaling_efficiency']}** "
-            f"(target >= 0.8)\n"
+            f"(target >= 0.8) — computed from the ACCUMULATED per-level "
+            f"best windows (labeled as such; see median companion below)\n"
+            f"- median-of-all-recorded-runs companion: T_N "
+            f"{result['t_n_median_sec']} s, T_4N "
+            f"{result['t_4n_median_sec']} s -> efficiency "
+            f"{result['scaling_efficiency_median']} (a single reproducible "
+            f"window's expectation; the accumulated best reflects the "
+            f"engine in the best hypervisor weather observed)\n"
             f"- host-deliverable speedup {args.n_cores}->{args.xn_cores} "
             f"workers measured {result['host_deliverable_speedup']}x by a "
             f"Spark-free sha256 process benchmark (this virtualized box "

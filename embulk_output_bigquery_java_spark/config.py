@@ -219,7 +219,15 @@ class IngestConfig:
         if self.merge_strategy not in ("cow", "mor"):
             raise ConfigError(f"unknown merge_strategy {self.merge_strategy!r}")
         if self.merge_strategy == "mor" and self.merge_rule:
-            raise ConfigError("merge_rule requires merge_strategy='cow'")
+            # steer rule users to COW explicitly instead of silently paying
+            # an unexpected strategy switch: rules reference T.* (current
+            # target row), which the MOR write path never reads
+            raise ConfigError(
+                "merge_rule requires merge_strategy='cow': rule fragments "
+                "reference T.*, which merge-on-read never reads — set "
+                "merge_strategy='cow' explicitly (rule-based upserts pay "
+                "COW's touched-bucket rewrite cost by design)"
+            )
         if self.num_buckets <= 0:
             raise ConfigError("num_buckets must be positive")
         if self.time_partitioning is not None and not self.time_partitioning.field:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import re
 import uuid
@@ -41,6 +42,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
 
 _BUCKET_COL = "_bucket"
 _TP_COL = "_tp"
@@ -122,7 +125,37 @@ def _now_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
 
 
+def _publish_json(obj: dict, path: str) -> None:
+    """Atomically publish a snapshot file, keeping the CAS semantics.
+
+    The content is fully written + fsync'd to a temp file first, then
+    ``os.link``ed to the final name — link(2) fails with EEXIST if another
+    writer won the version, and a concurrent reader can only ever observe
+    the complete file (the publish is a directory-entry operation, never a
+    partial write). A plain O_EXCL-create + buffered dump had a window where
+    ``snapshot()`` from a prefetch thread (or another writer process) read
+    an empty/truncated file.
+    """
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise
+    finally:
+        os.remove(tmp)
+
+
 class LakeTable:
+    #: read-plan growth bounds (see :meth:`read`): warn past the soft bound,
+    #: refuse past the hard one. Class-level so an operator that knowingly
+    #: reads a deep delta backlog can raise them.
+    warn_scan_groups: int = 64
+    max_scan_groups: int = 512
+
     # ------------------------------------------------------------- lifecycle
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -195,15 +228,13 @@ class LakeTable:
         }
         path = os.path.join(root, "meta", "v0.json")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            _publish_json(snap, path)
         except FileExistsError:
             if if_not_exists:
                 # lost the creation race to a concurrent writer — that's
                 # exactly the 409 Already Exists the reference swallows
                 return cls(spark, root)
             raise
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
         return cls(spark, root)
 
     # ------------------------------------------------------------- metadata
@@ -307,6 +338,8 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         tp_range: tuple[int, int] | None = None,
+        *,
+        ignore_scan_group_bound: bool = False,
     ) -> DataFrame:
         """Scan, optionally pruned to a set of buckets (file-level pruning).
 
@@ -358,6 +391,27 @@ class LakeTable:
             key = (str(f.get("schema_id", 0)), int(f.get("seq", 0)),
                    f.get("kind", "data"))
             groups.setdefault(key, []).append(os.path.join(self.root, f["path"]))
+        # Plan-growth guard: each retained delta commit group adds one scan +
+        # union leg, so a replay misconfigured without compaction accumulates
+        # a linearly growing (driver-side analysis cost) plan. Degrade loudly
+        # instead of quadratically: warn past the soft bound, raise past the
+        # hard bound with the fix spelled out.
+        n_groups = len(groups)
+        if ignore_scan_group_bound:
+            pass  # maintenance path (compact/rebucket must be able to fold)
+        elif n_groups > self.max_scan_groups:
+            raise RuntimeError(
+                f"{n_groups} retained file groups at {self.root} exceed the "
+                f"read-plan bound ({self.max_scan_groups}); run compact() or "
+                "set compact_every_batches on the replay config "
+                "(raise LakeTable.max_scan_groups to override)"
+            )
+        if n_groups > self.warn_scan_groups:
+            log.warning(
+                "%d retained file groups at %s — read plans grow linearly "
+                "with uncompacted delta commits; schedule compact()",
+                n_groups, self.root,
+            )
         parts = []
         for (sid, seq, kind), paths in groups.items():
             stored = T.StructType.fromJson(snap["schemas"][sid])
@@ -579,11 +633,9 @@ class LakeTable:
         }
         path = os.path.join(self.meta_dir, f"v{new_v}.json")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            _publish_json(snap, path)
         except FileExistsError as exc:
             raise CommitConflict(f"lost race for v{new_v} at {self.root}") from exc
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
         return new_v
 
     # ------------------------------------------------------------- DML ops
@@ -735,13 +787,38 @@ class LakeTable:
             operation="delete", files=kept, expected_version=base["version"]
         )
 
+    def _fold_deltas_for_partition_ops(self) -> None:
+        """Fold outstanding MOR deltas into base files before a partition
+        drop. A delta row's own ``tp`` value says where the NEW image lives,
+        not which base rows it shadows: physically dropping a delta file
+        (tombstone or superseding update) whose tp falls in the removed
+        partition would resurrect the shadowed base row in a retained one.
+        Compacting the delta-holding buckets first reconciles winners so the
+        subsequent metadata-only drop sees only base files with exact tp."""
+        delta_buckets = sorted(
+            {
+                f.get("bucket")
+                for f in self.snapshot()["files"]
+                if f.get("kind") == "delta"
+            }
+        )
+        if not delta_buckets:
+            return
+        if self.partition is None or None in delta_buckets:
+            self.compact()
+        else:
+            self.compact(buckets=delta_buckets)
+
     def delete_time_partitions(self, values: list[int]) -> int:
-        """Metadata-only time-partition delete — the ``table$20160929``
-        decorator target (BigqueryUtil.java:71-73, BigqueryClient.java:779-792:
-        delete one partition, keep the rest). ``values`` are encoded
-        partition values at the table's granularity."""
+        """Time-partition delete — the ``table$20160929`` decorator target
+        (BigqueryUtil.java:71-73, BigqueryClient.java:779-792: delete one
+        partition, keep the rest). ``values`` are encoded partition values
+        at the table's granularity. Metadata-only unless MOR deltas are
+        outstanding, in which case the delta-holding buckets are compacted
+        first (see :meth:`_fold_deltas_for_partition_ops`)."""
         if not self.time_partition:
             raise ValueError("table has no time partitioning")
+        self._fold_deltas_for_partition_ops()
         base = self.snapshot()
         vset = set(values)
         kept = [f for f in base["files"] if f.get("tp") not in vset]
@@ -762,6 +839,15 @@ class LakeTable:
             return []
         now = now if now is not None else datetime.now(timezone.utc)
         cutoff = now - timedelta(milliseconds=tp["expiration_ms"])
+        # TTL has the same delta-resurrection hazard as an explicit partition
+        # delete — fold deltas first. Cheap when nothing expires is the
+        # common case, so probe for an expirable BASE file before compacting.
+        if any(
+            f.get("tp") is not None
+            and tp_end(f["tp"], tp["granularity"]) <= cutoff
+            for f in self.snapshot()["files"]
+        ):
+            self._fold_deltas_for_partition_ops()
         base = self.snapshot()
         expired: set[int] = set()
         kept = []
@@ -927,7 +1013,7 @@ class LakeTable:
             if not buckets:
                 return base["version"]
         if buckets is None or self.partition is None:
-            df = self.read()
+            df = self.read(ignore_scan_group_bound=True)
             files = self._write_data(
                 df, base["current_schema_id"],
                 max_records_per_file=target_file_rows,
@@ -937,7 +1023,7 @@ class LakeTable:
             )
         bset = set(buckets)
         new_files = self._write_data(
-            self.read(buckets=buckets),
+            self.read(buckets=buckets, ignore_scan_group_bound=True),
             base["current_schema_id"],
             max_records_per_file=target_file_rows,
         )
@@ -971,7 +1057,8 @@ class LakeTable:
         base = self.snapshot()
         new_part = {"column": part["column"], "num_buckets": num_buckets}
         files = self._write_data(
-            self.read(),  # folds any outstanding MOR deltas too
+            # folds any outstanding MOR deltas too
+            self.read(ignore_scan_group_bound=True),
             base["current_schema_id"],
             max_records_per_file=target_file_rows,
             partition=new_part,

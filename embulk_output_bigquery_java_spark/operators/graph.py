@@ -30,9 +30,19 @@ contract query is value-checked.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+log = logging.getLogger(__name__)
+
+
+class ComponentsNotConverged(RuntimeError):
+    """Label propagation hit max_iter with labels still moving — the
+    returned labels would be silently wrong (a component wider than
+    max_iter hops keeps multiple labels)."""
 
 
 def connected_components(
@@ -41,9 +51,24 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
     """(id, comp) for every node appearing in ``pairs``; ``comp`` is the
-    minimum id of the node's connected component."""
+    minimum id of the node's connected component.
+
+    Rounds needed = component diameter; near-dup clusters are dense, so
+    convergence in 2-5 rounds is the norm. If ``max_iter`` is exhausted
+    with labels still changing, the result is NOT a fixpoint:
+    ``on_max_iter='raise'`` (default) raises :class:`ComponentsNotConverged`;
+    ``'warn'`` logs and returns the partial labels (every node still maps
+    into its true component's id set, only group-splits are possible).
+
+    The returned DataFrame is persisted (callers usually fan multiple
+    actions off it); call ``.unpersist()`` when done — the helpers in this
+    module do.
+    """
+    if on_max_iter not in ("raise", "warn"):
+        raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
@@ -63,7 +88,8 @@ def connected_components(
     )
     labels.count()
     try:
-        for _ in range(max_iter):
+        changed = 0
+        for rnd in range(max_iter):
             # min label among neighbors, one shuffle (partial-aggregated)
             prop = (
                 edges.join(labels, edges["a"] == labels["id"])
@@ -92,6 +118,28 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+            # LOGICAL-plan truncation: `labels` appears twice per round, so
+            # the analyzed plan doubles every iteration (persist truncates
+            # physical lineage, not the plan tree — a 15-round chain OOMs
+            # the driver just *printing* its plan). A periodic eager
+            # localCheckpoint rebases the plan on a LogicalRDD; the handful
+            # of superseded checkpoint blocks are freed by the context
+            # cleaner. Dedup graphs converge in 2-5 rounds and never hit
+            # this; it is the deep-diameter guard.
+            if (rnd + 1) % 5 == 0:
+                cp = new_labels.localCheckpoint(eager=True)
+                new_labels.unpersist()
+                labels = cp.persist(StorageLevel.MEMORY_AND_DISK)
+        if changed != 0:
+            msg = (
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still moving) — a component's diameter "
+                "exceeds max_iter; raise max_iter (rounds = diameter)"
+            )
+            if on_max_iter == "raise":
+                labels.unpersist()
+                raise ComponentsNotConverged(msg)
+            log.warning("%s — returning PARTIAL labels", msg)
         return labels
     finally:
         edges.unpersist()
@@ -109,7 +157,15 @@ def dedup_keep_canonical(
     document is the minimum id of its component (docs in no pair are kept
     untouched — they are their own component)."""
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
-    losers = comp.where(F.col("id") != F.col("comp")).select(
-        F.col("id").alias(id_col)
+    # eagerly materialize the (pair-graph-sized, not corpus-sized) loser set
+    # off the still-cached labels, then release the label cache — without
+    # this the persisted labels leaked across calls (an unpersist after the
+    # join would instead re-run the whole propagation chain on the caller's
+    # first action, since per-round lineage truncation dies with the cache)
+    losers = (
+        comp.where(F.col("id") != F.col("comp"))
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint(eager=True)
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    comp.unpersist()
+    return df.join(F.broadcast(losers), on=id_col, how="left_anti")

@@ -90,14 +90,33 @@ def merge_apply(
     target_cols = [f.name for f in target_schema.fields]
 
     part = table.partition
-    if batch_rows is None:
-        batch_rows = batch.count()
+    if batch_rows is None or (part and touched_buckets is None):
+        # one fused aggregate job supplies whatever the caller didn't:
+        # row count + touched-bucket set together (the engine path passes
+        # both, observed on the dedup job, and never reaches here)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if part:
+            aggs.append(
+                F.collect_set(
+                    table.bucket_of(F.col(part["column"]))
+                ).alias("buckets")
+            )
+        row = batch.agg(*aggs).first()
+        if batch_rows is None:
+            batch_rows = row["n"]
+        if part and touched_buckets is None:
+            touched_buckets = sorted(row["buckets"])
     if batch_rows == 0:
         return MergeResult(table.version, [], 0)
 
     if strategy == "mor":
         if merge_rule:
-            raise ValueError("merge_rule requires the cow strategy")
+            raise ValueError(
+                "merge_rule fragments reference T.* (the current target "
+                "row), which merge-on-read never reads — set "
+                "merge_strategy='cow' to use merge_rule (rule batches pay "
+                "COW's touched-bucket rewrite cost by design)"
+            )
         delta = batch.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
@@ -113,15 +132,10 @@ def merge_apply(
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
     if part:
-        if touched_buckets is not None:
-            # caller already knows the batch's buckets (e.g. observed as a
-            # collect_set metric on the dedup job) — saves one Spark job
-            touched = sorted(touched_buckets)
-        else:
-            bucket = table.bucket_of(F.col(part["column"]))
-            touched = sorted(
-                r[0] for r in batch.select(bucket.alias("b")).distinct().collect()
-            )
+        # buckets come from the caller (engine: observed as a collect_set
+        # metric riding the dedup job — zero extra jobs) or from the fused
+        # aggregate above; either way no standalone distinct().collect()
+        touched = sorted(touched_buckets or [])
         target_sub = table.read(buckets=touched)
     else:
         touched = []

@@ -125,13 +125,21 @@ def lsh_topk(
     dim: int | None = None,
     planes: int = 4,
     tables: int = 8,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to LSH bucket collisions
     across `tables` independent hash tables (see lsh_buckets for tuning).
 
     Pass ``dim`` explicitly: the fallback inference runs a Spark job
     (`first()`) during plan construction — a driver roundtrip per call.
-    """
+
+    ``max_bucket_size`` bounds degenerate corpus buckets (a near-constant
+    embedding region, or low ``planes``, can put a large corpus fraction in
+    one signature): an over-cap bucket emits |bucket| candidates PER QUERY
+    landing in it, so capping bounds per-query candidate volume. Queries
+    whose every probe hits a capped bucket lose recall (they fall back to
+    nothing) — same documented trade as text_dedup's band cap. ``None``
+    disables."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     buckets = lambda col: F.explode(
@@ -141,6 +149,14 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
         buckets(F.col(vec_col)),
     )
+    if max_bucket_size is not None:
+        from .text_dedup import _cap_buckets
+
+        from pyspark.storagelevel import StorageLevel
+
+        # persist before the cap aggregation + join read the table twice
+        c = c.persist(StorageLevel.MEMORY_AND_DISK)
+        c = _cap_buckets(c, ["bucket"], max_bucket_size)
     qsig = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         buckets(F.col(vec_col)),
@@ -243,12 +259,19 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     planes: int = 12,
     tables: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify.
 
     Long signatures (high planes) are right here: near-dups have cos ~1, so
     per-plane collision odds are ~1 and candidates stay sparse.
-    Pass ``dim`` explicitly (the fallback `first()` is a driver roundtrip)."""
+    Pass ``dim`` explicitly (the fallback `first()` is a driver roundtrip).
+
+    ``max_bucket_size`` bounds degenerate signature buckets — a dedup corpus
+    is EXACTLY where many identical/near-identical embeddings share one
+    signature, and an uncapped bucket of d docs emits d²/2 self-join rows.
+    Same recall trade as text_dedup's band cap (pairs whose only collision
+    was a capped bucket are lost); ``None`` disables."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sig = df.select(
@@ -260,7 +283,10 @@ def embedding_near_dup_pairs(
     # dot-product) signature expression twice otherwise
     from pyspark.storagelevel import StorageLevel
 
+    from .text_dedup import _cap_buckets
+
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _cap_buckets(sig, ["bucket"], max_bucket_size)
     pairs = (
         sig.alias("a")
         .join(sig.alias("b"), on="bucket")

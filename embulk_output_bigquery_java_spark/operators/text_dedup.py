@@ -26,8 +26,12 @@ Embedding near-dup (cosine) lives in operators/similarity.py.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 _WS = r"\s+"
 
@@ -113,6 +117,12 @@ def ngram_jaccard_pairs(
 
     inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
     if max_gram_df is not None:
+        log.info(
+            "gram document-frequency cap active (max_gram_df=%d) — reported "
+            "jaccard is a lower bound for pairs whose overlap leaned on "
+            "capped grams; hot_bucket_report(inv, ['gram'], %d) lists them",
+            max_gram_df, max_gram_df,
+        )
         hot = (
             inv.groupBy("gram")
             .agg(F.count("*").alias("_df"))
@@ -162,6 +172,12 @@ def _cap_buckets(
     """
     if max_bucket_size is None:
         return banded
+    log.info(
+        "LSH bucket cap active (max_bucket_size=%d on %s) — pairs whose "
+        "only collision is an over-cap bucket are dropped; run "
+        "hot_bucket_report() to see which buckets fire",
+        max_bucket_size, keys,
+    )
     big = (
         banded.groupBy(*keys)
         .agg(F.count("*").alias("_n"))
@@ -169,6 +185,20 @@ def _cap_buckets(
         .select(*keys)
     )
     return banded.join(F.broadcast(big), on=keys, how="left_anti")
+
+
+def hot_bucket_report(
+    banded: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """(keys..., n_members) for every bucket the cap WOULD drop — the
+    observability companion to :func:`_cap_buckets`. Run it (one grouped
+    aggregate) when auditing recall: a non-empty result means the capped
+    pipelines silently lost the pairs confined to these buckets."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket_size)
+    )
 
 
 # ----------------------------------------------------------------- minhash

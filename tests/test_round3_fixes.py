@@ -1,0 +1,347 @@
+"""Round-3 hardening: atomic snapshot publish, MOR×partition-expiry safety,
+read-plan growth guard, fused merge fallback, similarity bucket caps, and
+connected-components convergence signalling.
+
+Each test pins a specific hazard from the round-2 review:
+- snapshot publish had a create→write window a concurrent reader could hit;
+- partition TTL / decorator deletes dropped MOR delta files (tombstones)
+  by the delta's own tp, resurrecting shadowed base rows;
+- an uncompacted replay grew one union leg per delta commit, silently;
+- merge_apply's bucket fallback ran a standalone distinct().collect() job;
+- the embedding LSH self-join had no degenerate-bucket bound;
+- label propagation returned silently-wrong labels past max_iter.
+"""
+
+import json
+import os
+import threading
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.lake.table import _publish_json, tp_encode
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+TS_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("mtime", T.TimestampType(), True),
+    ]
+)
+
+
+def _dt(day: int) -> datetime:
+    return datetime(2024, 1, day, tzinfo=timezone.utc)
+
+
+# --------------------------------------------------------------- publish
+def test_publish_json_atomic_and_exclusive(tmp_path):
+    path = str(tmp_path / "v1.json")
+    _publish_json({"a": 1}, path)
+    with open(path) as f:
+        assert json.load(f) == {"a": 1}
+    # loser semantics: second publish of the same version fails (CAS)
+    with pytest.raises(FileExistsError):
+        _publish_json({"a": 2}, path)
+    # no temp litter either way
+    assert os.listdir(tmp_path) == ["v1.json"]
+    with open(path) as f:
+        assert json.load(f) == {"a": 1}
+
+
+def test_snapshot_reads_never_truncated_under_concurrent_commits(
+    spark, tmp_table_root
+):
+    """A reader thread hammering snapshot()/current_version() during a
+    rapid metadata-commit loop must never see a partial file (the exact
+    pipelined-replay race ADVICE flagged)."""
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA)
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader():
+        r = LakeTable(spark, tmp_table_root)
+        while not stop.is_set():
+            try:
+                snap = r.snapshot()
+                assert "version" in snap
+                r.schema()
+            except Exception as exc:  # pragma: no cover - the failure mode
+                errors.append(exc)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for th in threads:
+        th.start()
+    try:
+        for i in range(150):
+            t.mark_batch_applied(f"t:{i}:{i + 1}")
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert not errors, f"reader saw a torn snapshot: {errors[0]!r}"
+
+
+# --------------------------------------------------------- plan-growth guard
+def _mor_table(spark, root, n_deltas: int) -> LakeTable:
+    t = LakeTable.create(
+        spark, root, SCHEMA, bucket_column="k", num_buckets=4, merge_keys=["k"]
+    )
+    for i in range(n_deltas):
+        df = spark.createDataFrame([(f"k{i}", i)], SCHEMA).withColumn(
+            "op", F.lit("U")
+        )
+        t.append_deltas(df, batch_id=f"t:{i}:{i + 1}")
+    return t
+
+
+def test_read_plan_guard_raises_past_hard_bound(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(LakeTable, "warn_scan_groups", 2)
+    monkeypatch.setattr(LakeTable, "max_scan_groups", 5)
+    t = _mor_table(spark, str(tmp_path / "t"), 7)
+    with pytest.raises(RuntimeError, match="compact"):
+        t.read()
+    # maintenance is exempt and folds the backlog down
+    t.compact()
+    assert t.read().count() == 7
+
+
+def test_read_plan_guard_allows_bounded_backlog(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(LakeTable, "max_scan_groups", 64)
+    t = _mor_table(spark, str(tmp_path / "t"), 3)
+    assert t.read().count() == 3
+
+
+# --------------------------------------------- MOR × time-partition safety
+@pytest.fixture()
+def day_tab(spark, tmp_path):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "days"),
+        TS_SCHEMA,
+        bucket_column="k",
+        num_buckets=4,
+        merge_keys=["k"],
+        time_partition={
+            "column": "mtime",
+            "granularity": "day",
+            "expiration_ms": 5 * 24 * 3600 * 1000,
+        },
+    )
+
+
+def test_expire_does_not_resurrect_row_shadowed_by_expired_tombstone(
+    spark, day_tab
+):
+    """Base row lives in a RETAINED partition; its delete tombstone's
+    timestamp encodes into an EXPIRED one. Expiry must not bring the row
+    back (previously the tombstone file was physically dropped)."""
+    day_tab.append(
+        spark.createDataFrame([("a", 1, _dt(20)), ("b", 2, _dt(20))], TS_SCHEMA)
+    )
+    tomb = spark.createDataFrame([("a", None, _dt(1))], TS_SCHEMA).withColumn(
+        "op", F.lit("D")
+    )
+    day_tab.append_deltas(tomb)
+    assert [r["k"] for r in day_tab.read().collect()] == ["b"]
+    day_tab.expire_time_partitions(now=_dt(10))
+    rows = day_tab.read().collect()
+    assert [r["k"] for r in rows] == ["b"], "tombstoned key resurrected"
+    # the fold removed the tombstoned key outright — no delta remains whose
+    # physical drop could resurrect anything
+    assert not any(
+        f.get("kind") == "delta" for f in day_tab.snapshot()["files"]
+    )
+
+
+def test_partition_delete_does_not_resurrect_moved_key(spark, day_tab):
+    """An update moved key 'a' from day 1 to day 2 (as a delta); deleting
+    day-2 must remove the key entirely, not resurrect the stale day-1
+    image."""
+    day_tab.append(spark.createDataFrame([("a", 1, _dt(1))], TS_SCHEMA))
+    upd = spark.createDataFrame([("a", 9, _dt(2))], TS_SCHEMA).withColumn(
+        "op", F.lit("U")
+    )
+    day_tab.append_deltas(upd)
+    day_tab.delete_time_partitions([tp_encode(_dt(2), "day")])
+    assert day_tab.read().count() == 0, "stale day-1 base image resurrected"
+    # and the day-1 partition no longer holds a physical file for the key
+    assert all(
+        f.get("tp") != tp_encode(_dt(1), "day")
+        for f in day_tab.snapshot()["files"]
+    )
+
+
+def test_expire_with_no_expirable_partition_skips_compaction(spark, day_tab):
+    """The delta-fold probe must not force compaction when nothing
+    expires (deltas stay deltas — the cheap common case)."""
+    day_tab.append(spark.createDataFrame([("a", 1, _dt(20))], TS_SCHEMA))
+    day_tab.append_deltas(
+        spark.createDataFrame([("a", 2, _dt(21))], TS_SCHEMA).withColumn(
+            "op", F.lit("U")
+        )
+    )
+    assert day_tab.expire_time_partitions(now=_dt(22)) == []
+    assert any(
+        f.get("kind") == "delta" for f in day_tab.snapshot()["files"]
+    ), "compaction ran needlessly"
+
+
+# ----------------------------------------------------- merge fused fallback
+def test_merge_apply_fallback_discovers_buckets_without_separate_job(
+    spark, tmp_path
+):
+    from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "m"), SCHEMA, bucket_column="k", num_buckets=8,
+        merge_keys=["k"],
+    )
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    batch = spark.createDataFrame([("a", 10), ("c", 3)], SCHEMA).withColumn(
+        "op", F.lit("U")
+    )
+    # neither batch_rows nor touched_buckets passed: the fused aggregate
+    # supplies both in ONE job; result must still be exact
+    res = merge_apply(t, batch, keys=["k"])
+    assert res.batch_rows == 2
+    expect = sorted(
+        r["b"]
+        for r in batch.select(t.bucket_of(F.col("k")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    assert res.touched_buckets == expect
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 10, "b": 2, "c": 3}
+
+
+# ------------------------------------------------------- similarity caps
+def _dup_heavy_embeddings(spark, n_dup=40, n_unique=10, dim=8):
+    base = [float(i % 3 == 0) for i in range(dim)]
+    rows = [(i, base) for i in range(n_dup)]
+    for j in range(n_unique):
+        v = [float((i * (j + 7)) % 5) / 5.0 + 0.01 for i in range(dim)]
+        rows.append((1000 + j, v))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField(
+                    "embedding", T.ArrayType(T.DoubleType()), False
+                ),
+            ]
+        ),
+    )
+
+
+def test_embedding_near_dup_cap_bounds_degenerate_bucket(spark):
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = _dup_heavy_embeddings(spark)
+    uncapped = embedding_near_dup_pairs(
+        df, threshold=0.999, dim=8, max_bucket_size=None
+    ).count()
+    assert uncapped >= 40 * 39 / 2  # the quadratic blowup being guarded
+    capped = embedding_near_dup_pairs(
+        df, threshold=0.999, dim=8, max_bucket_size=10
+    ).collect()
+    # the 40-identical-embedding clique (ids < 1000) is over-cap in every
+    # hash table -> none of its d²/2 pairs may survive; small coincidental
+    # buckets among the unique vectors are under-cap and keep their pairs
+    assert not [
+        r for r in capped if r["id_a"] < 1000 and r["id_b"] < 1000
+    ], "degenerate bucket emitted pairs despite the cap"
+    assert len(capped) < uncapped
+    # a cap above the true max bucket size changes nothing (invariance)
+    loose = embedding_near_dup_pairs(
+        df, threshold=0.999, dim=8, max_bucket_size=10_000
+    ).count()
+    assert loose == uncapped
+
+
+def test_lsh_topk_cap_smoke(spark):
+    from embulk_output_bigquery_java_spark.operators.similarity import lsh_topk
+
+    df = _dup_heavy_embeddings(spark)
+    q = df.where(F.col("vec_id") == 1000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(df, q, k=3, dim=8, planes=3, tables=4, max_bucket_size=5)
+    assert out.count() <= 3
+
+
+def test_hot_bucket_report_lists_over_cap_buckets(spark):
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        hot_bucket_report,
+    )
+
+    banded = spark.createDataFrame(
+        [(i, 0, 7) for i in range(30)] + [(100 + i, 1, 9) for i in range(3)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("band", T.IntegerType(), False),
+                T.StructField("bh", T.LongType(), False),
+            ]
+        ),
+    )
+    rep = hot_bucket_report(banded, ["band", "bh"], 10).collect()
+    assert len(rep) == 1 and rep[0]["n_members"] == 30
+
+
+# ------------------------------------------------------- graph convergence
+def test_components_raise_on_non_convergence(spark):
+    from embulk_output_bigquery_java_spark.operators.graph import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(chain, max_iter=2)
+    # warn mode returns partial labels instead
+    labels = connected_components(chain, max_iter=2, on_max_iter="warn")
+    assert labels.count() == 13
+    labels.unpersist()
+    # enough rounds: converges to one component rooted at 0
+    full = connected_components(chain, max_iter=15)
+    assert {r["comp"] for r in full.collect()} == {0}
+    full.unpersist()
+
+
+def test_dedup_keep_canonical_releases_label_cache(spark):
+    from embulk_output_bigquery_java_spark.operators.graph import (
+        dedup_keep_canonical,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = dedup_keep_canonical(df, pairs)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 4]
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # the propagation caches (edges + per-round labels) must be released;
+    # only the eager localCheckpoint of the loser set (held by `out`'s
+    # lineage, freed with it) may remain
+    assert after - before <= 1, (
+        f"label propagation leaked caches: {after - before} new persistent RDDs"
+    )
