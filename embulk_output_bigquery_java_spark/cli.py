@@ -151,20 +151,18 @@ def cmd_verify(args: argparse.Namespace) -> int:
     """Diff the table's state against the DuckDB oracle replay of a change
     stream — the north_star correctness gate as an operational command.
 
-    Test-scale (driver-side oracle): bound --events accordingly.
+    Default is a deterministic KEY SAMPLE (--sample keys, ~2x over-verified
+    via a conservative modulus): LWW is independent per (repo, path), so
+    filtering both the table read and the change stream to
+    ``pmod(xxhash64(repo, path), M) == 0`` yields an exact oracle comparison
+    on the sampled keys while keeping the driver-side materialization
+    bounded — verify works on an 8M-event table without collecting it.
+    --full restores the whole-table diff (test-scale only).
     """
     from pyspark.sql import functions as F
 
     from .oracle import replay_final_state
 
-    if args.events > 2_000_000:
-        print(
-            f"warning: verify collects the full final state + oracle replay "
-            f"onto the driver; --events {args.events} will materialize "
-            f"millions of rows in pandas — this subcommand is a test-scale "
-            f"spot check, not a production audit (sample an offset range "
-            f"instead)", file=sys.stderr,
-        )
     spark = get_spark("cdc-verify", cores=args.cores)
     table = LakeTable(spark, args.table_root)
     if args.changes_path:
@@ -174,15 +172,32 @@ def cmd_verify(args: argparse.Namespace) -> int:
             spark, args.events,
             n_repos=args.repos, paths_per_repo=args.paths_per_repo,
         )
+    key_mod = 1
+    if not args.full and args.sample > 0:
+        live = table.count_exact()
+        key_mod = max(1, live // max(1, args.sample))
+    if args.full and args.events > 2_000_000:
+        print(
+            f"warning: --full collects the entire final state + oracle "
+            f"replay onto the driver; --events {args.events} will "
+            f"materialize millions of rows in pandas — drop --full to "
+            f"verify a deterministic key sample instead", file=sys.stderr,
+        )
+    key_filter = (
+        F.pmod(F.xxhash64("repo", "path"), F.lit(key_mod)) == 0
+        if key_mod > 1 else F.lit(True)
+    )
     got = (
         table.read()
+        .where(key_filter)
         .withColumn("content_sha", F.sha2("content", 256))
         .toPandas()
         .sort_values(["repo", "path"])
         .reset_index(drop=True)
     )
     exp = replay_final_state(
-        changes.where(F.col("seq") < args.events).toPandas(), None
+        changes.where(F.col("seq") < args.events).where(key_filter).toPandas(),
+        None,
     )
     cols = ["repo", "path", "commit", "content_sha"]
     merged = exp[cols].merge(
@@ -197,6 +212,8 @@ def cmd_verify(args: argparse.Namespace) -> int:
     ok = not (missing or extra or sha_mismatch or commit_mismatch)
     print(json.dumps({
         "match": ok,
+        "sampled": key_mod > 1,
+        "key_mod": key_mod,
         "expected_rows": len(exp),
         "table_rows": len(got),
         "missing_keys": missing,
@@ -325,6 +342,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--changes-path", default=None)
     v.add_argument("--repos", type=int, default=100)
     v.add_argument("--paths-per-repo", type=int, default=50)
+    v.add_argument("--sample", type=int, default=100_000,
+                   help="verify ~this many deterministically sampled keys "
+                        "(default; bounds driver memory on big tables)")
+    v.add_argument("--full", action="store_true",
+                   help="diff every key (test-scale only: collects the "
+                        "whole table onto the driver)")
     v.add_argument("--cores", type=int, default=None)
     v.set_defaults(fn=cmd_verify)
 

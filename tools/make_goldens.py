@@ -1,0 +1,69 @@
+"""Generate pinned golden outputs for the hash-family queries.
+
+minhash/simhash/LSH values are engine-specific (xxhash64 has no DuckDB
+mirror), so they can't be checked against a live SQL oracle. They ARE
+fully deterministic (seeded hyperplanes, fixed hash seeds, per-row
+evaluation — no cross-row float accumulation), so we pin their sf0.01
+output ONCE as a reviewed parquet golden; `oracle_sql()` then reads the
+golden back via DuckDB `read_parquet`, upgrading the driver's check from
+rows-only to full rows+schema+value-hash (VERDICT r2 item 4).
+
+Regenerate (and re-review the diff!) only when an operator's semantics
+intentionally change:
+
+    python tools/make_goldens.py [sf_dir]
+
+tests/test_goldens.py asserts live output == golden, so accidental drift
+fails CI before it fails the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+GOLDEN_DIR = os.path.join(HERE, "golden")
+GOLDEN_QUERIES = (
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "lsh_ann_topk",
+    "embedding_near_dup",
+)
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.sf0.01.parquet")
+
+
+def materialize(df):
+    """Deterministic pandas frame: full row sort, stable column order."""
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from embulk_output_bigquery_java_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    spark = get_spark("make-goldens", cores=8, shuffle_partitions=16)
+    qs = entry_mod.queries()
+    for name in GOLDEN_QUERIES:
+        pdf = materialize(qs[name](spark, sf_dir))
+        path = golden_path(name)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), path
+        )
+        print(f"{name}: {len(pdf)} rows, {list(pdf.columns)} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
