@@ -3,11 +3,16 @@
 entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query. 23 of 27 queries
-                 are value-checked (incl. the media suite and the
-                 recursive-CTE components oracle); only the four
-                 hash-family ops whose values are engine-specific
-                 (minhash/simhash banding, hyperplane LSH) are rows-only.
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 27 queries are
+                 value-checked. 23 against live ANSI-SQL re-derivations
+                 (incl. the media suite and the recursive-CTE components
+                 oracle); the four hash-family ops whose values are
+                 engine-specific (minhash/simhash banding, hyperplane LSH)
+                 check against PINNED GOLDEN parquet (golden/*.sf0.01.parquet,
+                 generated once by tools/make_goldens.py, reviewed, and
+                 guarded against drift by tests/test_goldens.py — the
+                 queries are fully deterministic: hash-derived hyperplanes,
+                 seeded xxhash64, round(...,6) floats, id-asc tie-breaks).
 
 Every computed column is aliased identically in both forms; floats that
 cross engines are rounded to 6 decimals inside both plans.
@@ -15,6 +20,7 @@ cross engines are rounded to 6 decimals inside both plans.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -651,8 +657,21 @@ FROM reach GROUP BY id ORDER BY id
 
 
 # --------------------------------------------------------------------------
-# hash-family ops: engine-specific values -> rows-only driver check
+# hash-family ops: engine-specific values -> pinned-golden driver check.
+# The golden parquet is the query's own sf0.01 output, generated once by
+# tools/make_goldens.py (bit-stable across runs — asserted there and in
+# tests/test_goldens.py); the oracle SQL just reads it back, so the driver's
+# rows+schema+value-hash compare detects any behavioral drift. Only valid at
+# sf0.01 (the driver's correctness scale).
 # --------------------------------------------------------------------------
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def _golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
+
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_bigquery_java_spark.operators.text_dedup import (
         minhash_lsh_pairs,
@@ -841,5 +860,11 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "media_resize_plan": _MEDIA_RESIZE_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
-        # (xxhash64 vs duckdb hash); rows-only check by design.
+        # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
+        # deterministic — checked against pinned sf0.01 goldens instead of
+        # a live SQL re-derivation (see module docstring).
+        "minhash_lsh_pairs": _golden_sql("minhash_lsh_pairs"),
+        "simhash_pairs": _golden_sql("simhash_pairs"),
+        "lsh_ann_topk": _golden_sql("lsh_ann_topk"),
+        "embedding_near_dup": _golden_sql("embedding_near_dup"),
     }

@@ -13,8 +13,9 @@ intentionally change:
 
     python tools/make_goldens.py [sf_dir]
 
-tests/test_goldens.py asserts live output == golden, so accidental drift
-fails CI before it fails the driver.
+tests/test_entry_oracle.py asserts live output == golden (the four queries
+are part of the ORACLED parameterization once oracle_sql() points at the
+goldens), so accidental drift fails CI before it fails the driver.
 """
 
 from __future__ import annotations
