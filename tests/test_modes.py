@@ -244,3 +244,15 @@ def test_template_table_schema_wins(spark, tmp_path):
     assert [f.name for f in LakeTable(spark, root2).schema().fields] == [
         "c0", "c1", "index"
     ]
+
+
+def test_merge_rule_with_mor_rejected_at_config_time():
+    """merge_rule fragments reference T.* which merge-on-read never reads;
+    the config validator steers rule users to COW explicitly instead of a
+    silent strategy switch (VERDICT r2 item 7)."""
+    with pytest.raises(ConfigError, match="merge_strategy='cow'"):
+        IngestConfig(
+            table="t", mode="merge", merge_keys=["c0"],
+            merge_rule={"index": "T.index + S.index"},
+            merge_strategy="mor",
+        )
