@@ -3,10 +3,11 @@
 entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 27 queries are
-                 value-checked. 23 against live ANSI-SQL re-derivations
-                 (incl. the media suite and the recursive-CTE components
-                 oracle); the four hash-family ops whose values are
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 28 queries are
+                 value-checked. 24 against live ANSI-SQL re-derivations
+                 (incl. the media suite, the recursive-CTE components
+                 oracle, and the MOR merge_rule fold vs its closed-form
+                 suffix-sum); the four hash-family ops whose values are
                  engine-specific (minhash/simhash banding, hyperplane LSH)
                  check against PINNED GOLDEN parquet (golden/*.sf0.01.parquet,
                  generated once by tools/make_goldens.py, reviewed, and
@@ -115,6 +116,79 @@ SELECT user_id, event_type, event_id, value FROM tgt
 WHERE (user_id, event_type) NOT IN (SELECT (user_id, event_type) FROM bat)
 UNION ALL
 SELECT user_id, event_type, event_id, value FROM bat WHERE op <> 'D'
+"""
+
+
+def q_mor_rule_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_rule under merge-on-read (plans/mor_fold.py): every event is a
+    delta (op='D' when value<1), per key the seq-ordered stream left-folds
+    through rule ``v = T.v + S.v`` — a tombstone nulls the accumulator, the
+    first write after it re-inserts, every later delta accumulates. The
+    fold column is an integer (floor(value*1000)) so the sequential Spark
+    fold and DuckDB's reordered SUM agree bit-for-bit (reference rule
+    semantics: PluginTask.java:174-176 applied per matched row)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from embulk_output_bigquery_java_spark.plans.mor_fold import build_fold_sql
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+            F.when(F.col("value") < 1, "D").otherwise("U").alias("_op"),
+            F.row_number().over(w).cast("long").alias("_seq"),
+        )
+    )
+    fields = [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+    arr_sql = (
+        "collect_list(named_struct('_seq', _seq, '_op', _op, "
+        "'user_id', user_id, 'event_type', event_type, 'v', v))"
+    )
+    fold_sql = build_fold_sql(fields, {"v": "T.v + S.v"}, "`_ds`")
+    return (
+        d.groupBy("user_id", "event_type")
+        .agg(F.expr(arr_sql).alias("_ds"))
+        .select("user_id", "event_type", F.expr(fold_sql).alias("_f"))
+        .where(F.col("_f").isNotNull())
+        .select(
+            "user_id", "event_type", F.col("_f.v").alias("v_folded")
+        )
+    )
+
+
+# sequential left-fold of an additive rule == SUM over the suffix after the
+# last tombstone (insert takes S.v, every later delta adds S.v); keys whose
+# final event is the tombstone have an empty suffix and drop out — the
+# NULL-accumulator case of the fold.
+_MOR_RULE_SQL = """
+WITH evt AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+           CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op
+    FROM events
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) rn FROM evt
+),
+lastd AS (
+    SELECT user_id, event_type,
+           max(CASE WHEN op = 'D' THEN rn ELSE 0 END) AS ld
+    FROM ranked GROUP BY user_id, event_type
+)
+SELECT r.user_id, r.event_type, SUM(r.v) AS v_folded
+FROM ranked r JOIN lastd d USING (user_id, event_type)
+WHERE r.rn > d.ld
+GROUP BY r.user_id, r.event_type
 """
 
 
@@ -807,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_maxby": q_lww_dedup_maxby,
         "lww_dedup_window": q_lww_dedup_window,
         "cdc_merge_apply": q_cdc_merge_apply,
+        "mor_rule_fold": q_mor_rule_fold,
         "cast_matrix": q_cast_matrix,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -839,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "lww_dedup_maxby": _LWW_SQL,
         "lww_dedup_window": _LWW_SQL,
         "cdc_merge_apply": _CDC_MERGE_SQL,
+        "mor_rule_fold": _MOR_RULE_SQL,
         "cast_matrix": _CAST_SQL,
         "agg_pricing_summary": _Q1_SQL,
         "join_revenue_by_nation": _REV_SQL,

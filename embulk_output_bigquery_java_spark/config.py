@@ -219,15 +219,27 @@ class IngestConfig:
         if self.merge_strategy not in ("cow", "mor"):
             raise ConfigError(f"unknown merge_strategy {self.merge_strategy!r}")
         if self.merge_strategy == "mor" and self.merge_rule:
-            # steer rule users to COW explicitly instead of silently paying
-            # an unexpected strategy switch: rules reference T.* (current
-            # target row), which the MOR write path never reads
-            raise ConfigError(
-                "merge_rule requires merge_strategy='cow': rule fragments "
-                "reference T.*, which merge-on-read never reads — set "
-                "merge_strategy='cow' explicitly (rule-based upserts pay "
-                "COW's touched-bucket rewrite cost by design)"
-            )
+            # MOR rules are applied by the read-time seq-ordered fold
+            # (plans/mor_fold.py), which sees only target columns + S.op —
+            # delta files retain no CDC meta. Catch meta references at
+            # config time with a steer to COW; target-schema validation
+            # happens at merge time when the schema is known.
+            from .plans.mor_fold import fragment_refs
+            from .schemas import CDC_META_COLS
+
+            meta = CDC_META_COLS - {"op"}
+            for col, frag in self.merge_rule.items():
+                bad = sorted(
+                    f"{s}.{c}" for s, c in fragment_refs(frag) if c in meta
+                )
+                if bad:
+                    raise ConfigError(
+                        f"merge_rule[{col!r}] references CDC meta "
+                        f"column(s) {bad}, which merge-on-read delta "
+                        "files do not retain — set merge_strategy='cow' "
+                        "for rules over CDC meta columns (rule batches "
+                        "then pay COW's touched-bucket rewrite cost)"
+                    )
         if self.num_buckets <= 0:
             raise ConfigError("num_buckets must be positive")
         if self.time_partitioning is not None and not self.time_partitioning.field:

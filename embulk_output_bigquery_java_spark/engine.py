@@ -42,8 +42,7 @@ from .streaming.ledger import LedgerRow, append as ledger_append
 
 log = logging.getLogger(__name__)
 
-#: CDC bookkeeping columns — not part of the target table's data schema.
-CDC_META_COLS = {"seq", "commit_seq", "event_offset", "op", "before_content", "ts"}
+from .schemas import CDC_META_COLS  # noqa: F401 — canonical home: schemas.py
 
 
 class RowCountMismatch(RuntimeError):

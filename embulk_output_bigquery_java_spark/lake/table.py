@@ -273,6 +273,17 @@ class LakeTable:
         return self.snapshot()["merge_keys"]
 
     @property
+    def merge_rule(self) -> dict[str, str] | None:
+        """The table's pinned MOR merge_rule (JSON in snapshot properties).
+
+        Set by the first rule-bearing MOR merge and immutable afterwards:
+        the fold replays rule composition over RETAINED deltas, so a rule
+        change mid-history would silently re-interpret already-committed
+        deltas. None for rule-less tables (the max_by LWW read path)."""
+        raw = self.properties.get("merge_rule")
+        return json.loads(raw) if raw else None
+
+    @property
     def partition(self) -> dict | None:
         return self.snapshot()["partition"]
 
@@ -353,7 +364,10 @@ class LakeTable:
         merge key the row from the highest commit `seq` wins, and a winning
         delta with op='D' removes the key — Iceberg v2 MOR semantics,
         planned as one two-phase `max_by` aggregate over the (pruned)
-        base+delta union. Tables written only via COW skip all of this.
+        base+delta union. Tables carrying a pinned ``merge_rule`` instead
+        left-fold the per-key seq-ordered rows through the rule fragments
+        (plans/mor_fold.py) — COW's sequential rule composition replayed at
+        read time. Tables written only via COW skip all of this.
         """
         snap = self.snapshot(version)
         cur_schema = T.StructType.fromJson(snap["schemas"][str(snap["current_schema_id"])])
@@ -445,22 +459,50 @@ class LakeTable:
                 "merge-on-read reconciliation requires merge keys metadata"
             )
         data_cols = [f.name for f in cur_schema.fields]
-        others = [c for c in data_cols if c not in keys] + ["_op"]
-        # LWW by commit seq: two-phase max_by (map-side partial combine);
-        # within one commit a key appears at most once (merge pre-dedups)
-        winner = (
-            out.groupBy(*keys)
-            .agg(
-                F.max_by(
-                    F.struct(*[F.col(c) for c in others]), F.col("_seq")
-                ).alias("_r")
+        rule_raw = snap["properties"].get("merge_rule")
+        if rule_raw:
+            # merge_rule fold (plans/mor_fold.py): per key, sort the
+            # retained base+delta rows by commit seq and left-fold the rule
+            # fragments — the read-time replay of COW's per-batch
+            # rule(T, S) composition. The rule rides snapshot properties,
+            # so time travel applies each snapshot's own rule state.
+            from ..plans.mor_fold import build_fold_sql
+
+            rule = json.loads(rule_raw)
+            arr_sql = "collect_list(named_struct(" + ", ".join(
+                ["'_seq', `_seq`", "'_op', `_op`"]
+                + [f"'{c}', `{c}`" for c in data_cols]
+            ) + "))"
+            fold_sql = build_fold_sql(list(cur_schema.fields), rule, "`_ds`")
+            folded = (
+                out.groupBy(*keys)
+                .agg(F.expr(arr_sql).alias("_ds"))
+                .select(*keys, F.expr(fold_sql).alias("_f"))
             )
-            .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
-        )
-        live = (
-            winner.where(F.col("_op").isNull() | (F.col("_op") != "D"))
-            .select(*data_cols)
-        )
+            live = folded.where(F.col("_f").isNotNull()).select(
+                *[
+                    F.col(c) if c in keys else F.expr(f"_f.`{c}`").alias(c)
+                    for c in data_cols
+                ]
+            )
+        else:
+            others = [c for c in data_cols if c not in keys] + ["_op"]
+            # LWW by commit seq: two-phase max_by (map-side partial
+            # combine); within one commit a key appears at most once
+            # (merge pre-dedups)
+            winner = (
+                out.groupBy(*keys)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in others]), F.col("_seq")
+                    ).alias("_r")
+                )
+                .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
+            )
+            live = (
+                winner.where(F.col("_op").isNull() | (F.col("_op") != "D"))
+                .select(*data_cols)
+            )
         if tp_range is not None:
             # residual time filter on the reconciled winners: deltas were
             # scanned un-pruned (see above), so a key whose current version

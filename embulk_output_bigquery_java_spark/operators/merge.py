@@ -31,12 +31,14 @@ anti joins for survivors and inserts.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..lake import LakeTable
+from ..plans.mor_fold import validate_rule_for_mor
 
 #: broadcast the batch side of the anti-join when it is below this many rows
 #: (~100 B/key row → well under the 64 MB broadcast threshold).
@@ -78,8 +80,10 @@ def merge_apply(
       all**; readers reconcile per key by commit seq and ``compact()``
       folds deltas down. Write cost O(batch): the only strategy whose
       per-batch cost is independent of table size, which is what survives
-      a 100 TB target. Requires no ``merge_rule`` (rules reference T.*,
-      which MOR never reads).
+      a 100 TB target. A ``merge_rule`` is supported by pinning it into
+      table properties and replaying the rule composition at read time
+      (plans/mor_fold.py); fragments may only reference target columns
+      (plus ``S.op``) — CDC-meta rules need ``cow``.
     """
     keys = keys or table.merge_keys
     if not keys:
@@ -111,12 +115,27 @@ def merge_apply(
 
     if strategy == "mor":
         if merge_rule:
-            raise ValueError(
-                "merge_rule fragments reference T.* (the current target "
-                "row), which merge-on-read never reads — set "
-                "merge_strategy='cow' to use merge_rule (rule batches pay "
-                "COW's touched-bucket rewrite cost by design)"
-            )
+            # rule-bearing MOR: the rule is validated against the target
+            # schema (delta files retain only target cols + op), pinned
+            # into snapshot properties on first use, and applied at read
+            # time by the seq-ordered fold (plans/mor_fold.py). Pinning
+            # rides THIS commit's properties_update — no extra metadata
+            # commit, and a CAS retry re-runs the same idempotent check.
+            validate_rule_for_mor(merge_rule, target_cols)
+            stored = table.merge_rule
+            if stored is None:
+                properties = dict(properties or {})
+                properties["merge_rule"] = json.dumps(
+                    merge_rule, sort_keys=True
+                )
+            elif stored != merge_rule:
+                raise ValueError(
+                    f"merge_rule {merge_rule!r} differs from the table's "
+                    f"pinned rule {stored!r}; the MOR fold replays rule "
+                    "composition over retained deltas, so the rule is "
+                    "immutable once set (compact() + a new table, or "
+                    "merge_strategy='cow', to change semantics)"
+                )
         delta = batch.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)

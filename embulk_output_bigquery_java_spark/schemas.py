@@ -45,6 +45,9 @@ CHANGES_SCHEMA = T.StructType(
 #: Ordering columns for last-writer-wins (north_star).
 LWW_ORDER = ["commit_seq", "event_offset"]
 
+#: CDC bookkeeping columns — not part of the target table's data schema.
+CDC_META_COLS = {"seq", "commit_seq", "event_offset", "op", "before_content", "ts"}
+
 #: Ledger row — per-batch/partition lineage metrics (north_rule;
 #: reference analog: BigqueryTransactionReport.java:25-38).
 LEDGER_SCHEMA = T.StructType(

@@ -1,0 +1,41 @@
+"""Drift guard for the pinned hash-family goldens (VERDICT r2 item 4).
+
+The four hash-family queries (minhash/simhash/LSH/embedding near-dup) have
+no DuckDB mirror for xxhash64, so their oracle_sql() reads back a pinned
+sf0.01 parquet golden (tools/make_goldens.py). The live-vs-golden value
+compare itself runs in tests/test_entry_oracle.py (the goldens put these
+queries in the ORACLED parameterization). This module pins the two
+properties that make that scheme sound:
+
+- the goldens exist and the oracle SQL actually points at them (a renamed
+  golden would silently drop a query back to rows-only);
+- the queries are bit-stable: two independent evaluations in one session
+  produce identical rows (no cross-row float accumulation, no
+  partition-order dependence) — the precondition for pinning at all.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.make_goldens import GOLDEN_QUERIES, golden_path, materialize
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_golden_exists_and_oracle_reads_it(name):
+    path = golden_path(name)
+    assert os.path.exists(path), f"missing golden {path}"
+    sql = entry_mod.oracle_sql()[name]
+    assert path in sql, f"oracle_sql for {name} does not read its golden"
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_golden_query_is_bit_stable(spark, name):
+    q = entry_mod.queries()[name]
+    first = materialize(q(spark, SF))
+    second = materialize(q(spark, SF))
+    pd.testing.assert_frame_equal(first, second, check_exact=True)

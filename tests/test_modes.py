@@ -246,13 +246,20 @@ def test_template_table_schema_wins(spark, tmp_path):
     ]
 
 
-def test_merge_rule_with_mor_rejected_at_config_time():
-    """merge_rule fragments reference T.* which merge-on-read never reads;
-    the config validator steers rule users to COW explicitly instead of a
-    silent strategy switch (VERDICT r2 item 7)."""
+def test_merge_rule_with_mor_meta_refs_rejected_at_config_time():
+    """Target-column rules now fold under MOR (tests/test_mor_rules.py),
+    but MOR delta files retain no CDC meta — a fragment over S.ts can only
+    run under COW, and the validator says so at config time instead of an
+    analysis error mid-replay."""
     with pytest.raises(ConfigError, match="merge_strategy='cow'"):
         IngestConfig(
             table="t", mode="merge", merge_keys=["c0"],
-            merge_rule={"index": "T.index + S.index"},
+            merge_rule={"index": "T.index + S.ts"},
             merge_strategy="mor",
         )
+    # plain target-column rules are valid under mor now
+    IngestConfig(
+        table="t", mode="merge", merge_keys=["c0"],
+        merge_rule={"index": "T.index + S.index"},
+        merge_strategy="mor",
+    )
