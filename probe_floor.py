@@ -1,0 +1,55 @@
+"""One-off probe: decompose the replay's per-batch serial floor.
+
+Runs the replay (cow+generator, the scaling-criterion config) at
+(cores, batches) combos and prints the matrix. The b=1 column is the
+pure-compute scaling bound; (T(b=4) - T(b=1))/3 estimates the per-batch
+floor each level pays.
+
+    python probe_floor.py [--events 8000000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run(cores: int, events: int, batches: int) -> float:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        BENCH_EVENTS=str(events),
+        BENCH_BATCHES=str(batches),
+        BENCH_SKIP_QUERIES="1",
+        BENCH_MERGE_STRATEGY="cow",
+        BENCH_SOURCE="generator",
+        BENCH_REPLAY_REPEATS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["value"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=8_000_000)
+    ap.add_argument("--combos", default="32:1,32:4,8:1,8:4")
+    args = ap.parse_args()
+    results = {}
+    for combo in args.combos.split(","):
+        c, b = (int(x) for x in combo.split(":"))
+        t = run(c, args.events, b)
+        results[combo] = t
+        print(json.dumps({"cores": c, "batches": b, "sec": t}), flush=True)
+    print(json.dumps({"matrix": results, "events": args.events}))
+
+
+if __name__ == "__main__":
+    main()

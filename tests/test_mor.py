@@ -101,10 +101,15 @@ def test_mor_requires_merge_keys(spark, tmp_table_root):
         t.read().collect()
 
 
-def test_merge_rule_rejected_under_mor():
-    with pytest.raises(ConfigError, match="merge_rule"):
+def test_merge_rule_under_mor_accepts_target_refs_rejects_cdc_meta():
+    # target-column rules fold at read time (plans/mor_fold.py) — accepted
+    IngestConfig(table="t", mode="merge", merge_keys=["k"],
+                 merge_strategy="mor", merge_rule={"v": "S.v + 1"})
+    # CDC meta references can't fold (delta files retain only target cols
+    # + S.op) — rejected at config time with a steer to cow
+    with pytest.raises(ConfigError, match="cow"):
         IngestConfig(table="t", mode="merge", merge_keys=["k"],
-                     merge_strategy="mor", merge_rule={"v": "S.v + 1"})
+                     merge_strategy="mor", merge_rule={"v": "S.ts"})
 
 
 def test_engine_mor_replay_matches_oracle(spark, tmp_table_root, tmp_path):
