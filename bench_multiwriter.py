@@ -334,6 +334,8 @@ def parent_main(args: argparse.Namespace) -> None:
     import tempfile
 
     workdir = tempfile.mkdtemp(prefix="cdc-mw-")
+    if args.probe:
+        print(f"probe workdir (kept): {workdir}", file=sys.stderr)
     sidecar = os.path.join(HERE, "BENCH_MULTIWRITER.json")
     config_key = {
         "writers": args.writers, "cores": args.cores, "shards": args.shards,
@@ -404,18 +406,21 @@ def parent_main(args: argparse.Namespace) -> None:
             "final_rows_match": rows_always_matched,
             "final_rows": fleet_rows,
         }
-        with open(sidecar, "w") as f:
-            json.dump(
-                {"config": config_key, "best_solo": best_solo,
-                 "best_window": best_window, "hist_solo": hist_solo,
-                 "hist_window": hist_window,
-                 "rows_always_matched": rows_always_matched},
-                f,
-            )
+        if not args.probe:
+            with open(sidecar, "w") as f:
+                json.dump(
+                    {"config": config_key, "best_solo": best_solo,
+                     "best_window": best_window, "hist_solo": hist_solo,
+                     "hist_window": hist_window,
+                     "rows_always_matched": rows_always_matched},
+                    f,
+                )
         print(json.dumps(result))
-        _write_md(args, result)
+        if not args.probe:
+            _write_md(args, result)
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+        if not args.probe:
+            shutil.rmtree(workdir, ignore_errors=True)
 
 
 def _count_rows(root: str) -> int:
@@ -497,6 +502,9 @@ def main() -> None:
     ap.add_argument("--strategy", default="mor", choices=["mor", "cow"])
     ap.add_argument("--source", default="changelog",
                     choices=["changelog", "generator"])
+    ap.add_argument("--probe", action="store_true",
+                    help="diagnostic run: keep the workdir (writer stderr "
+                         "logs), do NOT update BENCH_MULTIWRITER.{json,md}")
     # worker-mode args
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--shard-list", dest="shard_list", default=None,
