@@ -1,0 +1,112 @@
+"""OS-level crash chaos: SIGKILL a writer PROCESS mid-replay, resume in a
+fresh process, and prove the final table is bit-identical to a clean
+replay — the exactly-once/resume story (north_rule: "resumable from
+checkpointed offset", R9) demonstrated at the process boundary rather
+than with in-JVM fault injection (which test_engine_merge covers).
+
+Kill timing: the parent polls the table's metadata dir and fires SIGKILL
+as soon as the FIRST commit lands, so the victim dies with the replay
+genuinely in flight (some batches committed, some not, possibly one
+mid-prepare on the prefetch thread). SIGKILL (not SIGTERM) means no
+interpreter cleanup runs — exactly a node loss.
+
+The comparison covers the stated per-row invariant directly: the
+sha256(content) multiset of the recovered table must equal the clean
+replay's (alongside full-row equality via exceptAll).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.lake import LakeTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EVENTS = 120_000
+BATCH = 20_000  # 6 batches: enough commits that a mid-run kill is meaningful
+
+
+def _replay_cmd(root: str, ck: str) -> list[str]:
+    return [
+        sys.executable, "-m", "embulk_output_bigquery_java_spark.cli",
+        "replay", "--table-root", root, "--checkpoint", ck,
+        "--events", str(EVENTS), "--batch-size", str(BATCH),
+        "--merge-strategy", "mor", "--cores", "4",
+    ]
+
+
+def _run(cmd: list[str]) -> dict:
+    out = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, SPARK_DRIVER_MEM="4g"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_sigkill_mid_replay_then_resume_matches_clean_replay(
+    spark, tmp_path
+):
+    vroot = str(tmp_path / "victim")
+    vck = str(tmp_path / "victim.ck")
+
+    victim = subprocess.Popen(
+        _replay_cmd(vroot, vck), cwd=REPO,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env=dict(os.environ, SPARK_DRIVER_MEM="4g"),
+    )
+    # kill as soon as the first commit exists — mid-replay by construction
+    meta = os.path.join(vroot, "meta")
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if victim.poll() is not None:
+            pytest.fail("victim finished before the kill could land; "
+                        "lower BATCH or raise EVENTS")
+        if os.path.isdir(meta) and any(
+            f.startswith("v1") and f.endswith(".json")
+            for f in os.listdir(meta)
+        ):
+            break
+        time.sleep(0.05)
+    else:
+        pytest.fail("first commit never appeared")
+    os.kill(victim.pid, signal.SIGKILL)
+    victim.wait(timeout=60)
+
+    killed_version = LakeTable(spark, vroot).version
+    assert killed_version >= 1
+
+    # resume in a FRESH process from the same checkpoint + manifest
+    stats = _run(_replay_cmd(vroot, vck))
+    assert stats["events"] + stats.get("skipped_batches", 0) > 0
+    assert stats["table_rows"] > 0
+
+    # clean single-process replay of the same deterministic stream
+    croot = str(tmp_path / "clean")
+    clean = _run(_replay_cmd(croot, str(tmp_path / "clean.ck")))
+    assert clean["batches"] == EVENTS // BATCH
+
+    recovered = LakeTable(spark, vroot).read()
+    reference = LakeTable(spark, croot).read()
+    assert recovered.count() == reference.count() == clean["table_rows"]
+    # full-row equality, both directions
+    assert recovered.exceptAll(reference).limit(1).count() == 0
+    assert reference.exceptAll(recovered).limit(1).count() == 0
+    # the stated per-row invariant: sha256(content) multisets agree
+    def sha_fingerprint(df):
+        return (
+            df.select(F.sha2(F.col("content"), 256).alias("h"))
+            .groupBy("h").count()
+            .agg(F.expr("bit_xor(xxhash64(h, count))").alias("fp"))
+            .collect()[0]["fp"]
+        )
+    assert sha_fingerprint(recovered) == sha_fingerprint(reference)
