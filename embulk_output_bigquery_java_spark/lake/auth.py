@@ -1,0 +1,678 @@
+"""R10 — executable credential strategies (the reference's auth flows).
+
+The reference resolves five auth methods (Auth.java:34-48) and, for
+workload identity federation, performs a real AWS-role chain + STS token
+exchange (WorkloadIdentityFederationCredentials.java:96-126,
+AwsRoleCredentialsSupplier.java:108-128, WorkloadIdentityFederationAuth.java
+:44-127). This module re-implements those *flows* — request construction,
+signing, token exchange, refresh windows, caching — as executable Python
+with the network boundary injected (``transport``), so every strategy runs
+end-to-end under test without the cloud:
+
+- **service_account** — parse the JSON keyfile, build an RS256-signed JWT
+  assertion (RFC 7523), exchange it at ``token_uri`` for an access token.
+  Real RSA signing via ``cryptography``.
+- **authorized_user** — refresh-token grant against the token endpoint.
+- **compute_engine** — metadata-server token fetch
+  (``Metadata-Flavor: Google``).
+- **application_default** — ADC resolution order:
+  ``GOOGLE_APPLICATION_CREDENTIALS`` path → well-known gcloud file →
+  metadata server; delegates to the keyfile's declared ``type``.
+- **workload_identity_federation** — AWS role chain (STS ``AssumeRole``
+  with SigV4-signed request, 3600 s sessions, refresh 300 s before expiry,
+  mirroring AwsRoleCredentialsSupplier.java:29-35), then a *real* SigV4
+  ``GetCallerIdentity`` subject token (subject_token_type
+  ``urn:ietf:params:aws:token-type:aws4_request``), exchanged at the STS
+  token URL (default ``https://sts.googleapis.com/v1/token``, as
+  WorkloadIdentityFederationAuth.java:41), optionally followed by service
+  account impersonation (``generateAccessToken``, 3600 s lifetime, email
+  parsed from the impersonation URL with the reference's validation error
+  — WorkloadIdentityFederationAuth.java:55-65).
+
+Credentials are cached per (role_arn, region, audience, scopes) exactly
+like the reference's ConcurrentHashMap cache
+(WorkloadIdentityFederationCredentials.java:22-60), with ``clear_cache()``
+for tests. SigV4 is the public AWS algorithm implemented with
+hashlib/hmac; the JWT is standard RFC 7515/7523.
+
+The default transport refuses to touch the network (this engine's tables
+live on a filesystem); callers running against real object stores pass
+``transport=urllib_transport`` or their own.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import hashlib
+import hmac
+import json
+import os
+import threading
+import time
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Callable
+
+__all__ = [
+    "AccessToken",
+    "AuthError",
+    "AwsRoleCredentialsSupplier",
+    "Credentials",
+    "ServiceAccountCredentials",
+    "AuthorizedUserCredentials",
+    "ComputeEngineCredentials",
+    "WorkloadIdentityFederationCredentials",
+    "application_default_credentials",
+    "resolve_credentials",
+    "clear_cache",
+    "sigv4_sign",
+]
+
+#: transport(method, url, headers, body) -> (status:int, body:bytes).
+Transport = Callable[[str, str, dict, bytes | None], tuple[int, bytes]]
+
+GOOGLE_TOKEN_URI = "https://oauth2.googleapis.com/token"
+STS_TOKEN_URL = "https://sts.googleapis.com/v1/token"  # WIF default
+METADATA_TOKEN_URL = (
+    "http://metadata.google.internal/computeMetadata/v1/"
+    "instance/service-accounts/default/token"
+)
+ADC_WELL_KNOWN = "~/.config/gcloud/application_default_credentials.json"
+SUBJECT_TOKEN_TYPE = "urn:ietf:params:aws:token-type:aws4_request"
+#: reference constants (AwsRoleCredentialsSupplier.java:29-35,
+#: WorkloadIdentityFederationAuth.java:22)
+SESSION_DURATION_SECONDS = 3600
+REFRESH_THRESHOLD_SECONDS = 300
+TOKEN_LIFETIME_SECONDS = 3600
+
+
+class AuthError(ValueError):
+    """Config/flow error — the analog of the reference's ConfigException."""
+
+
+def _no_network_transport(method, url, headers, body):
+    raise AuthError(
+        f"network transport not configured (would {method} {url}); pass "
+        "transport=urllib_transport or a custom callable to execute flows "
+        "against live endpoints"
+    )
+
+
+def urllib_transport(method: str, url: str, headers: dict, body: bytes | None):
+    """Real-network transport (opt-in; never the default in this sandbox)."""
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
+    with urllib.request.urlopen(req, timeout=30) as resp:  # pragma: no cover
+        return resp.status, resp.read()
+
+
+@dataclass(frozen=True)
+class AccessToken:
+    token: str
+    expires_at: float  # epoch seconds
+
+    def expired(self, *, now: float | None = None, skew: float = 0.0) -> bool:
+        return (now if now is not None else time.time()) + skew >= self.expires_at
+
+
+class Credentials:
+    """Base: lazily fetched, refresh-before-expiry token holder."""
+
+    def __init__(self) -> None:
+        self._token: AccessToken | None = None
+        self._lock = threading.Lock()
+
+    def _fetch(self) -> AccessToken:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def access_token(self, *, now: float | None = None) -> AccessToken:
+        with self._lock:
+            if self._token is None or self._token.expired(
+                now=now, skew=REFRESH_THRESHOLD_SECONDS
+            ):
+                self._token = self._fetch()
+            return self._token
+
+
+def _form_post(transport: Transport, url: str, fields: dict) -> dict:
+    body = urllib.parse.urlencode(fields).encode()
+    status, payload = transport(
+        "POST", url, {"Content-Type": "application/x-www-form-urlencoded"}, body
+    )
+    if status != 200:
+        raise AuthError(f"token endpoint {url} returned {status}: {payload[:200]!r}")
+    return json.loads(payload)
+
+
+def _token_from_response(resp: dict, *, now: float | None = None) -> AccessToken:
+    if "access_token" not in resp:
+        raise AuthError(f"token response missing access_token: {sorted(resp)}")
+    ttl = float(resp.get("expires_in", TOKEN_LIFETIME_SECONDS))
+    return AccessToken(resp["access_token"], (now or time.time()) + ttl)
+
+
+# --------------------------------------------------------------------------
+# JWT (RS256) — the service-account assertion
+# --------------------------------------------------------------------------
+def _b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _rs256_sign(signing_input: bytes, private_key_pem: str) -> bytes:
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    key = serialization.load_pem_private_key(private_key_pem.encode(), password=None)
+    return key.sign(signing_input, padding.PKCS1v15(), hashes.SHA256())
+
+
+def make_jwt(claims: dict, private_key_pem: str, *, kid: str | None = None) -> str:
+    header = {"alg": "RS256", "typ": "JWT"}
+    if kid:
+        header["kid"] = kid
+    signing_input = (
+        _b64url(json.dumps(header, separators=(",", ":")).encode())
+        + "."
+        + _b64url(json.dumps(claims, separators=(",", ":")).encode())
+    ).encode()
+    sig = _rs256_sign(signing_input, private_key_pem)
+    return signing_input.decode() + "." + _b64url(sig)
+
+
+class ServiceAccountCredentials(Credentials):
+    """JSON-keyfile → RS256 JWT assertion → access token (RFC 7523)."""
+
+    def __init__(
+        self,
+        keyfile_info: dict,
+        scopes: tuple[str, ...],
+        *,
+        transport: Transport = _no_network_transport,
+        clock: Callable[[], float] = time.time,
+    ) -> None:
+        super().__init__()
+        for req in ("client_email", "private_key"):
+            if req not in keyfile_info:
+                raise AuthError(f"service_account keyfile missing {req!r}")
+        self.info = keyfile_info
+        self.scopes = tuple(scopes)
+        self.transport = transport
+        self.clock = clock
+
+    def _fetch(self) -> AccessToken:
+        now = int(self.clock())
+        token_uri = self.info.get("token_uri", GOOGLE_TOKEN_URI)
+        assertion = make_jwt(
+            {
+                "iss": self.info["client_email"],
+                "scope": " ".join(self.scopes),
+                "aud": token_uri,
+                "iat": now,
+                "exp": now + TOKEN_LIFETIME_SECONDS,
+            },
+            self.info["private_key"],
+            kid=self.info.get("private_key_id"),
+        )
+        resp = _form_post(
+            self.transport,
+            token_uri,
+            {
+                "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+                "assertion": assertion,
+            },
+        )
+        return _token_from_response(resp, now=self.clock())
+
+
+class AuthorizedUserCredentials(Credentials):
+    """Stored user refresh token → access token (authorized_user keyfile)."""
+
+    def __init__(
+        self,
+        keyfile_info: dict,
+        *,
+        transport: Transport = _no_network_transport,
+        clock: Callable[[], float] = time.time,
+    ) -> None:
+        super().__init__()
+        for req in ("client_id", "client_secret", "refresh_token"):
+            if req not in keyfile_info:
+                raise AuthError(f"authorized_user keyfile missing {req!r}")
+        self.info = keyfile_info
+        self.transport = transport
+        self.clock = clock
+
+    def _fetch(self) -> AccessToken:
+        resp = _form_post(
+            self.transport,
+            self.info.get("token_uri", GOOGLE_TOKEN_URI),
+            {
+                "grant_type": "refresh_token",
+                "client_id": self.info["client_id"],
+                "client_secret": self.info["client_secret"],
+                "refresh_token": self.info["refresh_token"],
+            },
+        )
+        return _token_from_response(resp, now=self.clock())
+
+
+class ComputeEngineCredentials(Credentials):
+    """Metadata-server token fetch (GCE/GKE ambient identity)."""
+
+    def __init__(
+        self,
+        *,
+        transport: Transport = _no_network_transport,
+        clock: Callable[[], float] = time.time,
+        metadata_url: str = METADATA_TOKEN_URL,
+    ) -> None:
+        super().__init__()
+        self.transport = transport
+        self.clock = clock
+        self.metadata_url = metadata_url
+
+    def _fetch(self) -> AccessToken:
+        status, payload = self.transport(
+            "GET", self.metadata_url, {"Metadata-Flavor": "Google"}, None
+        )
+        if status != 200:
+            raise AuthError(f"metadata server returned {status}")
+        return _token_from_response(json.loads(payload), now=self.clock())
+
+
+def application_default_credentials(
+    scopes: tuple[str, ...],
+    *,
+    transport: Transport = _no_network_transport,
+    clock: Callable[[], float] = time.time,
+    environ: dict | None = None,
+) -> Credentials:
+    """ADC resolution: env-var keyfile → well-known gcloud file → metadata
+    server — the order GoogleCredentials.getApplicationDefault() documents."""
+    env = os.environ if environ is None else environ
+    path = env.get("GOOGLE_APPLICATION_CREDENTIALS")
+    if not path:
+        well_known = os.path.expanduser(ADC_WELL_KNOWN)
+        path = well_known if os.path.exists(well_known) else None
+    if path:
+        with open(path) as f:
+            info = json.load(f)
+        kind = info.get("type")
+        if kind == "service_account":
+            return ServiceAccountCredentials(
+                info, scopes, transport=transport, clock=clock
+            )
+        if kind == "authorized_user":
+            return AuthorizedUserCredentials(info, transport=transport, clock=clock)
+        raise AuthError(f"unsupported ADC keyfile type {kind!r} at {path}")
+    return ComputeEngineCredentials(transport=transport, clock=clock)
+
+
+# --------------------------------------------------------------------------
+# SigV4 — the public AWS signing algorithm (hashlib/hmac only)
+# --------------------------------------------------------------------------
+def _hmac256(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def sigv4_sign(
+    *,
+    method: str,
+    url: str,
+    region: str,
+    service: str,
+    access_key: str,
+    secret_key: str,
+    session_token: str | None,
+    amz_date: str,
+    body: bytes = b"",
+    extra_headers: dict | None = None,
+) -> dict:
+    """Return the signed header set for an AWS request (AWS SigV4, the
+    published algorithm). Deterministic given amz_date — test vectors pin it."""
+    parsed = urllib.parse.urlsplit(url)
+    host = parsed.netloc
+    canonical_uri = parsed.path or "/"
+    # canonical query: sorted by key, RFC 3986 encoding
+    q = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
+    canonical_query = "&".join(
+        f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
+        for k, v in sorted(q)
+    )
+    headers = {"host": host, "x-amz-date": amz_date}
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+    for k, v in (extra_headers or {}).items():
+        headers[k.lower()] = v
+    signed_names = ";".join(sorted(headers))
+    canonical_headers = "".join(
+        f"{k}:{headers[k].strip()}\n" for k in sorted(headers)
+    )
+    payload_hash = hashlib.sha256(body).hexdigest()
+    canonical_request = "\n".join(
+        [method, canonical_uri, canonical_query, canonical_headers, signed_names,
+         payload_hash]
+    )
+    datestamp = amz_date[:8]
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+    k = _hmac256(("AWS4" + secret_key).encode(), datestamp)
+    k = _hmac256(k, region)
+    k = _hmac256(k, service)
+    k = _hmac256(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    authorization = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_names}, Signature={signature}"
+    )
+    out = {k: v for k, v in headers.items() if k != "host"}
+    out["authorization"] = authorization
+    out["host"] = host
+    return out
+
+
+@dataclass(frozen=True)
+class AwsCredentialsSet:
+    access_key_id: str
+    secret_access_key: str
+    session_token: str | None
+    expiration: float  # epoch seconds
+
+
+class AwsRoleCredentialsSupplier:
+    """AWS role chaining: base credentials assume a middle role via STS
+    ``AssumeRole`` (3600 s sessions, refreshed 300 s before expiry —
+    AwsRoleCredentialsSupplier.java:29-35,108-128). The AssumeRole request
+    itself is SigV4-signed with the base credentials."""
+
+    def __init__(
+        self,
+        role_arn: str,
+        session_name: str,
+        region: str,
+        *,
+        base_credentials: AwsCredentialsSet,
+        transport: Transport = _no_network_transport,
+        clock: Callable[[], float] = time.time,
+    ) -> None:
+        self.role_arn = role_arn
+        self.session_name = session_name
+        self.region = region
+        self.base = base_credentials
+        self.transport = transport
+        self.clock = clock
+        self._current: AwsCredentialsSet | None = None
+        self._lock = threading.Lock()
+
+    @property
+    def sts_url(self) -> str:
+        return f"https://sts.{self.region}.amazonaws.com/"
+
+    def get_credentials(self) -> AwsCredentialsSet:
+        with self._lock:
+            if self._should_refresh():
+                self._assume_role()
+            assert self._current is not None
+            return self._current
+
+    def _should_refresh(self) -> bool:
+        return (
+            self._current is None
+            or self.clock() + REFRESH_THRESHOLD_SECONDS >= self._current.expiration
+        )
+
+    def _assume_role(self) -> None:
+        body = urllib.parse.urlencode(
+            {
+                "Action": "AssumeRole",
+                "Version": "2011-06-15",
+                "RoleArn": self.role_arn,
+                "RoleSessionName": self.session_name,
+                "DurationSeconds": str(SESSION_DURATION_SECONDS),
+            }
+        ).encode()
+        amz_date = _dt.datetime.fromtimestamp(
+            self.clock(), tz=_dt.timezone.utc
+        ).strftime("%Y%m%dT%H%M%SZ")
+        headers = sigv4_sign(
+            method="POST",
+            url=self.sts_url,
+            region=self.region,
+            service="sts",
+            access_key=self.base.access_key_id,
+            secret_key=self.base.secret_access_key,
+            session_token=self.base.session_token,
+            amz_date=amz_date,
+            body=body,
+            extra_headers={
+                "content-type": "application/x-www-form-urlencoded; charset=utf-8"
+            },
+        )
+        status, payload = self.transport("POST", self.sts_url, headers, body)
+        if status != 200:
+            raise AuthError(
+                f"failed to assume role {self.role_arn}: {status} {payload[:200]!r}"
+            )
+        resp = json.loads(payload)
+        c = resp["Credentials"]
+        self._current = AwsCredentialsSet(
+            c["AccessKeyId"], c["SecretAccessKey"], c.get("SessionToken"),
+            float(c["Expiration"]),
+        )
+
+
+def _caller_identity_subject_token(
+    creds: AwsCredentialsSet, region: str, audience: str, amz_date: str
+) -> str:
+    """The aws4_request subject token: a serialized, SigV4-signed
+    ``GetCallerIdentity`` request incl. the x-goog-cloud-target-resource
+    header binding it to the WIF audience (public GCP AWS-federation spec)."""
+    url = (
+        f"https://sts.{region}.amazonaws.com/"
+        "?Action=GetCallerIdentity&Version=2011-06-15"
+    )
+    headers = sigv4_sign(
+        method="POST",
+        url=url,
+        region=region,
+        service="sts",
+        access_key=creds.access_key_id,
+        secret_key=creds.secret_access_key,
+        session_token=creds.session_token,
+        amz_date=amz_date,
+        extra_headers={"x-goog-cloud-target-resource": audience},
+    )
+    doc = {
+        "url": url,
+        "method": "POST",
+        "headers": [{"key": k, "value": v} for k, v in sorted(headers.items())],
+    }
+    return urllib.parse.quote(json.dumps(doc, separators=(",", ":")))
+
+
+class WorkloadIdentityFederationCredentials(Credentials):
+    """AWS role chain → SigV4 subject token → STS exchange → optional
+    service-account impersonation. Flow parity with
+    WorkloadIdentityFederationAuth.java:44-127."""
+
+    def __init__(
+        self,
+        *,
+        config: dict,
+        aws_supplier: AwsRoleCredentialsSupplier,
+        scopes: tuple[str, ...],
+        transport: Transport = _no_network_transport,
+        clock: Callable[[], float] = time.time,
+    ) -> None:
+        super().__init__()
+        if "audience" not in config:
+            raise AuthError("workload_identity_federation config missing 'audience'")
+        self.config = config
+        self.aws = aws_supplier
+        self.scopes = tuple(scopes)
+        self.transport = transport
+        self.clock = clock
+
+    @property
+    def impersonation_email(self) -> str:
+        """Email parsed from service_account_impersonation_url with the
+        reference's validation (WorkloadIdentityFederationAuth.java:55-65)."""
+        url = self.config["service_account_impersonation_url"]
+        parts = url.split("serviceAccounts/")
+        if len(parts) < 2:
+            raise AuthError(f"Invalid service_account_impersonation_url: {url}")
+        return parts[1].replace(":generateAccessToken", "")
+
+    def _fetch(self) -> AccessToken:
+        federated = self._fetch_federated_token()
+        if self.config.get("service_account_impersonation_url"):
+            return self._impersonate(federated)
+        return federated
+
+    def _fetch_federated_token(self) -> AccessToken:
+        creds = self.aws.get_credentials()
+        amz_date = _dt.datetime.fromtimestamp(
+            self.clock(), tz=_dt.timezone.utc
+        ).strftime("%Y%m%dT%H%M%SZ")
+        subject_token = _caller_identity_subject_token(
+            creds, self.aws.region, self.config["audience"], amz_date
+        )
+        resp = _form_post(
+            self.transport,
+            self.config.get("token_url") or STS_TOKEN_URL,
+            {
+                "grant_type": "urn:ietf:params:oauth:grant-type:token-exchange",
+                "audience": self.config["audience"],
+                "scope": " ".join(self.scopes),
+                "requested_token_type": "urn:ietf:params:oauth:token-type:access_token",
+                "subject_token_type": SUBJECT_TOKEN_TYPE,
+                "subject_token": subject_token,
+            },
+        )
+        return _token_from_response(resp, now=self.clock())
+
+    def _impersonate(self, federated: AccessToken) -> AccessToken:
+        url = self.config["service_account_impersonation_url"]
+        _ = self.impersonation_email  # validates the URL shape like the reference
+        body = json.dumps(
+            {"scope": list(self.scopes), "lifetime": f"{TOKEN_LIFETIME_SECONDS}s"}
+        ).encode()
+        status, payload = self.transport(
+            "POST",
+            url,
+            {
+                "Authorization": f"Bearer {federated.token}",
+                "Content-Type": "application/json",
+            },
+            body,
+        )
+        if status != 200:
+            raise AuthError(f"impersonation failed: {status} {payload[:200]!r}")
+        resp = json.loads(payload)
+        if "accessToken" not in resp:
+            raise AuthError(f"impersonation response missing accessToken: {sorted(resp)}")
+        expire = resp.get("expireTime")
+        if expire:
+            exp = _dt.datetime.fromisoformat(expire.replace("Z", "+00:00")).timestamp()
+        else:
+            exp = self.clock() + TOKEN_LIFETIME_SECONDS
+        return AccessToken(resp["accessToken"], exp)
+
+
+# --------------------------------------------------------------------------
+# Resolution + cache — Auth.java:34-48 /
+# WorkloadIdentityFederationCredentials.java:22-60
+# --------------------------------------------------------------------------
+_CACHE: dict[tuple, Credentials] = {}
+_CACHE_LOCK = threading.Lock()
+
+
+def clear_cache() -> None:
+    with _CACHE_LOCK:
+        _CACHE.clear()
+
+
+def resolve_credentials(
+    auth_method: str,
+    scopes: tuple[str, ...],
+    *,
+    json_keyfile: str | None = None,
+    wif: dict | None = None,
+    transport: Transport = _no_network_transport,
+    clock: Callable[[], float] = time.time,
+    environ: dict | None = None,
+) -> Credentials:
+    """Strategy dispatch with the reference's precedence + error surface.
+
+    ``wif`` carries ``config`` (the WIF JSON: audience / token_url /
+    service_account_impersonation_url), ``aws_role_arn``,
+    ``aws_role_session_name``, ``aws_region``, and ``aws_base_credentials``
+    (an :class:`AwsCredentialsSet` — IRSA/task-role ambient creds in a real
+    deployment, injected here).
+    """
+    method = (auth_method or "").lower()
+    if method in ("authorized_user", "service_account"):
+        if not json_keyfile:
+            # Auth.java:52-56
+            raise AuthError(
+                f"json_keyfile is required when auth_method is '{method}'"
+            )
+        with open(json_keyfile) as f:
+            info = json.load(f)
+        if method == "service_account":
+            return ServiceAccountCredentials(
+                info, scopes, transport=transport, clock=clock
+            )
+        return AuthorizedUserCredentials(info, transport=transport, clock=clock)
+    if method == "compute_engine":
+        return ComputeEngineCredentials(transport=transport, clock=clock)
+    if method == "application_default":
+        return application_default_credentials(
+            scopes, transport=transport, clock=clock, environ=environ
+        )
+    if method == "workload_identity_federation":
+        if not wif:
+            # Auth.java:61-64
+            raise AuthError(
+                "workload_identity_federation config is required when "
+                "auth_method is 'workload_identity_federation'"
+            )
+        config = wif["config"]
+        key = (
+            wif.get("aws_role_arn"),
+            wif.get("aws_region"),
+            config.get("audience"),
+            tuple(sorted(scopes)),
+        )
+        with _CACHE_LOCK:
+            cached = _CACHE.get(key)
+            if cached is not None:
+                return cached
+            supplier = AwsRoleCredentialsSupplier(
+                wif["aws_role_arn"],
+                wif.get("aws_role_session_name", "embulk-bq-spark"),
+                wif["aws_region"],
+                base_credentials=wif["aws_base_credentials"],
+                transport=transport,
+                clock=clock,
+            )
+            creds = WorkloadIdentityFederationCredentials(
+                config=config,
+                aws_supplier=supplier,
+                scopes=scopes,
+                transport=transport,
+                clock=clock,
+            )
+            _CACHE[key] = creds
+            return creds
+    # Auth.java:47
+    raise AuthError(f"Unknown auth method: {auth_method}")

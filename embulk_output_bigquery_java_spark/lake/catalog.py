@@ -17,6 +17,14 @@ interprets credentials itself — exactly like the reference, which hands
 ``AUTH_CONF_TEMPLATES`` documents the public connector settings each
 reference auth method maps onto (GCS connector / S3A, both public Hadoop
 connectors); values are caller-supplied.
+
+The strategies themselves are EXECUTABLE: :meth:`CatalogConfig.credentials`
+resolves the configured method through :mod:`.auth` (JWT assertion, ADC
+chain, metadata fetch, AWS role chain + SigV4 STS exchange — flow parity
+with Auth.java:34-48), and ``apply(..., install_token=True)`` plants the
+fetched bearer token on the Hadoop configuration so a token-taking
+connector can use it directly. The network boundary is an injectable
+``transport`` so flows run end-to-end under test.
 """
 
 from __future__ import annotations
@@ -65,6 +73,12 @@ class CatalogConfig:
     warehouse: str
     auth_method: str = "application_default"
     hadoop_conf: dict[str, str] = field(default_factory=dict)
+    #: OAuth scopes requested from whichever strategy runs
+    scopes: tuple[str, ...] = ("https://www.googleapis.com/auth/devstorage.read_write",)
+    #: keyfile path for service_account / authorized_user (Auth.java:52-56)
+    json_keyfile: str | None = None
+    #: workload_identity_federation inputs (see auth.resolve_credentials)
+    wif: dict | None = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         if self.auth_method not in (
@@ -83,8 +97,48 @@ class CatalogConfig:
             raise CatalogError("namespace and table must be non-empty")
         return posixpath.join(self.warehouse.rstrip("/"), namespace, table)
 
-    def apply(self, spark: SparkSession) -> None:
-        """Install the connector credentials on the live session."""
+    def credentials(self, *, transport=None, clock=None, environ=None):
+        """Resolve the configured auth strategy to live Credentials.
+
+        Executes the reference's flow for the method (Auth.java:34-48):
+        keyfile parse + RS256 JWT exchange, refresh-token grant, metadata
+        fetch, ADC chain, or the AWS role chain + SigV4 STS exchange.
+        ``transport`` injects the network boundary (defaults to the
+        refusing transport — this sandbox's tables are filesystem-local).
+        """
+        from . import auth as _auth
+
+        kw = {}
+        if transport is not None:
+            kw["transport"] = transport
+        if clock is not None:
+            kw["clock"] = clock
+        if environ is not None:
+            kw["environ"] = environ
+        try:
+            return _auth.resolve_credentials(
+                self.auth_method,
+                self.scopes,
+                json_keyfile=self.json_keyfile,
+                wif=self.wif,
+                **kw,
+            )
+        except _auth.AuthError as e:
+            raise CatalogError(str(e)) from e
+
+    def apply(
+        self, spark: SparkSession, *, install_token: bool = False, transport=None
+    ) -> None:
+        """Install the connector credentials on the live session.
+
+        With ``install_token=True`` the configured strategy is executed and
+        the bearer token planted where a token-taking connector reads it
+        (``fs.gs.auth.access.token.value`` plus the generic key mirror in
+        ``hadoop_conf``)."""
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         for k, v in self.hadoop_conf.items():
             hconf.set(k, v)
+        if install_token:
+            tok = self.credentials(transport=transport).access_token()
+            hconf.set("fs.gs.auth.type", "ACCESS_TOKEN_PROVIDER")
+            hconf.set("fs.gs.auth.access.token.value", tok.token)

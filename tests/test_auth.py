@@ -1,0 +1,454 @@
+"""R10 — executable auth strategies (flow parity with Auth.java:34-48,
+WorkloadIdentityFederationAuth.java, AwsRoleCredentialsSupplier.java).
+
+Every flow runs end-to-end with the network boundary faked: the fakes
+assert the exact request shape (endpoint, grant type, signed headers,
+subject-token contents) the real endpoints would see.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.parse
+
+import pytest
+
+from embulk_output_bigquery_java_spark.lake import auth as A
+from embulk_output_bigquery_java_spark.lake.catalog import CatalogConfig, CatalogError
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    A.clear_cache()
+    yield
+    A.clear_cache()
+
+
+# --------------------------------------------------------------------------
+# SigV4 — pinned against the published AWS doc test vector
+# --------------------------------------------------------------------------
+def test_sigv4_matches_aws_published_test_vector():
+    # docs.aws.amazon.com "Signature Version 4 signing process" GET example:
+    # ListUsers against iam.amazonaws.com at 20150830T123600Z.
+    headers = A.sigv4_sign(
+        method="GET",
+        url="https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08",
+        region="us-east-1",
+        service="iam",
+        access_key="AKIDEXAMPLE",
+        secret_key="wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        session_token=None,
+        amz_date="20150830T123600Z",
+        extra_headers={
+            "content-type": "application/x-www-form-urlencoded; charset=utf-8"
+        },
+    )
+    assert headers["authorization"] == (
+        "AWS4-HMAC-SHA256 "
+        "Credential=AKIDEXAMPLE/20150830/us-east-1/iam/aws4_request, "
+        "SignedHeaders=content-type;host;x-amz-date, "
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+    )
+
+
+def test_sigv4_includes_session_token_header():
+    headers = A.sigv4_sign(
+        method="POST",
+        url="https://sts.us-east-1.amazonaws.com/",
+        region="us-east-1",
+        service="sts",
+        access_key="AKID",
+        secret_key="SECRET",
+        session_token="TOKEN123",
+        amz_date="20260818T000000Z",
+    )
+    assert headers["x-amz-security-token"] == "TOKEN123"
+    assert "x-amz-security-token" in headers["authorization"]
+
+
+# --------------------------------------------------------------------------
+# service_account — real RS256 JWT, verified with the public key
+# --------------------------------------------------------------------------
+def _rsa_keypair():
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+    return key, pem
+
+
+def _b64url_decode(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+def test_service_account_jwt_flow(tmp_path):
+    key, pem = _rsa_keypair()
+    info = {
+        "type": "service_account",
+        "client_email": "svc@proj.iam.gserviceaccount.com",
+        "private_key": pem,
+        "private_key_id": "kid-1",
+        "token_uri": "https://oauth2.test/token",
+    }
+    seen = {}
+
+    def transport(method, url, headers, body):
+        seen.update(method=method, url=url, body=body)
+        return 200, json.dumps({"access_token": "AT-1", "expires_in": 3600}).encode()
+
+    creds = A.ServiceAccountCredentials(
+        info, ("scopeA", "scopeB"), transport=transport, clock=lambda: 1000.0
+    )
+    tok = creds.access_token()
+    assert tok.token == "AT-1" and tok.expires_at == 4600.0
+    assert seen["url"] == "https://oauth2.test/token"
+    fields = dict(urllib.parse.parse_qsl(seen["body"].decode()))
+    assert fields["grant_type"] == "urn:ietf:params:oauth:grant-type:jwt-bearer"
+
+    header_b64, claims_b64, sig_b64 = fields["assertion"].split(".")
+    header = json.loads(_b64url_decode(header_b64))
+    claims = json.loads(_b64url_decode(claims_b64))
+    assert header == {"alg": "RS256", "typ": "JWT", "kid": "kid-1"}
+    assert claims == {
+        "iss": "svc@proj.iam.gserviceaccount.com",
+        "scope": "scopeA scopeB",
+        "aud": "https://oauth2.test/token",
+        "iat": 1000,
+        "exp": 4600,
+    }
+    # the signature is a REAL RS256 signature — verify with the public key
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    key.public_key().verify(
+        _b64url_decode(sig_b64),
+        f"{header_b64}.{claims_b64}".encode(),
+        padding.PKCS1v15(),
+        hashes.SHA256(),
+    )
+
+
+def test_service_account_token_cached_until_refresh_threshold():
+    _, pem = _rsa_keypair()
+    info = {"client_email": "e@x", "private_key": pem}
+    calls = []
+    now = [1000.0]
+
+    def transport(method, url, headers, body):
+        calls.append(url)
+        return 200, json.dumps({"access_token": f"AT-{len(calls)}", "expires_in": 3600}).encode()
+
+    creds = A.ServiceAccountCredentials(
+        info, ("s",), transport=transport, clock=lambda: now[0]
+    )
+    assert creds.access_token(now=now[0]).token == "AT-1"
+    now[0] = 2000.0  # inside lifetime, outside refresh window
+    assert creds.access_token(now=now[0]).token == "AT-1"
+    now[0] = 4400.0  # within 300 s of 4600 expiry -> refresh (ref threshold)
+    assert creds.access_token(now=now[0]).token == "AT-2"
+    assert len(calls) == 2
+
+
+def test_service_account_keyfile_validation():
+    with pytest.raises(A.AuthError, match="missing 'private_key'"):
+        A.ServiceAccountCredentials({"client_email": "e@x"}, ("s",))
+
+
+# --------------------------------------------------------------------------
+# authorized_user / compute_engine / application_default
+# --------------------------------------------------------------------------
+def test_authorized_user_refresh_grant():
+    seen = {}
+
+    def transport(method, url, headers, body):
+        seen.update(url=url, body=body)
+        return 200, json.dumps({"access_token": "UT", "expires_in": 60}).encode()
+
+    creds = A.AuthorizedUserCredentials(
+        {"client_id": "cid", "client_secret": "cs", "refresh_token": "rt"},
+        transport=transport,
+        clock=lambda: 0.0,
+    )
+    assert creds.access_token(now=0.0).token == "UT"
+    fields = dict(urllib.parse.parse_qsl(seen["body"].decode()))
+    assert fields == {
+        "grant_type": "refresh_token",
+        "client_id": "cid",
+        "client_secret": "cs",
+        "refresh_token": "rt",
+    }
+    assert seen["url"] == A.GOOGLE_TOKEN_URI
+
+
+def test_compute_engine_metadata_fetch():
+    seen = {}
+
+    def transport(method, url, headers, body):
+        seen.update(method=method, url=url, headers=headers)
+        return 200, json.dumps({"access_token": "MT", "expires_in": 600}).encode()
+
+    creds = A.ComputeEngineCredentials(transport=transport, clock=lambda: 0.0)
+    assert creds.access_token(now=0.0).token == "MT"
+    assert seen["method"] == "GET"
+    assert seen["url"] == A.METADATA_TOKEN_URL
+    assert seen["headers"] == {"Metadata-Flavor": "Google"}
+
+
+def test_adc_resolution_order(tmp_path):
+    _, pem = _rsa_keypair()
+    sa = tmp_path / "sa.json"
+    sa.write_text(json.dumps(
+        {"type": "service_account", "client_email": "e@x", "private_key": pem}
+    ))
+    au = tmp_path / "au.json"
+    au.write_text(json.dumps(
+        {"type": "authorized_user", "client_id": "c", "client_secret": "s",
+         "refresh_token": "r"}
+    ))
+    # env var wins, dispatches on the keyfile's declared type
+    c1 = A.application_default_credentials(
+        ("s",), environ={"GOOGLE_APPLICATION_CREDENTIALS": str(sa)}
+    )
+    assert isinstance(c1, A.ServiceAccountCredentials)
+    c2 = A.application_default_credentials(
+        ("s",), environ={"GOOGLE_APPLICATION_CREDENTIALS": str(au)}
+    )
+    assert isinstance(c2, A.AuthorizedUserCredentials)
+    # no env var + no well-known file -> ambient metadata credentials
+    c3 = A.application_default_credentials(("s",), environ={})
+    assert isinstance(c3, A.ComputeEngineCredentials)
+    # unsupported declared type is a config error
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"type": "external_account"}))
+    with pytest.raises(A.AuthError, match="unsupported ADC keyfile type"):
+        A.application_default_credentials(
+            ("s",), environ={"GOOGLE_APPLICATION_CREDENTIALS": str(bad)}
+        )
+
+
+# --------------------------------------------------------------------------
+# workload_identity_federation — role chain -> subject token -> exchange
+# --------------------------------------------------------------------------
+AUDIENCE = (
+    "//iam.googleapis.com/projects/123/locations/global/"
+    "workloadIdentityPools/pool/providers/aws"
+)
+
+
+def _wif_transport(log, *, now=lambda: 0.0, impersonate=False):
+    """Fake endpoints for the whole chain; asserts request shapes."""
+
+    def transport(method, url, headers, body):
+        log.append((method, url))
+        if "amazonaws.com" in url:
+            # AssumeRole must arrive SigV4-signed with the BASE credentials
+            assert "authorization" in headers
+            assert headers["authorization"].startswith(
+                "AWS4-HMAC-SHA256 Credential=BASEKEY/"
+            )
+            fields = dict(urllib.parse.parse_qsl(body.decode()))
+            assert fields["Action"] == "AssumeRole"
+            assert fields["RoleArn"] == "arn:aws:iam::123:role/mid"
+            assert fields["RoleSessionName"] == "sess"
+            assert fields["DurationSeconds"] == str(A.SESSION_DURATION_SECONDS)
+            return 200, json.dumps({
+                "Credentials": {
+                    "AccessKeyId": "CHAINKEY",
+                    "SecretAccessKey": "CHAINSECRET",
+                    "SessionToken": "CHAINTOKEN",
+                    "Expiration": now() + 3600,
+                }
+            }).encode()
+        if url == A.STS_TOKEN_URL:
+            fields = dict(urllib.parse.parse_qsl(body.decode()))
+            assert fields["grant_type"] == (
+                "urn:ietf:params:oauth:grant-type:token-exchange"
+            )
+            assert fields["audience"] == AUDIENCE
+            assert fields["subject_token_type"] == A.SUBJECT_TOKEN_TYPE
+            doc = json.loads(urllib.parse.unquote(fields["subject_token"]))
+            assert doc["method"] == "POST"
+            assert "Action=GetCallerIdentity" in doc["url"]
+            hdrs = {h["key"]: h["value"] for h in doc["headers"]}
+            # signed with the CHAINED creds, bound to the WIF audience
+            assert hdrs["x-goog-cloud-target-resource"] == AUDIENCE
+            assert hdrs["x-amz-security-token"] == "CHAINTOKEN"
+            assert hdrs["authorization"].startswith(
+                "AWS4-HMAC-SHA256 Credential=CHAINKEY/"
+            )
+            return 200, json.dumps(
+                {"access_token": "FEDTOKEN", "expires_in": 3600}
+            ).encode()
+        if "generateAccessToken" in url:
+            assert headers["Authorization"] == "Bearer FEDTOKEN"
+            req = json.loads(body)
+            assert req == {"scope": ["scopeZ"], "lifetime": "3600s"}
+            return 200, json.dumps(
+                {"accessToken": "IMPTOKEN", "expireTime": "1970-01-01T01:00:00Z"}
+            ).encode()
+        raise AssertionError(f"unexpected endpoint {url}")
+
+    return transport
+
+
+def _wif_kwargs(transport, clock):
+    return dict(
+        wif={
+            "config": {"audience": AUDIENCE},
+            "aws_role_arn": "arn:aws:iam::123:role/mid",
+            "aws_role_session_name": "sess",
+            "aws_region": "eu-west-1",
+            "aws_base_credentials": A.AwsCredentialsSet(
+                "BASEKEY", "BASESECRET", None, clock() + 7200
+            ),
+        },
+        transport=transport,
+        clock=clock,
+    )
+
+
+def test_wif_direct_access_flow():
+    log = []
+    creds = A.resolve_credentials(
+        "workload_identity_federation", ("scopeZ",),
+        **_wif_kwargs(_wif_transport(log), lambda: 0.0),
+    )
+    tok = creds.access_token(now=0.0)
+    assert tok.token == "FEDTOKEN"
+    # one AssumeRole + one token exchange, no impersonation leg
+    assert [u for _, u in log] == [
+        "https://sts.eu-west-1.amazonaws.com/",
+        A.STS_TOKEN_URL,
+    ]
+
+
+def test_wif_impersonation_flow():
+    log = []
+    kw = _wif_kwargs(_wif_transport(log, impersonate=True), lambda: 0.0)
+    kw["wif"]["config"]["service_account_impersonation_url"] = (
+        "https://iamcredentials.googleapis.com/v1/projects/-/serviceAccounts/"
+        "svc@p.iam.gserviceaccount.com:generateAccessToken"
+    )
+    creds = A.resolve_credentials("workload_identity_federation", ("scopeZ",), **kw)
+    tok = creds.access_token(now=0.0)
+    assert tok.token == "IMPTOKEN"
+    assert tok.expires_at == 3600.0  # parsed from expireTime
+    assert creds.impersonation_email == "svc@p.iam.gserviceaccount.com"
+    assert len(log) == 3
+
+
+def test_wif_invalid_impersonation_url_matches_reference_error():
+    kw = _wif_kwargs(_wif_transport([]), lambda: 0.0)
+    kw["wif"]["config"]["service_account_impersonation_url"] = "https://bad/url"
+    creds = A.resolve_credentials("workload_identity_federation", ("s",), **kw)
+    with pytest.raises(A.AuthError, match="Invalid service_account_impersonation_url"):
+        _ = creds.impersonation_email
+
+
+def test_wif_credentials_cached_by_role_region_audience_scopes():
+    log = []
+    kw = _wif_kwargs(_wif_transport(log), lambda: 0.0)
+    c1 = A.resolve_credentials("workload_identity_federation", ("s1",), **kw)
+    c2 = A.resolve_credentials("workload_identity_federation", ("s1",), **kw)
+    assert c1 is c2  # cache hit (ref: ConcurrentHashMap keyed the same way)
+    c3 = A.resolve_credentials("workload_identity_federation", ("s2",), **kw)
+    assert c3 is not c1  # different scopes -> different cache key
+
+
+def test_aws_role_chain_refreshes_before_expiry():
+    now = [0.0]
+    calls = []
+
+    def transport(method, url, headers, body):
+        calls.append(url)
+        return 200, json.dumps({
+            "Credentials": {
+                "AccessKeyId": f"K{len(calls)}",
+                "SecretAccessKey": "S",
+                "SessionToken": "T",
+                "Expiration": now[0] + A.SESSION_DURATION_SECONDS,
+            }
+        }).encode()
+
+    sup = A.AwsRoleCredentialsSupplier(
+        "arn:aws:iam::1:role/r", "sess", "us-east-1",
+        base_credentials=A.AwsCredentialsSet("K", "S", None, 1e9),
+        transport=transport, clock=lambda: now[0],
+    )
+    assert sup.get_credentials().access_key_id == "K1"
+    now[0] = 1000.0
+    assert sup.get_credentials().access_key_id == "K1"  # still fresh
+    now[0] = 3600.0 - A.REFRESH_THRESHOLD_SECONDS + 1  # inside the window
+    assert sup.get_credentials().access_key_id == "K2"  # ref: refresh at T-300
+    assert len(calls) == 2
+
+
+# --------------------------------------------------------------------------
+# dispatch + error-surface parity (Auth.java:47,52-56,61-64)
+# --------------------------------------------------------------------------
+def test_unknown_auth_method_error():
+    with pytest.raises(A.AuthError, match="Unknown auth method: oauth_dance"):
+        A.resolve_credentials("oauth_dance", ("s",))
+
+
+def test_keyfile_required_error():
+    with pytest.raises(A.AuthError, match="json_keyfile is required"):
+        A.resolve_credentials("service_account", ("s",))
+
+
+def test_wif_config_required_error():
+    with pytest.raises(A.AuthError, match="config is required"):
+        A.resolve_credentials("workload_identity_federation", ("s",))
+
+
+def test_default_transport_refuses_network():
+    creds = A.ComputeEngineCredentials()
+    with pytest.raises(A.AuthError, match="network transport not configured"):
+        creds.access_token()
+
+
+# --------------------------------------------------------------------------
+# CatalogConfig wiring
+# --------------------------------------------------------------------------
+def test_catalog_credentials_resolution(tmp_path):
+    _, pem = _rsa_keypair()
+    kf = tmp_path / "sa.json"
+    kf.write_text(json.dumps({"client_email": "e@x", "private_key": pem}))
+
+    def transport(method, url, headers, body):
+        return 200, json.dumps({"access_token": "CAT", "expires_in": 60}).encode()
+
+    cat = CatalogConfig(
+        warehouse="/tmp/wh", auth_method="service_account", json_keyfile=str(kf)
+    )
+    tok = cat.credentials(transport=transport).access_token()
+    assert tok.token == "CAT"
+
+
+def test_catalog_credentials_keyfile_error_is_catalog_error():
+    cat = CatalogConfig(warehouse="/tmp/wh", auth_method="service_account")
+    with pytest.raises(CatalogError, match="json_keyfile is required"):
+        cat.credentials()
+
+
+def test_catalog_apply_installs_fetched_token(spark, tmp_path):
+    _, pem = _rsa_keypair()
+    kf = tmp_path / "sa.json"
+    kf.write_text(json.dumps({"client_email": "e@x", "private_key": pem}))
+
+    def transport(method, url, headers, body):
+        return 200, json.dumps({"access_token": "LIVE", "expires_in": 60}).encode()
+
+    cat = CatalogConfig(
+        warehouse="/tmp/wh", auth_method="service_account", json_keyfile=str(kf)
+    )
+    cat.apply(spark, install_token=True, transport=transport)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.gs.auth.access.token.value") == "LIVE"
+    assert hconf.get("fs.gs.auth.type") == "ACCESS_TOKEN_PROVIDER"
