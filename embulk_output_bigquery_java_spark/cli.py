@@ -123,6 +123,41 @@ def cmd_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_changes(args: argparse.Namespace) -> int:
+    """Emit the CDC feed between two committed versions (operators/changes):
+    insert / delete / update pre+post images keyed by the table's merge
+    keys. Scale-safe: the feed is written distributed (parquet or gzip'd
+    JSONL) — only the per-change-type counts ever reach the driver."""
+    from pyspark.sql import functions as F
+
+    from .operators.changes import table_changes
+    from .sources.jsonl import export_jsonl
+
+    spark = get_spark("cdc-changes", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    to_v = args.to_version if args.to_version is not None else table.version
+    try:
+        feed = table_changes(table, args.from_version, to_v)
+    except (ValueError, FileNotFoundError) as exc:
+        print(f"changes error: {exc}", file=sys.stderr)
+        return 2
+    out = {"from_version": args.from_version, "to_version": to_v}
+    if args.out:
+        if args.format == "jsonl":
+            export_jsonl(feed, args.out, compression="gzip", mode="overwrite")
+        else:
+            feed.write.mode("overwrite").parquet(args.out)
+        out["out"] = args.out
+        out["format"] = args.format
+        counts = spark.read.parquet(args.out) if args.format == "parquet" else feed
+    else:
+        counts = feed
+    agg = counts.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+    out["counts"] = {r["_change_type"]: r["n"] for r in agg.collect()}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_show(args: argparse.Namespace) -> int:
     spark = get_spark("cdc-show", cores=2)
     table = LakeTable(spark, args.table_root)
@@ -329,6 +364,20 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--ledger", default=None)
     st.add_argument("--cores", type=int, default=None)
     st.set_defaults(fn=cmd_stream)
+
+    ch = sub.add_parser(
+        "changes",
+        help="emit the CDC feed between two committed versions",
+    )
+    ch.add_argument("--table-root", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None,
+                    help="default: current version")
+    ch.add_argument("--out", default=None,
+                    help="write the feed here (distributed write)")
+    ch.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    ch.add_argument("--cores", type=int, default=8)
+    ch.set_defaults(fn=cmd_changes)
 
     s = sub.add_parser("show", help="print table snapshot summary")
     s.add_argument("--table-root", required=True)

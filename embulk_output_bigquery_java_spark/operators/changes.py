@@ -1,0 +1,168 @@
+"""Changelog emission — the CDC *output* side of the engine.
+
+The engine ingests change events and applies them to lake tables
+(operators/merge.py). This module closes the loop: given two committed
+snapshot versions of a table, emit the change stream that transforms one
+into the other — inserts, deletes, and update pre/post images — the shape
+Delta's Change Data Feed and Iceberg's changelog scan publish, and exactly
+what a downstream consumer needs to chain a second pipeline off this
+engine's tables. (The reference has no analog: BigQuery owns its change
+history. This is engine-native surface.)
+
+100-TB shape:
+- :func:`snapshot_diff` is ONE full-outer shuffle join on the merge keys
+  with struct-packed payloads and a single explode — no second pass, no
+  window, no driver participation. AQE handles skewed keys.
+- :func:`table_changes` prunes first: two snapshot manifests are compared
+  driver-side (metadata only) and the diff runs ONLY over the hash buckets
+  whose file sets differ between the versions. A merge batch touches a few
+  buckets out of thousands, so the join reads a sliver of the table no
+  matter how large the table is. Rows in untouched buckets cannot differ
+  (bucket assignment is a pure function of the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["snapshot_diff", "table_changes", "CHANGE_TYPES"]
+
+CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Keyed diff of two relations → CDC rows.
+
+    Output columns: ``keys + compare_cols + [change_col]`` where
+    ``change_col`` ∈ :data:`CHANGE_TYPES`. A key present only in ``after``
+    is an insert (post values), only in ``before`` a delete (pre values),
+    present in both with any null-safe value difference an update emitting
+    BOTH images. Identical rows emit nothing.
+
+    Plan: full-outer join on ``keys`` (one shuffle), classify with a
+    null-safe struct comparison, explode a 0/1/2-element array — entirely
+    Catalyst, no UDFs.
+    """
+    if not keys:
+        raise ValueError("snapshot_diff requires at least one key column")
+    if compare_cols is None:
+        compare_cols = [c for c in before.columns if c not in keys]
+    missing = [c for c in keys + compare_cols if c not in after.columns]
+    if missing:
+        raise ValueError(f"after side missing columns {missing}")
+    if change_col in keys + compare_cols:
+        raise ValueError(f"change_col {change_col!r} collides with a data column")
+
+    def _pack(df: DataFrame, alias: str) -> DataFrame:
+        payload = [F.col(c).alias(c) for c in compare_cols]
+        # _present distinguishes "row exists with all-null payload" from
+        # "no row" after the outer join (a struct of nulls is NOT null, so
+        # packing alone would suffice — the flag makes intent explicit and
+        # survives empty compare_cols)
+        return df.select(
+            *keys, F.struct(F.lit(True).alias("_present"), *payload).alias(alias)
+        )
+
+    b = _pack(before, "_b")
+    a = _pack(after, "_a")
+    j = b.join(a, on=keys, how="full_outer")
+
+    def _row(tag: str, side: str):
+        return F.struct(
+            F.lit(tag).alias(change_col),
+            *[F.col(f"{side}.{c}").alias(c) for c in compare_cols],
+        )
+
+    # unchanged rows fall through every when() to NULL, and explode() emits
+    # zero rows for a NULL array — no .otherwise() leg needed
+    events = (
+        F.when(F.col("_b").isNull(), F.array(_row("insert", "_a")))
+        .when(F.col("_a").isNull(), F.array(_row("delete", "_b")))
+        .when(
+            ~F.col("_b").eqNullSafe(F.col("_a")),
+            F.array(_row("update_preimage", "_b"), _row("update_postimage", "_a")),
+        )
+    )
+    out = j.select(*keys, F.explode(events).alias("_e"))
+    return out.select(
+        *keys,
+        *[F.col(f"_e.{c}").alias(c) for c in compare_cols],
+        F.col(f"_e.{change_col}").alias(change_col),
+    )
+
+
+def _payload_types(df: DataFrame, cols: list[str]) -> list[tuple[str, str]]:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return [(c, by_name[c]) for c in cols]
+
+
+def _touched_buckets(snap_from: dict, snap_to: dict) -> list[int] | None:
+    """Buckets whose file sets differ between two snapshots (metadata-only).
+
+    Returns None when the diff cannot be bucket-bounded (a changed file
+    without a bucket id — unpartitioned table or foreign file)."""
+    def by_bucket(snap):
+        out: dict[object, set[str]] = {}
+        for f in snap["files"]:
+            out.setdefault(f.get("bucket"), set()).add(f["path"])
+        return out
+
+    fb, tb = by_bucket(snap_from), by_bucket(snap_to)
+    touched: set[int] = set()
+    for bucket in set(fb) | set(tb):
+        if fb.get(bucket, set()) != tb.get(bucket, set()):
+            if bucket is None:
+                return None
+            touched.add(bucket)
+    return sorted(touched)
+
+
+def table_changes(
+    table,
+    from_version: int,
+    to_version: int | None = None,
+    *,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """CDC stream between two committed versions of a lake table.
+
+    Reads both versions pruned to the buckets whose file sets actually
+    changed between the snapshots (driver-side manifest compare — zero
+    data read for untouched buckets) and diffs them on the table's merge
+    keys. ``to_version=None`` means the current version.
+    """
+    keys = table.merge_keys
+    if not keys:
+        raise ValueError(
+            f"table at {table.root} has no merge_keys; table_changes needs "
+            "a key to align versions"
+        )
+    snap_from = table.snapshot(from_version)
+    snap_to = table.snapshot(to_version)
+    if snap_from["version"] == snap_to["version"]:
+        empty = table.read(version=snap_to["version"]).limit(0)
+        return empty.withColumn(change_col, F.lit(None).cast("string"))
+
+    buckets = _touched_buckets(snap_from, snap_to)
+    before = table.read(version=snap_from["version"], buckets=buckets)
+    after = table.read(version=snap_to["version"], buckets=buckets)
+    # compare over the UNION of both schemas' non-key columns: a column
+    # added by schema evolution between the versions reads as NULL on the
+    # before side, so its arrival surfaces as updates, like Delta CDF
+    compare = [c for c in after.columns if c not in keys]
+    for c in compare:
+        if c not in before.columns:
+            before = before.withColumn(c, F.lit(None).cast(
+                dict(_payload_types(after, [c]))[c]
+            ))
+    before = before.select(*keys, *compare)
+    after = after.select(*keys, *compare)
+    return snapshot_diff(before, after, keys, compare_cols=compare,
+                         change_col=change_col)

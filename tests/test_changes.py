@@ -1,0 +1,243 @@
+"""Changelog emission (operators/changes.py) — CDC-out over lake versions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.operators.changes import (
+    _touched_buckets,
+    snapshot_diff,
+    table_changes,
+)
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+# --------------------------------------------------------------------------
+# snapshot_diff unit semantics
+# --------------------------------------------------------------------------
+def test_diff_insert_delete_update_unchanged(spark):
+    before = _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int")
+    after = _df(spark, [(2, "b", 20), (3, "cc", 30), (4, "d", 40)], "k int, s string, v int")
+    out = snapshot_diff(before, after, ["k"])
+    got = {(r.k, r._change_type): (r.s, r.v) for r in out.collect()}
+    assert got == {
+        (1, "delete"): ("a", 10),
+        (3, "update_preimage"): ("c", 30),
+        (3, "update_postimage"): ("cc", 30),
+        (4, "insert"): ("d", 40),
+    }
+    # key 2 unchanged -> no row; update emits exactly two images
+    assert out.count() == 4
+    assert out.columns == ["k", "s", "v", "_change_type"]
+
+
+def test_diff_null_safe_value_compare(spark):
+    # null -> null is NOT a change; null -> value and value -> null are
+    before = _df(spark, [(1, None), (2, None), (3, "x")], "k int, s string")
+    after = _df(spark, [(1, None), (2, "y"), (3, None)], "k int, s string")
+    out = snapshot_diff(before, after, ["k"])
+    got = sorted((r.k, r._change_type) for r in out.collect())
+    assert got == [  # 'update_postimage' sorts before 'update_preimage'
+        (2, "update_postimage"), (2, "update_preimage"),
+        (3, "update_postimage"), (3, "update_preimage"),
+    ]
+
+
+def test_diff_compound_keys_and_explicit_compare_cols(spark):
+    before = _df(spark, [(1, 1, "a", "meta1")], "k1 int, k2 int, s string, m string")
+    after = _df(spark, [(1, 1, "a", "meta2")], "k1 int, k2 int, s string, m string")
+    # compare only s: the m-only change is invisible
+    assert snapshot_diff(before, after, ["k1", "k2"], compare_cols=["s"]).count() == 0
+    # compare all: surfaces as an update pair
+    assert snapshot_diff(before, after, ["k1", "k2"]).count() == 2
+
+
+def test_diff_validation_errors(spark):
+    df = _df(spark, [(1, "a")], "k int, s string")
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_diff(df, df, [])
+    with pytest.raises(ValueError, match="missing columns"):
+        snapshot_diff(df, df.select("k"), ["k"])
+    with pytest.raises(ValueError, match="collides"):
+        snapshot_diff(df, df, ["k"], change_col="s")
+
+
+# --------------------------------------------------------------------------
+# metadata-only bucket pruning
+# --------------------------------------------------------------------------
+def _snap(version, files):
+    return {"version": version, "files": files}
+
+
+def test_touched_buckets_metadata_compare():
+    f = lambda path, bucket: {"path": path, "bucket": bucket}
+    s1 = _snap(1, [f("a", 0), f("b", 1), f("c", 2)])
+    s2 = _snap(2, [f("a", 0), f("b2", 1), f("c", 2), f("d", 3)])
+    # bucket 0 and 2 identical file sets -> pruned away
+    assert _touched_buckets(s1, s2) == [1, 3]
+    # identical snapshots -> nothing touched
+    assert _touched_buckets(s1, s1) == []
+    # a changed file without a bucket id disables pruning
+    s3 = _snap(3, [f("a", 0), f("x", None)])
+    assert _touched_buckets(s1, s3) is None
+
+
+# --------------------------------------------------------------------------
+# table_changes over committed lake versions
+# --------------------------------------------------------------------------
+ROWS_V1 = [
+    ("org0/repo0", "a.py", "c1", "python", "print(1)"),
+    ("org1/repo1", "b.py", "c1", "python", "print(2)"),
+    ("org2/repo2", "c.py", "c1", "python", "print(3)"),
+]
+
+
+def _make_table(spark, root):
+    t = LakeTable.create(
+        spark, root, REPOS_SCHEMA,
+        bucket_column="repo", num_buckets=4, merge_keys=["repo", "path"],
+    )
+    t.append(spark.createDataFrame(ROWS_V1, REPOS_SCHEMA))
+    return t
+
+
+def test_table_changes_after_merge(spark, tmp_table_root):
+    from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+    t = _make_table(spark, tmp_table_root)
+    batch = spark.createDataFrame(
+        [
+            ("org0/repo0", "a.py", "c2", "python", "print(11)", "U"),  # update
+            ("org1/repo1", "b.py", "c1", "python", "print(2)", "D"),   # delete
+            ("org3/repo3", "d.py", "c1", "python", "print(4)", "U"),   # insert
+        ],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    merge_apply(t, batch, keys=["repo", "path"], strategy="cow")
+
+    out = table_changes(t, 1, 2).collect()
+    got = {(r.repo, r._change_type): r.content for r in out}
+    assert got == {
+        ("org0/repo0", "update_preimage"): "print(1)",
+        ("org0/repo0", "update_postimage"): "print(11)",
+        ("org1/repo1", "delete"): "print(2)",
+        ("org3/repo3", "insert"): "print(4)",
+    }
+    # org2/repo2 untouched -> absent
+    assert len(out) == 4
+
+
+def test_table_changes_prunes_untouched_buckets(spark, tmp_table_root):
+    from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+    t = _make_table(spark, tmp_table_root)
+    # a batch touching exactly one repo -> one bucket
+    batch = spark.createDataFrame(
+        [("org0/repo0", "a.py", "c2", "python", "CHANGED", "U")],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    merge_apply(t, batch, keys=["repo", "path"], strategy="cow")
+    touched = _touched_buckets(t.snapshot(1), t.snapshot(2))
+    all_buckets = {f["bucket"] for f in t.snapshot(2)["files"]}
+    assert touched is not None and 0 < len(touched) < len(all_buckets)
+    out = table_changes(t, 1, 2).collect()
+    assert {(r.repo, r._change_type) for r in out} == {
+        ("org0/repo0", "update_preimage"),
+        ("org0/repo0", "update_postimage"),
+    }
+
+
+def test_table_changes_mor_versions(spark, tmp_table_root):
+    """Deltas (MOR) reconcile inside read(); the diff sees final states."""
+    from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+    t = _make_table(spark, tmp_table_root)
+    batch = spark.createDataFrame(
+        [
+            ("org1/repo1", "b.py", "c9", "python", "MOR", "U"),
+            ("org2/repo2", "c.py", "c9", "python", "x", "D"),
+        ],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    merge_apply(t, batch, keys=["repo", "path"], strategy="mor")
+    got = {(r.repo, r._change_type) for r in table_changes(t, 1, 2).collect()}
+    assert got == {
+        ("org1/repo1", "update_preimage"),
+        ("org1/repo1", "update_postimage"),
+        ("org2/repo2", "delete"),
+    }
+
+
+def test_table_changes_same_version_empty(spark, tmp_table_root):
+    t = _make_table(spark, tmp_table_root)
+    out = table_changes(t, 1, 1)
+    assert out.count() == 0
+    assert "_change_type" in out.columns
+
+
+def test_table_changes_schema_evolution_surfaces_as_update(spark, tmp_table_root):
+    from pyspark.sql import types as T
+
+    t = _make_table(spark, tmp_table_root)
+    # copy: StructType.add mutates in place, and REPOS_SCHEMA is shared
+    new_schema = T.StructType(list(REPOS_SCHEMA.fields)).add("stars", "long")
+    t.update_schema(new_schema)
+    df2 = spark.createDataFrame(
+        [("org0/repo0", "a.py", "c1", "python", "print(1)", 7)], new_schema
+    )
+    t.replace(df2)
+    out = table_changes(t, 1, t.version).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r._change_type, []).append(r)
+    # the evolved column reads NULL at v1; its arrival is an update pair
+    pre = [r for r in by_type["update_preimage"] if r.repo == "org0/repo0"]
+    post = [r for r in by_type["update_postimage"] if r.repo == "org0/repo0"]
+    assert pre[0].stars is None and post[0].stars == 7
+    # the other two v1 rows were dropped by replace -> deletes
+    assert {r.repo for r in by_type["delete"]} == {"org1/repo1", "org2/repo2"}
+
+
+def test_table_changes_requires_merge_keys(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, REPOS_SCHEMA, bucket_column="repo")
+    with pytest.raises(ValueError, match="no merge_keys"):
+        table_changes(t, 0, 0)
+
+
+def test_changes_roundtrip_reapplies_to_after_state(spark, tmp_table_root):
+    """Applying the emitted stream to the before-state reproduces after —
+    the property that makes the feed consumable by this same engine."""
+    from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+    t = _make_table(spark, tmp_table_root)
+    batch = spark.createDataFrame(
+        [
+            ("org0/repo0", "a.py", "c2", "python", "NEW", "U"),
+            ("org2/repo2", "c.py", "c1", "python", "x", "D"),
+            ("org9/repo9", "z.py", "c1", "go", "pkg", "U"),
+        ],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    merge_apply(t, batch, keys=["repo", "path"], strategy="cow")
+    feed = table_changes(t, 1, 2)
+    # translate the feed to an I/U/D batch (postimages + deletes)
+    reapply = (
+        feed.where(F.col("_change_type") != "update_preimage")
+        .withColumn(
+            "op", F.when(F.col("_change_type") == "delete", "D").otherwise("U")
+        )
+        .drop("_change_type")
+    )
+    t2 = LakeTable.create(
+        spark, tmp_table_root + "_replica", REPOS_SCHEMA,
+        bucket_column="repo", num_buckets=4, merge_keys=["repo", "path"],
+    )
+    t2.append(spark.createDataFrame(ROWS_V1, REPOS_SCHEMA))
+    merge_apply(t2, reapply, keys=["repo", "path"], strategy="cow")
+    a = {tuple(r) for r in t.read(version=2).collect()}
+    b = {tuple(r) for r in t2.read().collect()}
+    assert a == b

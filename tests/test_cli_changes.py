@@ -1,0 +1,65 @@
+"""cdc-engine changes: the CDC-out subcommand — version-to-version feed
+written distributed, only per-change-type counts on the driver."""
+
+import json
+import os
+
+from embulk_output_bigquery_java_spark import cli
+
+
+def _replay(tmp_path, events=6000, *, checkpoint="ck.json"):
+    args = [
+        "replay", "--table-root", str(tmp_path / "t"),
+        "--events", str(events), "--batch-size", str(events // 2),
+        "--repos", "40", "--paths-per-repo", "20",
+        "--checkpoint", str(tmp_path / checkpoint), "--cores", "4",
+    ]
+    assert cli.main(args) == 0
+
+
+def test_changes_counts_between_batches(spark, tmp_path, capsys):
+    _replay(tmp_path)  # 2 batches -> versions 1 and 2
+    capsys.readouterr()
+    args = [
+        "changes", "--table-root", str(tmp_path / "t"),
+        "--from-version", "1", "--cores", "4",
+    ]
+    assert cli.main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["from_version"] == 1 and out["to_version"] >= 2
+    assert sum(out["counts"].values()) > 0
+    assert set(out["counts"]) <= {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }
+    # update images always come in pairs
+    assert out["counts"].get("update_preimage", 0) == out["counts"].get(
+        "update_postimage", 0
+    )
+
+
+def test_changes_writes_parquet_feed(spark, tmp_path, capsys):
+    _replay(tmp_path)
+    capsys.readouterr()
+    dest = str(tmp_path / "feed")
+    args = [
+        "changes", "--table-root", str(tmp_path / "t"),
+        "--from-version", "1", "--out", dest, "--cores", "4",
+    ]
+    assert cli.main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["out"] == dest and out["format"] == "parquet"
+    feed = spark.read.parquet(dest)
+    assert feed.count() == sum(out["counts"].values())
+    assert "_change_type" in feed.columns
+    assert os.path.isdir(dest)
+
+
+def test_changes_bad_version_is_exit_2(spark, tmp_path, capsys):
+    _replay(tmp_path)
+    capsys.readouterr()
+    args = [
+        "changes", "--table-root", str(tmp_path / "t"),
+        "--from-version", "99", "--cores", "4",
+    ]
+    assert cli.main(args) == 2
+    assert "changes error" in capsys.readouterr().err
