@@ -192,6 +192,80 @@ GROUP BY r.user_id, r.event_type
 """
 
 
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog emission (operators/changes.py): the CDC feed that turns
+    the pre-merge state into the post-merge state — keyed full-outer diff
+    classifying insert / delete / update pre+post images (Delta-CDF shape).
+    One shuffle join + explode, no UDFs; over lake tables the same operator
+    reads only the buckets whose manifests changed between versions."""
+    from embulk_output_bigquery_java_spark.operators.changes import snapshot_diff
+    from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    before = lww_dedup(
+        ev.where(F.col("event_id") % 2 == 0), LWW_KEYS, LWW_ORDER
+    ).select("user_id", "event_type", "event_id", "value")
+    after = q_cdc_merge_apply(spark, sf_dir)
+    return snapshot_diff(
+        before,
+        after,
+        ["user_id", "event_type"],
+        compare_cols=["event_id", "value"],
+        change_col="change_type",
+    )
+
+
+# presence flags (tp/mp) instead of key IS NULL tests: exact parity with the
+# operator's _present struct field — null-key rows can never masquerade as
+# inserts/deletes of the other side.
+_TABLE_CHANGES_SQL = """
+WITH evt AS (SELECT event_id, ts, user_id, event_type, value FROM events),
+tgt AS (
+    SELECT user_id, event_type, event_id, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) rn FROM evt WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+),
+bat AS (
+    SELECT user_id, event_type, event_id, value,
+           CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) rn FROM evt WHERE event_id % 2 = 1
+    ) WHERE rn = 1
+),
+merged AS (
+    SELECT user_id, event_type, event_id, value FROM tgt
+    WHERE (user_id, event_type) NOT IN (SELECT (user_id, event_type) FROM bat)
+    UNION ALL
+    SELECT user_id, event_type, event_id, value FROM bat WHERE op <> 'D'
+),
+j AS (
+    SELECT t.user_id AS tu, t.event_type AS tt, t.event_id AS tei,
+           t.value AS tv, t.pres AS tp,
+           m.user_id AS mu, m.event_type AS mt, m.event_id AS mei,
+           m.value AS mv, m.pres AS mp
+    FROM (SELECT *, TRUE AS pres FROM tgt) t
+    FULL OUTER JOIN (SELECT *, TRUE AS pres FROM merged) m
+      ON t.user_id = m.user_id AND t.event_type = m.event_type
+)
+SELECT mu AS user_id, mt AS event_type, mei AS event_id, mv AS value,
+       'insert' AS change_type
+FROM j WHERE tp IS NULL
+UNION ALL
+SELECT tu, tt, tei, tv, 'delete' FROM j WHERE mp IS NULL
+UNION ALL
+SELECT tu, tt, tei, tv, 'update_preimage' FROM j
+WHERE tp AND mp AND (tei IS DISTINCT FROM mei OR tv IS DISTINCT FROM mv)
+UNION ALL
+SELECT mu, mt, mei, mv, 'update_postimage' FROM j
+WHERE tp AND mp AND (tei IS DISTINCT FROM mei OR tv IS DISTINCT FROM mv)
+"""
+
+
 def q_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-matrix edges on real columns: long->STRING (C7), double->INTEGER
     32-bit truncation (C8), timestamp->INTEGER epoch-millis (C20),
@@ -483,6 +557,58 @@ SELECT doc_id,
             FOR i IN range(1, greatest(len(norm) - 7, 1) + 1)],
            'min') AS rfp
 FROM n
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly (operators/packing.py): concat-and-chop
+    packing of docs into 4096-char context windows per source shard — one
+    window shuffle, no UDFs; shards pack independently at any scale."""
+    from embulk_output_bigquery_java_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = pack_sequences(docs, capacity=4096)
+    return out.select(
+        "doc_id", "source", "n_chars", "offset_total", "window_id",
+        "window_offset", F.col("straddles").cast("boolean").alias("straddles"),
+    )
+
+
+_PACK_SQL = """
+SELECT doc_id, source, n_chars,
+       offset_total,
+       CAST(FLOOR(offset_total / 4096.0) AS BIGINT) AS window_id,
+       offset_total % 4096 AS window_offset,
+       (offset_total % 4096) + n_chars > 4096 AS straddles
+FROM (
+    SELECT doc_id, source, n_chars,
+           SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) - n_chars AS offset_total
+    FROM documents
+)
+"""
+
+
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling cap (operators/packing.py):
+    keep <=200 docs per lang by multiplicative-hash order — the balance-
+    languages step, reproducible across runs/engines/scales."""
+    from embulk_output_bigquery_java_spark.operators.packing import stratified_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_cap(docs, cap=200, group_cols=["lang"], seed=7)
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY ((doc_id + 7) * 2654435761) % 4294967296, doc_id
+    ) AS rnk
+    FROM documents
+) WHERE rnk <= 200
 """
 
 
@@ -881,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_maxby": q_lww_dedup_maxby,
         "lww_dedup_window": q_lww_dedup_window,
         "cdc_merge_apply": q_cdc_merge_apply,
+        "table_changes_feed": q_table_changes,
         "mor_rule_fold": q_mor_rule_fold,
         "cast_matrix": q_cast_matrix,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -893,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "pack_sequences": q_pack_sequences,
+        "stratified_cap": q_stratified_cap,
         "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
@@ -914,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "lww_dedup_maxby": _LWW_SQL,
         "lww_dedup_window": _LWW_SQL,
         "cdc_merge_apply": _CDC_MERGE_SQL,
+        "table_changes_feed": _TABLE_CHANGES_SQL,
         "mor_rule_fold": _MOR_RULE_SQL,
         "cast_matrix": _CAST_SQL,
         "agg_pricing_summary": _Q1_SQL,
@@ -926,6 +1056,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _lang_sql(),
         "doc_quality": _QUALITY_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+        "pack_sequences": _PACK_SQL,
+        "stratified_cap": _STRATIFIED_SQL,
         "ivf_ann_topk": _IVF_SQL,
         "exact_dup_groups": _DUPGROUP_SQL,
         "exact_dedup_keep": _EXACT_DEDUP_SQL,

@@ -1,0 +1,101 @@
+"""Training-batch assembly operators: sequence packing + stratified caps.
+
+Two pipeline stages every LLM pretraining data flow runs after dedup/quality
+filtering, expressed as pure Catalyst plans (no UDFs, one shuffle each):
+
+- :func:`pack_sequences` — concat-and-chop packing: within each shard,
+  documents are concatenated in a deterministic order and cut into
+  fixed-capacity context windows. Each doc gets the window id where it
+  STARTS plus its offset inside that window, and a flag when it straddles a
+  window boundary (the part a loader would truncate/continue). This is the
+  packing GPT-style pretraining uses; computed as a running sum over a
+  window partitioned by shard — the shard is the parallelism unit, so 100 TB
+  packs as thousands of independent partitions.
+
+- :func:`stratified_cap` — per-group downsampling cap: keep at most
+  ``cap`` rows per group, selected by a deterministic pseudo-random order
+  (multiplicative hash of the id — seedable, reproducible across runs and
+  engines). The balance-languages / cap-domains step; one window shuffle,
+  map-side prunable by Catalyst's rank filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["pack_sequences", "stratified_cap", "KNUTH_MULT"]
+
+#: Knuth's multiplicative-hash constant (2^32 / phi); doc_id * KNUTH_MULT
+#: mod 2^32 decorrelates ordered ids into a deterministic shuffle order that
+#: any engine (Spark, DuckDB, a loader in plain Python) reproduces exactly.
+KNUTH_MULT = 2654435761
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    capacity: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Assign each doc a context-window id by concat-and-chop packing.
+
+    Output adds: ``offset_total`` (bytes/tokens before this doc in its
+    shard), ``window_id`` (the capacity-sized window the doc starts in),
+    ``window_offset`` (position inside that window) and ``straddles``
+    (true when the doc crosses a window boundary and the loader must split
+    it). Deterministic given (shard, order) — re-runs and backfills produce
+    identical packing.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = F.col(size_col).cast("long")
+    cum = F.sum(size).over(w)
+    out = df.withColumn("offset_total", cum - size)
+    out = out.withColumn(
+        "window_id", F.floor(F.col("offset_total") / capacity)
+    ).withColumn(
+        "window_offset", F.col("offset_total") % capacity
+    ).withColumn(
+        "straddles",
+        (F.col("window_offset") + size) > F.lit(capacity),
+    )
+    return out
+
+
+def stratified_cap(
+    df: DataFrame,
+    *,
+    cap: int,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically sampled.
+
+    Order inside a group is ``((id + seed) * KNUTH_MULT) mod 2^32`` — a
+    multiplicative hash (the seed perturbs the *input*, so each seed is a
+    genuinely different permutation, not a constant shift), so the kept
+    subset is stable across runs, engines
+    and scale-ups (growing the corpus only displaces rows at the margin).
+    Catalyst plans this as one shuffle + rank filter with partial
+    aggregation; no row leaves its group's partition.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    order = ((F.col(id_col).cast("long") + F.lit(seed)) * F.lit(KNUTH_MULT)) % F.lit(
+        2**32
+    )
+    w = Window.partitionBy(*group_cols).orderBy(order.asc(), F.col(id_col).asc())
+    out = df.withColumn("_rank", F.row_number().over(w)).where(
+        F.col("_rank") <= cap
+    )
+    return out if keep_rank else out.drop("_rank")
