@@ -756,6 +756,45 @@ ORDER BY id_a, id_b
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination (operators/text_dedup.py): probe docs
+    (doc_id % 97 == 0) leaked into the train split, by shared 3-grams.
+    Probe index broadcast; the train corpus streams map-side."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    probe = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, probe, n=3, min_overlap=2)
+
+
+_CONTAMINATION_SQL = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents WHERE doc_id < 500
+),
+grams AS (
+    SELECT doc_id, list_distinct([
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        FOR i IN range(1, len(toks) - 1)
+    ]) AS gs
+    FROM base
+),
+train AS (SELECT doc_id AS train_id, unnest(gs) AS gram
+          FROM grams WHERE doc_id % 97 <> 0),
+probe AS (SELECT doc_id AS probe_id, unnest(gs) AS gram, len(gs) AS pn
+          FROM grams WHERE doc_id % 97 = 0)
+SELECT t.train_id, p.probe_id, count(*) AS shared,
+       round(count(*) / any_value(p.pn), 6) AS probe_frac
+FROM train t JOIN probe p ON t.gram = p.gram
+GROUP BY t.train_id, p.probe_id
+HAVING count(*) >= 2
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 membership for 3 probe vectors."""
     from embulk_output_bigquery_java_spark.operators.similarity import (
@@ -1026,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
         "near_dup_components": q_near_dup_components,
         "cosine_topk": q_cosine_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1062,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _DUPGROUP_SQL,
         "exact_dedup_keep": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_SQL,
+        "contamination": _CONTAMINATION_SQL,
         "near_dup_components": _COMPONENTS_SQL,
         "cosine_topk": _COSINE_SQL,
         "media_features": _MEDIA_FEATURES_SQL,

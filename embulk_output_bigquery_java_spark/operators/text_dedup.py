@@ -80,6 +80,74 @@ def token_ngrams(col: Column, n: int) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+def contamination_report(
+    train: DataFrame,
+    probe: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    max_gram_df: int | None = 100_000,
+) -> DataFrame:
+    """Test-set contamination: which PROBE (eval) docs leak into the TRAIN
+    corpus, measured by shared distinct word n-grams.
+
+    Returns (train_id, probe_id, shared, probe_frac) for every cross-corpus
+    pair with ``shared >= min_overlap``, where ``probe_frac`` = shared /
+    |probe doc's grams| — the decontamination signal (a probe doc whose
+    grams mostly appear in one train doc is leaked).
+
+    100-TB shape: the probe side (an eval set) is small — its inverted
+    index is built once and BROADCAST, so the train corpus streams map-side
+    with no shuffle at all; only the per-pair count aggregation shuffles,
+    keyed by (train_id, probe_id), bounded by actual overlaps. Train grams
+    hotter than ``max_gram_df`` are dropped (stop-gram guard, same trade as
+    :func:`ngram_jaccard_pairs` — shared becomes a lower bound for pairs
+    that leaned on them).
+    """
+    def gram_index(df: DataFrame, out_id: str) -> DataFrame:
+        g = df.select(
+            F.col(id_col).alias(out_id),
+            token_ngrams(F.col(text_col), n).alias("grams"),
+        )
+        return g.select(
+            out_id,
+            F.explode("grams").alias("gram"),
+            F.size("grams").alias(f"{out_id}_n"),
+        )
+
+    train_inv = gram_index(train, "train_id")
+    probe_inv = gram_index(probe, "probe_id")
+    if max_gram_df is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        train_inv = train_inv.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = (
+            train_inv.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        train_inv = train_inv.join(F.broadcast(hot), on="gram", how="left_anti")
+    out = (
+        train_inv.join(F.broadcast(probe_inv), on="gram")
+        .groupBy("train_id", "probe_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("probe_id_n").alias("_pn"),
+        )
+        .where(F.col("shared") >= min_overlap)
+        .select(
+            "train_id",
+            "probe_id",
+            "shared",
+            F.round(F.col("shared") / F.col("_pn"), 6).alias("probe_frac"),
+        )
+    )
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

@@ -270,3 +270,52 @@ def test_band_bucket_cap_bounds_candidates(spark):
     sh = simhash_pairs(d, max_hamming=3, max_bucket_size=10)
     got_sh = {(r["id_a"], r["id_b"]) for r in sh.collect()}
     assert got_sh == {(100, 101)}
+
+
+def test_contamination_report_vs_bruteforce(spark):
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        contamination_report,
+        token_ngrams,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different document about spark engines"),
+        (3, "quick brown fox jumps over fences all day long"),
+    ]
+    probe_rows = [
+        (100, "the quick brown fox jumps over anything"),  # leaks from 1 & 3
+        (200, "nothing here matches the train corpus at all zzz qqq"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    out = contamination_report(train, probe, n=3, min_overlap=1)
+    got = {(r.train_id, r.probe_id): (r.shared, r.probe_frac) for r in out.collect()}
+
+    # brute-force reference in python
+    def grams(text, n=3):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    exp = {}
+    for tid, ttext in rows:
+        for pid, ptext in probe_rows:
+            shared = len(grams(ttext) & grams(ptext))
+            if shared >= 1:
+                exp[(tid, pid)] = (shared, round(shared / len(grams(ptext)), 6))
+    assert got == exp
+    assert (100 in {k[1] for k in got}) and (200 not in {k[1] for k in got})
+
+
+def test_contamination_probe_side_broadcast(spark, docs):
+    """The probe index must reach the join as a broadcast — the train
+    corpus streams map-side with no cross-corpus shuffle."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        contamination_report,
+    )
+
+    probe = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    out = contamination_report(train, probe, n=3, min_overlap=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
