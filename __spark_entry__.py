@@ -612,6 +612,54 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sharding (operators/packing.py): deterministic
+    multiplicative-hash global shuffle, shard = key mod 16 as a map-only
+    projection (no global sort), in-shard position via one bounded window
+    shuffle — the shape a 100 TB export keeps."""
+    from embulk_output_bigquery_java_spark.operators.packing import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return shuffle_shards(docs, n_shards=16, seed=11)
+
+
+_SHUFFLE_SHARDS_SQL = """
+SELECT doc_id, lang, n_chars, shuffle_key, shard,
+       row_number() OVER (
+           PARTITION BY shard ORDER BY shuffle_key, doc_id
+       ) AS shard_pos
+FROM (
+    SELECT doc_id, lang, n_chars,
+           ((doc_id + 11) * 2654435761) % 4294967296 AS shuffle_key,
+           CAST(((doc_id + 11) * 2654435761) % 4294967296 % 16 AS INT) AS shard
+    FROM documents
+)
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling (operators/packing.py): per-source Bernoulli
+    rates over one deterministic hash permutation — map-only (zero
+    shuffles, filter pushes into the scan), nested across rate changes."""
+    from embulk_output_bigquery_java_spark.operators.packing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    rates = {"src0": 0.25, "src1": 0.5, "src2": 0.0}
+    return mixture_sample(docs, rates=rates, seed=13, default_rate=0.9)
+
+
+_MIXTURE_SQL = """
+SELECT doc_id, source, lang FROM documents
+WHERE ((doc_id + 13) * 2654435761) % 4294967296 / 4294967296.0 <
+      CASE source
+          WHEN 'src0' THEN 0.25
+          WHEN 'src1' THEN 0.5
+          WHEN 'src2' THEN 0.0
+          ELSE 0.9
+      END
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic centroid subset (vec_id % 50 == 0), nprobe=2."""
     from embulk_output_bigquery_java_spark.operators.similarity import ivf_topk
@@ -1061,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "pack_sequences": q_pack_sequences,
         "stratified_cap": q_stratified_cap,
+        "shuffle_shards": q_shuffle_shards,
+        "mixture_sample": q_mixture_sample,
         "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
@@ -1098,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "pack_sequences": _PACK_SQL,
         "stratified_cap": _STRATIFIED_SQL,
+        "shuffle_shards": _SHUFFLE_SHARDS_SQL,
+        "mixture_sample": _MIXTURE_SQL,
         "ivf_ann_topk": _IVF_SQL,
         "exact_dup_groups": _DUPGROUP_SQL,
         "exact_dedup_keep": _EXACT_DEDUP_SQL,

@@ -11,6 +11,13 @@ Extra modes:
     BENCH_SKIP_QUERIES=1   replay only (used by bench_scaling.py)
     BENCH_EVENTS=N         override replay event count
     BENCH_BATCHES=K        override number of micro-batches (default 4)
+
+The JSON line carries ``host_calib_mh_s`` — a Spark-free all-core sha256
+rate (million hashes/s) sampled just before the timed replays. This
+virtualized host's deliverable CPU swings 2-4x with hypervisor load over
+tens of minutes (verified by A/B-ing the SAME commit across windows:
+7.0 s vs 24.1 s for an identical 2M-event replay); the calibration lets a
+reader separate engine changes from weather when comparing rounds.
 """
 
 from __future__ import annotations
@@ -114,6 +121,28 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]
     return best, cold
 
 
+def _calib_work(n: int) -> int:
+    import hashlib
+
+    h = b"calib"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def host_calibration(cores: int, iters: int = 400_000) -> float:
+    """All-core Spark-free sha256 rate in million-hashes/s — a pure-CPU
+    probe of what this (virtualized, steal-prone) host can deliver right
+    now. Costs ~1-2 s; emitted alongside the replay number so cross-round
+    comparisons can tell engine changes from hypervisor weather."""
+    import multiprocessing
+
+    t0 = time.monotonic()
+    with multiprocessing.Pool(cores) as p:
+        p.map(_calib_work, [iters] * cores)
+    return round(cores * iters / (time.monotonic() - t0) / 1e6, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -142,16 +171,21 @@ def main() -> None:
         os.makedirs(warm_dir, exist_ok=True)
         run_replay(spark, min(100_000, n_events), 1, warm_dir)
 
+        calib = host_calibration(cpus)
+
         t0 = time.monotonic()
         # best-of-k replays (fresh table each): this virtualized host's
         # deliverable CPU swings 2-4x with hypervisor load over minutes;
         # the best run reflects the engine, the worst reflects the weather
-        repeats = int(os.environ.get("BENCH_REPLAY_REPEATS", "2"))
+        # (3 samples ~halve the odds every sample lands in a bad window)
+        repeats = int(os.environ.get("BENCH_REPLAY_REPEATS", "3"))
         replay = None
+        replay_all = []
         for i in range(max(1, repeats)):
             att_dir = os.path.join(workdir, f"attempt{i}")
             os.makedirs(att_dir, exist_ok=True)
             att = run_replay(spark, n_events, batches, att_dir)
+            replay_all.append(att["elapsed_s"])
             if replay is None or att["elapsed_s"] < replay["elapsed_s"]:
                 replay = att
         if os.environ.get("BENCH_SKIP_QUERIES"):
@@ -169,6 +203,8 @@ def main() -> None:
                     "events": replay["events"],
                     "batches": replay["batches"],
                     "final_rows": replay["final_rows"],
+                    "replay_samples_sec": replay_all,
+                    "host_calib_mh_s": calib,
                     "cores": cpus,
                     "queries": queries,
                     "queries_cold": queries_cold,

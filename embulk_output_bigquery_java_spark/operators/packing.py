@@ -17,6 +17,18 @@ filtering, expressed as pure Catalyst plans (no UDFs, one shuffle each):
   (multiplicative hash of the id — seedable, reproducible across runs and
   engines). The balance-languages / cap-domains step; one window shuffle,
   map-side prunable by Catalyst's rank filter.
+
+- :func:`shuffle_shards` — the export step: a deterministic global shuffle
+  (same multiplicative-hash permutation) followed by shard assignment
+  ``key mod n_shards``. Assignment is a map-only projection (NO global
+  sort, unlike orderBy+ntile); the optional in-shard position is one
+  bounded window shuffle. 100 TB shards as a projection plus one exchange.
+
+- :func:`mixture_sample` — the data-mixture step: per-source Bernoulli
+  rate sampling (keep a row iff its hash fraction < the source's rate),
+  entirely map-side — zero shuffles. Samples are NESTED by construction:
+  raising a source's rate strictly grows its kept set, so mixture rebalances
+  are reproducible deltas, not fresh random draws.
 """
 
 from __future__ import annotations
@@ -24,7 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["pack_sequences", "stratified_cap", "KNUTH_MULT"]
+__all__ = [
+    "pack_sequences",
+    "stratified_cap",
+    "shuffle_shards",
+    "mixture_sample",
+    "KNUTH_MULT",
+]
 
 #: Knuth's multiplicative-hash constant (2^32 / phi); doc_id * KNUTH_MULT
 #: mod 2^32 decorrelates ordered ids into a deterministic shuffle order that
@@ -99,3 +117,79 @@ def stratified_cap(
         F.col("_rank") <= cap
     )
     return out if keep_rank else out.drop("_rank")
+
+
+def _shuffle_key(id_col: str, seed: int):
+    """The shared deterministic permutation: ``((id+seed)*KNUTH) mod 2^32``."""
+    return ((F.col(id_col).cast("long") + F.lit(seed)) * F.lit(KNUTH_MULT)) % F.lit(
+        2**32
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle → shard assignment for training export.
+
+    Adds ``shuffle_key`` (the multiplicative-hash permutation value),
+    ``shard`` (``shuffle_key mod n_shards`` — balanced in expectation) and,
+    when ``with_position``, ``shard_pos`` (1-based rank inside the shard by
+    ``(shuffle_key, id)``, i.e. the order a loader reads the shard in).
+
+    Scale shape: shard assignment is a map-only projection — no global sort,
+    which is what makes this preferable to ``orderBy(key).ntile`` at 100 TB.
+    The position is one window shuffle partitioned by shard; writers then
+    ``repartition(n_shards, "shard")`` and emit one file set per shard.
+    Deterministic given (ids, seed): re-runs, backfills and other engines
+    (the DuckDB oracle mirrors it verbatim) produce identical shards.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    out = df.withColumn("shuffle_key", _shuffle_key(id_col, seed)).withColumn(
+        "shard", (F.col("shuffle_key") % n_shards).cast("int")
+    )
+    if with_position:
+        w = Window.partitionBy("shard").orderBy(
+            F.col("shuffle_key").asc(), F.col(id_col).asc()
+        )
+        out = out.withColumn("shard_pos", F.row_number().over(w))
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-source deterministic rate sampling — the data-mixture step.
+
+    Keeps a row iff ``hash_fraction(id, seed) < rate(source)`` where the
+    fraction is the multiplicative-hash permutation scaled to [0, 1). Rows
+    whose source has no entry in ``rates`` use ``default_rate``.
+
+    Entirely map-side (a filter over a projection — zero shuffles, pushes
+    into the scan), so at 100 TB it costs one pass and prunes I/O downstream.
+    Because every source shares one permutation, samples are NESTED:
+    ``rate=0.3`` keeps a strict subset of ``rate=0.6`` — rebalancing a
+    mixture yields a reproducible delta instead of a fresh random draw
+    (document this to users; sources are not independently sampled).
+    """
+    for src, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {src!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    frac = _shuffle_key(id_col, seed) / F.lit(float(2**32))
+    rate = F.lit(float(default_rate))
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return df.where(frac < rate)

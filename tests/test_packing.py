@@ -104,3 +104,63 @@ def test_pack_single_shuffle_plan(docs):
     plan = pack_sequences(docs, capacity=10)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # hashpartitioning + (AQE) reads
     assert "Window" in plan
+
+
+def test_shuffle_shards_assignment_and_positions(spark):
+    from embulk_output_bigquery_java_spark.operators.packing import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shuffle_shards(df, n_shards=8, seed=3).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert r.shuffle_key == ((r.doc_id + 3) * KNUTH_MULT) % 2**32
+        assert r.shard == r.shuffle_key % 8
+        by_shard.setdefault(r.shard, []).append(r)
+    # positions are contiguous 1..n per shard, ordered by (key, id)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r.shuffle_key, r.doc_id))
+        assert [r.shard_pos for r in rows] == list(range(1, len(rows) + 1))
+    # multiplicative hash balances shards (expectation 25 per shard)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] >= 10 and sizes[-1] <= 45
+
+
+def test_shuffle_shards_deterministic_and_map_only_without_position(spark):
+    from embulk_output_bigquery_java_spark.operators.packing import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    a = {(r.doc_id, r.shard) for r in shuffle_shards(df, n_shards=4).collect()}
+    b = {(r.doc_id, r.shard) for r in shuffle_shards(df, n_shards=4).collect()}
+    assert a == b
+    # without positions the plan is a pure projection: zero exchanges
+    plan = (
+        shuffle_shards(df, n_shards=4, with_position=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(df, n_shards=0)
+
+
+def test_mixture_sample_rates_nested_and_shuffle_free(spark):
+    from embulk_output_bigquery_java_spark.operators.packing import mixture_sample
+
+    rows = [(i, "crawl" if i % 2 else "wiki") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_sample(df, rates={"crawl": 0.25}, seed=5)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["wiki"] == 1000                      # default_rate=1.0 keeps all
+    assert 150 <= counts["crawl"] <= 350               # ~25% of 1000
+    # nested property: smaller rate is a strict subset of a larger one
+    small = {r.doc_id for r in mixture_sample(
+        df, rates={"crawl": 0.1, "wiki": 0.1}, seed=5).collect()}
+    large = {r.doc_id for r in mixture_sample(
+        df, rates={"crawl": 0.4, "wiki": 0.4}, seed=5).collect()}
+    assert small < large
+    # map-only: zero exchanges in the physical plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(df, rates={"crawl": 1.5})
