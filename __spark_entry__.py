@@ -660,6 +660,78 @@ WHERE ((doc_id + 13) * 2654435761) % 4294967296 / 4294967296.0 <
 """
 
 
+def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-export flow (operators/packing.py), one plan:
+    mixture_sample (map-only rate filter) -> stratified_cap (one window
+    shuffle, <=150/lang) -> pack_sequences (one window shuffle per source
+    shard) -> shuffle_shards (map-only assignment + one bounded window).
+    Three shuffles total for the full filter->balance->pack->shard path;
+    every stage is a pure Catalyst plan, so Catalyst pushes the mixture
+    filter into the parquet scan and prunes unused columns end to end."""
+    from embulk_output_bigquery_java_spark.operators.packing import (
+        mixture_sample,
+        pack_sequences,
+        shuffle_shards,
+        stratified_cap,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    out = mixture_sample(
+        docs, rates={"src0": 0.25, "src1": 0.5, "src2": 0.0}, seed=13,
+        default_rate=0.9,
+    )
+    out = stratified_cap(out, cap=150, group_cols=["lang"], seed=7)
+    out = pack_sequences(out, capacity=4096)
+    out = shuffle_shards(out, n_shards=8, seed=11)
+    return out.select(
+        "doc_id", "source", "lang", "n_chars", "window_id",
+        F.col("straddles").cast("boolean").alias("straddles"),
+        "shard", "shard_pos",
+    )
+
+
+_EXPORT_PIPELINE_SQL = """
+WITH mixed AS (
+    SELECT doc_id, source, lang, n_chars FROM documents
+    WHERE ((doc_id + 13) * 2654435761) % 4294967296 / 4294967296.0 <
+          CASE source
+              WHEN 'src0' THEN 0.25
+              WHEN 'src1' THEN 0.5
+              WHEN 'src2' THEN 0.0
+              ELSE 0.9
+          END
+),
+capped AS (
+    SELECT doc_id, source, lang, n_chars FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ((doc_id + 7) * 2654435761) % 4294967296, doc_id
+        ) AS rnk
+        FROM mixed
+    ) WHERE rnk <= 150
+),
+packed AS (
+    SELECT doc_id, source, lang, n_chars,
+           SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) - n_chars AS offset_total
+    FROM capped
+)
+SELECT doc_id, source, lang, n_chars,
+       CAST(FLOOR(offset_total / 4096.0) AS BIGINT) AS window_id,
+       (offset_total % 4096) + n_chars > 4096 AS straddles,
+       CAST(((doc_id + 11) * 2654435761) % 4294967296 % 8 AS INT) AS shard,
+       row_number() OVER (
+           PARTITION BY ((doc_id + 11) * 2654435761) % 4294967296 % 8
+           ORDER BY ((doc_id + 11) * 2654435761) % 4294967296, doc_id
+       ) AS shard_pos
+FROM packed
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic centroid subset (vec_id % 50 == 0), nprobe=2."""
     from embulk_output_bigquery_java_spark.operators.similarity import ivf_topk
@@ -1111,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_cap": q_stratified_cap,
         "shuffle_shards": q_shuffle_shards,
         "mixture_sample": q_mixture_sample,
+        "export_pipeline": q_export_pipeline,
         "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
@@ -1150,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_cap": _STRATIFIED_SQL,
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "export_pipeline": _EXPORT_PIPELINE_SQL,
         "ivf_ann_topk": _IVF_SQL,
         "exact_dup_groups": _DUPGROUP_SQL,
         "exact_dedup_keep": _EXACT_DEDUP_SQL,
