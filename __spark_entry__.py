@@ -836,6 +836,153 @@ SELECT doc_id FROM keep
 """
 
 
+def q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-on-ingest: batch docs (doc_id >= 250) whose exact
+    content hash is absent from a persisted corpus index (docs < 300) — the
+    50-doc overlap must be filtered out. O(batch) signature work + one
+    hash-keyed anti-join; the corpus is only touched through its index."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        _norm,
+        novel_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    index = d.where(F.col("doc_id") < 300).select(
+        F.sha2(_norm(F.col("text")), 256).alias("content_hash")
+    )
+    batch = d.where(F.col("doc_id") >= 250)
+    return novel_docs(batch, index).select("doc_id", "lang", "source", "n_chars")
+
+
+_NOVEL_SQL = r"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id >= 250
+  AND sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (
+      SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      FROM documents WHERE doc_id < 300)
+"""
+
+
+def q_redact_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret/PII scrub over a code-corpus-shaped content column. The
+    documents text is salted with deterministic credential-shaped strings
+    (email, URL-embedded password, IP, AWS key id, 32-hex token) — built
+    identically in the DuckDB oracle — then redacted in one Catalyst
+    projection (operators/redact.py). Value check = sha256 of the redacted
+    text + per-pattern counts."""
+    from embulk_output_bigquery_java_spark.operators.redact import (
+        SECRET_PATTERNS,
+        redact_secrets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com"),
+        F.lit(" fetch http://svc:p"), did, F.lit("@internal.host/x"),
+        F.lit(" host=10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.lit(" key=AKIA"), F.lpad(did, 16, "0"),
+        F.lit(" tok="), F.md5(did),
+    )
+    out = redact_secrets(
+        d.select("doc_id", salted.alias("content")),
+        text_col="content",
+        out_col="redacted",
+    )
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+        *[f"n_{name}" for name, _p, _r in SECRET_PATTERNS],
+        "n_redactions",
+    )
+
+
+def _build_redact_sql() -> str:
+    """DuckDB mirror generated FROM redact.SECRET_PATTERNS so the oracle can
+    never drift from the engine's pattern list (RE2/Java common subset)."""
+    from embulk_output_bigquery_java_spark.operators.redact import SECRET_PATTERNS
+
+    chain = "content"
+    for _name, pat, repl in SECRET_PATTERNS:
+        p, r = pat.replace("'", "''"), repl.replace("'", "''")
+        chain = f"regexp_replace({chain}, '{p}', '{r}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(content, '{pat}')) AS n_{name}"
+        for name, pat, _r in SECRET_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(content, '{pat}'))"
+        for _name, pat, _r in SECRET_PATTERNS
+    )
+    return f"""
+WITH salted AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                || ' fetch http://svc:p' || CAST(doc_id AS VARCHAR) || '@internal.host/x'
+                || ' host=10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                || ' key=AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0')
+                || ' tok=' || md5(CAST(doc_id AS VARCHAR)) AS content
+    FROM documents
+)
+SELECT doc_id,
+       sha256({chain}) AS redacted_sha,
+       {counts},
+       {total} AS n_redactions
+FROM salted
+"""
+
+
+_REDACT_SQL = _build_redact_sql()
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders in ONE aggregate pass (exact cardinality
+    here for the oracle; approx_count_distinct is the default 100-TB mode)."""
+    from embulk_output_bigquery_java_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_totalprice", "o_orderdate"],
+        exact=True,
+        stringify={
+            "o_totalprice": lambda c: c.cast("decimal(18,2)").cast("string"),
+            "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+        },
+    )
+
+
+def _profile_leg(col: str, minmax: str | None = None) -> str:
+    mn = (minmax or "CAST({m}({c}) AS VARCHAR)").format(m="min", c=col)
+    mx = (minmax or "CAST({m}({c}) AS VARCHAR)").format(m="max", c=col)
+    return (
+        f"SELECT '{col}' AS \"column\", count(*) AS n_rows,"
+        f" count(*) - count({col}) AS n_nulls,"
+        f" count(DISTINCT {col}) AS n_distinct,"
+        f" {mn} AS min_value, {mx} AS max_value FROM orders"
+    )
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    [
+        _profile_leg("o_orderkey"),
+        _profile_leg("o_custkey"),
+        _profile_leg("o_orderstatus"),
+        _profile_leg("o_orderpriority"),
+        _profile_leg(
+            "o_totalprice",
+            "CAST(CAST({m}({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+        ),
+        _profile_leg(
+            "o_orderdate",
+            "strftime({m}({c}), '%Y-%m-%d %H:%M:%S')",
+        ),
+    ]
+)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs on a deterministic doc subset."""
     from embulk_output_bigquery_java_spark.operators.text_dedup import (
@@ -1184,6 +1331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "mixture_sample": q_mixture_sample,
         "export_pipeline": q_export_pipeline,
+        "novel_docs": q_novel_docs,
+        "redact_secrets": q_redact_secrets,
+        "table_profile": q_table_profile,
         "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
@@ -1224,6 +1374,9 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "export_pipeline": _EXPORT_PIPELINE_SQL,
+        "novel_docs": _NOVEL_SQL,
+        "redact_secrets": _REDACT_SQL,
+        "table_profile": _PROFILE_SQL,
         "ivf_ann_topk": _IVF_SQL,
         "exact_dup_groups": _DUPGROUP_SQL,
         "exact_dedup_keep": _EXACT_DEDUP_SQL,

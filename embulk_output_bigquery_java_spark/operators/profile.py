@@ -1,0 +1,94 @@
+"""Table profiler: per-column stats in ONE aggregate pass.
+
+A 100 TB ingest needs cheap data-quality telemetry — null rates, cardinality,
+value ranges — before/after every load, the way the reference tracks row
+counts around each BigQuery job (BigqueryClient.java getTable row-count
+checks). This generalizes that to a per-column profile computed as a single
+Spark aggregate over one scan.
+
+Scale shape:
+
+- Default cardinality is ``approx_count_distinct`` (HyperLogLog++): ONE
+  map-side-combined aggregation pass for every column together, no shuffle
+  per column, constant memory per partition. ``exact=True`` switches to
+  ``count_distinct`` for small tables / oracle checks (Spark plans the
+  multi-column distinct via expand — fine at test scale, not for 100 TB;
+  the docstring IS the guidance).
+- Output is long-format (one row per column) so downstream monitoring can
+  diff profiles across loads with a trivial join on (column).
+- min/max are stringified through a caller-pluggable ``stringify`` so typed
+  formatting (decimal scale, date patterns) stays deterministic across
+  engines — the DuckDB oracle uses the same cast chain.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _default_stringify(c: Column) -> Column:
+    return c.cast("string")
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    exact: bool = False,
+    stringify: Callable[[Column], Column] | dict[str, Callable[[Column], Column]]
+    | None = None,
+) -> DataFrame:
+    """Profile ``cols`` (default: all) -> one row per column:
+
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value)
+
+    Everything is computed in a single ``agg`` over one scan; the long
+    format is produced driver-free by stacking the per-column structs with
+    ``explode(array(...))`` over the 1-row aggregate result.
+    """
+    cols = cols or df.columns
+    if isinstance(stringify, dict):
+        fmt = {c: stringify.get(c, _default_stringify) for c in cols}
+    else:
+        fmt = {c: (stringify or _default_stringify) for c in cols}
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__nn_{c}"))
+        if exact:
+            aggs.append(F.count_distinct(col).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{c}"))
+        aggs.append(fmt[c](F.min(col)).alias(f"__min_{c}"))
+        aggs.append(fmt[c](F.max(col)).alias(f"__max_{c}"))
+
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.col("__n_rows").alias("n_rows"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__nn_{c}").alias("n_non_null"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        F.col("s.column").alias("column"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("s.n_non_null")).cast("long").alias("n_nulls"),
+        F.col("s.n_distinct").cast("long").alias("n_distinct"),
+        F.col("s.min_value").alias("min_value"),
+        F.col("s.max_value").alias("max_value"),
+    )

@@ -1,0 +1,114 @@
+"""Secret / PII redaction for source-code training corpora.
+
+The engine's north-star table is (repo, path, commit, lang, content) — raw
+source code. Before such a corpus is exported for training, credential-shaped
+strings must be scrubbed: leaked cloud keys, emails, bearer tokens, private
+keys, URLs with embedded passwords. The reference plugin has no analog (it
+ships rows verbatim to BigQuery); this is part of the training-data operator
+suite the build brief adds.
+
+Design for 100 TB:
+
+- The whole pass is ONE Catalyst projection — a fold of ``regexp_replace``
+  (JVM regex, whole-stage codegen) plus one ``regexp_count`` per pattern.
+  Zero shuffles, zero Python rows: the scan is the only cost, and column
+  pruning keeps untouched columns out of it.
+- Patterns are deliberately RE2-compatible (no backrefs, no lookaround) so
+  the exact same expressions run in DuckDB for the value oracle and in any
+  RE2-based scanner doing a second-pass audit.
+- Order matters and is fixed: structural patterns (private-key blocks, URL
+  credentials) run before token-shaped ones so a JWT inside an already
+  redacted block is not double-counted; counts are taken on the ORIGINAL
+  text so they report what was found, not what survived earlier rewrites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (name, regex, replacement) — RE2-safe, ordered. Mirrored verbatim in the
+#: DuckDB oracle (__spark_entry__._REDACT_SQL), so any edit here must keep
+#: Java-regex / RE2 common-subset semantics.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+        "[PRIVATE_KEY]",
+    ),
+    (
+        "url_creds",
+        r"://[^/\s:@]+:[^/\s:@]+@",
+        "://[CREDS]@",
+    ),
+    (
+        "jwt",
+        r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{4,}",
+        "[JWT]",
+    ),
+    (
+        "aws_key",
+        r"AKIA[0-9A-Z]{16}",
+        "[AWS_KEY]",
+    ),
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    ),
+    (
+        "hex_secret",
+        r"\b[0-9a-f]{32,}\b",
+        "[HEX_SECRET]",
+    ),
+]
+
+
+def redacted_text(col: Column) -> Column:
+    """The input text with every SECRET_PATTERNS match replaced, applied in
+    the fixed pattern order as one nested-regexp_replace expression."""
+    out = col
+    for _name, pat, repl in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def secret_counts(col: Column) -> dict[str, Column]:
+    """Per-pattern match counts over the ORIGINAL text, name -> Column."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("long")
+        for name, pat, _repl in SECRET_PATTERNS
+    }
+
+
+def redact_secrets(
+    df: DataFrame,
+    *,
+    text_col: str = "content",
+    out_col: str | None = None,
+    with_counts: bool = True,
+) -> DataFrame:
+    """Scrub credential-shaped strings from ``text_col``.
+
+    Adds ``out_col`` (default: rewrite ``text_col`` in place) plus, when
+    ``with_counts``, one ``n_<pattern>`` column per pattern and a
+    ``n_redactions`` total — all computed in the same single projection.
+    """
+    target = out_col or text_col
+    src = F.col(text_col)
+    # one projection built off the ORIGINAL column — counts must be bound
+    # before an in-place rewrite shadows text_col
+    new_cols: list[Column] = [redacted_text(src).alias(target)]
+    if with_counts:
+        counts = secret_counts(src)
+        new_cols += [c.alias(f"n_{name}") for name, c in counts.items()]
+        new_cols.append(
+            sum(counts.values(), F.lit(0).cast("long")).alias("n_redactions")
+        )
+    keep = [F.col(c) for c in df.columns if c != target]
+    return df.select(*keep, *new_cols)

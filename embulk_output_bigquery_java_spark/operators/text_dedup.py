@@ -336,6 +336,37 @@ def minhash_signatures_df(
     )
 
 
+def banded_signatures(
+    sig: DataFrame, *, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, band, bh) LSH band hashes from a (id, sig array<long>) table.
+
+    One narrow projection + explode: ``bands`` rows per doc, each band hash
+    an xxhash64 over its rows_per_band signature slots. This IS the on-disk
+    shape of a persisted near-dup index (see build_minhash_index)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -355,29 +386,10 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` bounds degenerate band buckets (see _cap_buckets).
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, k=shingle_k
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
+    banded = banded_signatures(sig, num_hashes=num_hashes, bands=bands)
     # materialize the (tiny: docs x bands rows) banded signatures: the
     # bucket-size cap and the a x b self-join would otherwise re-evaluate
     # the full signature pipeline once per reference — at 100 TB the
@@ -603,3 +615,123 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- incremental ingest dedup
+def novel_docs(
+    batch: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    index_hash_col: str = "content_hash",
+) -> DataFrame:
+    """Exact novelty filter: batch rows whose normalized-content sha256 is
+    NOT already in ``index`` (a persisted (content_hash) corpus index).
+
+    The dedup-on-ingest shape for 100 TB: cost is O(|batch|) signature work
+    + one anti-join keyed on the hash — the corpus is touched only through
+    its (tiny, bucketable) hash index, never rescanned. The anti-join
+    broadcasts whichever side is small (a daily batch against a huge index
+    shuffles on the hash key, which is uniform by construction — no skew).
+    Mirrors the engine's MOR philosophy: per-increment cost scales with the
+    increment, not the accumulated table.
+    """
+    h = F.sha2(_norm(F.col(text_col)), 256).alias(index_hash_col)
+    keyed = batch.withColumn(index_hash_col, h)
+    return keyed.join(
+        index.select(index_hash_col).distinct(), on=index_hash_col, how="left_anti"
+    ).drop(index_hash_col)
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Persistable near-dup index: (id, band, bh) banded MinHash signatures.
+
+    Build once over the corpus, write partitioned by (band, bh-range); each
+    new crawl increment then probes it with novel_against_index at
+    O(|batch| x bands) instead of recomputing corpus signatures.
+    """
+    sig = minhash_signatures_df(
+        corpus, text_col=text_col, id_col=id_col, num_hashes=num_hashes, k=shingle_k
+    )
+    return banded_signatures(sig, num_hashes=num_hashes, bands=bands)
+
+
+def novel_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup novelty filter: batch rows with no MinHash-near duplicate in
+    an existing corpus index (as built by build_minhash_index).
+
+    Two modes:
+
+    - ``corpus is None`` (index-only, conservative): any band-bucket
+      collision with the index marks the doc as non-novel. Zero corpus
+      access; false-drop rate = LSH false-positive rate at the band config.
+    - ``corpus`` given: collisions are VERIFIED with exact shingle Jaccard
+      against only the collided corpus docs (semi-joined — O(candidates)
+      corpus rows read, never a scan), so only true near-dups are dropped.
+
+    Batch-side signature cost is O(|batch|); the probe join touches index
+    buckets the batch actually hashes into (partition pruning on band/bh if
+    the index is written bucketed). ``max_bucket_size`` bounds degenerate
+    index buckets exactly as in minhash_lsh_pairs.
+    """
+    batch_banded = build_minhash_index(
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    idx = _cap_buckets(index, ["band", "bh"], max_bucket_size)
+    hits = (
+        batch_banded.alias("b")
+        .join(idx.alias("i"), on=["band", "bh"])
+        .select(
+            F.col("b.id").alias("batch_id"), F.col("i.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    if corpus is None:
+        dup_ids = hits.select(F.col("batch_id").alias(id_col)).distinct()
+    else:
+        sh_b = batch.select(
+            F.col(id_col).alias("batch_id"),
+            shingles(F.col(text_col), shingle_k).alias("sh_b"),
+        )
+        sh_c = corpus.join(
+            hits.select(F.col("corpus_id").alias(id_col)).distinct(),
+            on=id_col,
+            how="left_semi",
+        ).select(
+            F.col(id_col).alias("corpus_id"),
+            shingles(F.col(text_col), shingle_k).alias("sh_c"),
+        )
+        withsets = hits.join(sh_b, "batch_id").join(sh_c, "corpus_id")
+        inter = F.size(F.array_intersect("sh_b", "sh_c"))
+        union = F.size("sh_b") + F.size("sh_c") - inter
+        dup_ids = (
+            withsets.where((inter / union) >= threshold)
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
+    return batch.join(dup_ids, on=id_col, how="left_anti")
