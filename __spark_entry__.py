@@ -560,6 +560,102 @@ FROM n
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition gate (Rae et al. 2021 table A1):
+    top-bigram/trigram occupancy + duplicate-5-gram fraction. Zero-shuffle
+    projection (array_sort + aggregate run-scan per row)."""
+    from embulk_output_bigquery_java_spark.operators.text_stats import (
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "top_bigram_frac", "top_trigram_frac", "dup_5gram_frac"
+    )
+
+
+def _rep_sql() -> str:
+    def gram_expr(n: int) -> str:
+        parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(generate_series(1, len(toks)-{n - 1}), i -> {parts}) "
+            f"ELSE []::VARCHAR[] END"
+        )
+
+    def topfrac(g: str) -> str:
+        return (
+            f"CASE WHEN len({g}) > 0 THEN round(CAST(list_max(list_transform("
+            f"list_distinct({g}), x -> len(list_filter({g}, y -> y = x)))) "
+            f"AS DOUBLE) / len({g}), 6) ELSE 0.0 END"
+        )
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, {gram_expr(2)} AS g2, {gram_expr(3)} AS g3,
+         {gram_expr(5)} AS g5
+  FROM t
+)
+SELECT doc_id,
+  {topfrac('g2')} AS top_bigram_frac,
+  {topfrac('g3')} AS top_trigram_frac,
+  CASE WHEN len(g5) > 0
+       THEN round(CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE)/len(g5), 6)
+       ELSE 0.0 END AS dup_5gram_frac
+FROM g
+"""
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb cross-document duplicated-span fraction: 8-token
+    non-overlapping windows, sha256 span fingerprints, spans in >=2 docs
+    count as duplicated. One span_fp flag aggregation + a co-partitioned
+    join back; the docs table itself is never shuffled."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        dup_span_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_span_stats(d, span_tokens=8).select(
+        "doc_id", "n_spans", "dup_spans", "dup_span_frac"
+    )
+
+
+_DUP_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(floor(len(toks) / 8) AS INT) AS n_spans,
+         list_transform(generate_series(0, CAST(floor(len(toks)/8) AS INT) - 1),
+             i -> sha256(array_to_string(toks[i*8+1 : i*8+8], ' '))) AS spans
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(spans) AS span_fp FROM s
+), sd AS (
+  SELECT DISTINCT doc_id, span_fp FROM e
+), dup AS (
+  SELECT span_fp FROM sd GROUP BY 1 HAVING count(*) >= 2
+), per AS (
+  SELECT e.doc_id, count(*) AS dup_spans FROM e JOIN dup USING (span_fp)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_spans,
+       coalesce(per.dup_spans, 0) AS dup_spans,
+       CASE WHEN s.n_spans > 0
+            THEN round(CAST(coalesce(per.dup_spans, 0) AS DOUBLE) / s.n_spans, 6)
+            ELSE 0.0 END AS dup_span_frac
+FROM s LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch assembly (operators/packing.py): concat-and-chop
     packing of docs into 4096-char context windows per source shard — one
@@ -1326,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "dup_spans": q_dup_spans,
         "pack_sequences": q_pack_sequences,
         "stratified_cap": q_stratified_cap,
         "shuffle_shards": q_shuffle_shards,
@@ -1369,6 +1467,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _lang_sql(),
         "doc_quality": _QUALITY_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+        "doc_repetition": _rep_sql(),
+        "dup_spans": _DUP_SPANS_SQL,
         "pack_sequences": _PACK_SQL,
         "stratified_cap": _STRATIFIED_SQL,
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,

@@ -735,3 +735,64 @@ def novel_against_index(
             .distinct()
         )
     return batch.join(dup_ids, on=id_col, how="left_anti")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span fraction per document.
+
+    The C4 / RefinedWeb boilerplate signal: split each doc into
+    *non-overlapping* ``span_tokens``-token windows, find spans that occur in
+    more than one document, and report per doc how many of its spans are
+    corpus-duplicated. Docs shorter than one span report ``n_spans = 0``.
+
+    100-TB shape: the docs table itself is never shuffled. Spans explode to
+    fixed-width (id, n_spans, sha256) rows; one span_fp aggregation computes
+    the duplicated flag per span (count_distinct partial-aggregates, so a
+    boilerplate span seen a million times combines map-side); the flag joins
+    back span_fp-to-span_fp (co-partitioned with the aggregation) and a
+    per-doc re-aggregation folds occurrences. Docs with zero spans rejoin
+    via a shuffle-free union, not a join against the full table.
+    """
+    toks = _tokens(F.col(text_col))
+    n_spans = F.floor(F.size(toks) / span_tokens).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.sha2(
+            F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)), 256
+        ),
+    )
+    exploded = df.where(n_spans > 0).select(
+        F.col(id_col),
+        n_spans.alias("n_spans"),
+        F.explode(spans).alias("span_fp"),
+    )
+    # a span is "duplicated" when >= 2 distinct docs contain it
+    flags = exploded.groupBy("span_fp").agg(
+        (F.count_distinct(F.col(id_col)) >= 2).cast("long").alias("is_dup")
+    )
+    per_doc = (
+        exploded.join(flags, on="span_fp")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            F.sum("is_dup").alias("dup_spans"),
+        )
+    )
+    zero_span = df.where(n_spans <= 0).select(
+        F.col(id_col),
+        n_spans.alias("n_spans"),
+        F.lit(0).cast("long").alias("dup_spans"),
+    )
+    return per_doc.unionByName(zero_span).withColumn(
+        "dup_span_frac",
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(F.col("dup_spans") / F.col("n_spans"), 6),
+        ).otherwise(F.lit(0.0)),
+    )

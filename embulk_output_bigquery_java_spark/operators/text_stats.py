@@ -114,6 +114,83 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def _word_grams(toks: Column, n: int) -> Column:
+    """Word n-grams as an array column (empty array when < n tokens)."""
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), size - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _max_multiplicity(grams: Column) -> Column:
+    """Count of the most frequent element — longest run in the sorted array.
+
+    Zero-shuffle: ``array_sort`` + a single ``aggregate`` scan per row, so the
+    whole repetition suite stays an embarrassingly-parallel projection (the
+    100-TB shape: no explode, no groupBy — each doc is scored where it sits).
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc["best"])
+
+
+def top_ngram_frac(col: Column, n: int) -> Column:
+    """Fraction of the doc's word n-gram occurrences taken by the single most
+    frequent n-gram (Gopher repetition filter, Rae et al. 2021 table A1).
+    0.0 when the doc has no n-grams."""
+    toks = _tokens(col)
+    grams = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        _word_grams(toks, n)
+    )
+    total = F.size(grams)
+    return F.when(total > 0, F.round(_max_multiplicity(grams).cast("double") / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_ngram_frac(col: Column, n: int = 5) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an earlier
+    n-gram in the same doc: ``1 - distinct/total`` (Gopher's duplicate
+    n-gram filters). 0.0 when the doc has no n-grams."""
+    toks = _tokens(col)
+    grams = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        _word_grams(toks, n)
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, F.round((total - distinct).cast("double") / total, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals, one zero-shuffle projection:
+    top-bigram / top-trigram occupancy and duplicate-5-gram fraction.
+    The standard boilerplate/spam gate a web-scale training pipeline runs
+    before dedup (cheap, per-row, whole-stage codegen'd)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        top_ngram_frac(c, 2).alias("top_bigram_frac"),
+        top_ngram_frac(c, 3).alias("top_trigram_frac"),
+        dup_ngram_frac(c, 5).alias("dup_5gram_frac"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All stats in one projection (single pass, no shuffle)."""
     c = F.col(text_col)

@@ -319,3 +319,93 @@ def test_contamination_probe_side_broadcast(spark, docs):
     out = contamination_report(train, probe, n=3, min_overlap=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_stats_known_values(spark):
+    from embulk_output_bigquery_java_spark.operators.text_stats import (
+        repetition_stats,
+    )
+
+    rows = [
+        # "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> top 3/5
+        (1, "a b a b a b"),
+        # all-distinct tokens: top bigram 1/n, no dup 5-grams
+        (2, "one two three four five six seven eight"),
+        # all-same token: every gram identical
+        (3, "x x x x x x x"),
+        (4, ""),          # empty -> all 0.0
+        (5, "solo"),      # 1 token -> no grams -> 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_bigram_frac == pytest.approx(3 / 5)
+    assert out[1].dup_5gram_frac == pytest.approx(0.0)  # 2 distinct 5-grams? no: "a b a b a"/"b a b a b" both once -> 0
+    assert out[2].top_bigram_frac == pytest.approx(1 / 7)
+    assert out[2].dup_5gram_frac == pytest.approx(0.0)
+    assert out[3].top_bigram_frac == pytest.approx(1.0)
+    assert out[3].top_trigram_frac == pytest.approx(1.0)
+    assert out[3].dup_5gram_frac == pytest.approx(2 / 3)  # 3 grams, 1 distinct
+    assert out[4].top_bigram_frac == 0.0 and out[4].dup_5gram_frac == 0.0
+    assert out[5].top_bigram_frac == 0.0
+
+
+def test_repetition_stats_matches_python_counter(spark, docs):
+    from collections import Counter
+
+    from embulk_output_bigquery_java_spark.operators.text_stats import (
+        repetition_stats,
+    )
+
+    sample = docs.limit(40)
+    got = {r.doc_id: r for r in repetition_stats(sample).collect()}
+    for row in sample.collect():
+        toks = row.text.split()
+        for n, field in ((2, "top_bigram_frac"), (3, "top_trigram_frac")):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            want = max(Counter(grams).values()) / len(grams) if grams else 0.0
+            assert getattr(got[row.doc_id], field) == pytest.approx(
+                round(want, 6)
+            ), (row.doc_id, field)
+        g5 = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        want5 = (len(g5) - len(set(g5))) / len(g5) if g5 else 0.0
+        assert got[row.doc_id].dup_5gram_frac == pytest.approx(round(want5, 6))
+
+
+def test_dup_span_stats_flags_cross_doc_spans(spark):
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        dup_span_stats,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(8))          # one exact span
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, shared + " " + uniq_a),   # 2 spans, 1 duplicated
+        (2, shared + " " + uniq_b),   # both spans duplicated (docs 1 and 3)
+        (3, uniq_b),                  # 1 span, duplicated with doc 2
+        (4, "tiny doc"),              # < 8 tokens -> 0 spans
+        (5, " ".join(f"c{i}" for i in range(9))),  # 1 span + remainder
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_span_stats(df).collect()}
+    assert (out[1].n_spans, out[1].dup_spans) == (2, 1)
+    assert out[1].dup_span_frac == pytest.approx(0.5)
+    assert (out[2].n_spans, out[2].dup_spans) == (2, 2)
+    assert out[2].dup_span_frac == pytest.approx(1.0)
+    assert (out[3].n_spans, out[3].dup_spans) == (1, 1)
+    assert (out[4].n_spans, out[4].dup_spans) == (0, 0)
+    assert out[4].dup_span_frac == 0.0
+    assert (out[5].n_spans, out[5].dup_spans) == (1, 0)
+
+
+def test_dup_span_stats_repeated_span_within_one_doc_not_duplicated(spark):
+    # a span repeated inside ONE doc only is not corpus-duplicated
+    # (distinct-doc count drives the flag, not occurrence count)
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        dup_span_stats,
+    )
+
+    span = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame([(1, span + " " + span)], ["doc_id", "text"])
+    row = dup_span_stats(df).collect()[0]
+    assert (row.n_spans, row.dup_spans) == (2, 0)
