@@ -313,6 +313,41 @@ def cmd_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rollback(args: argparse.Namespace) -> int:
+    """Restore a prior snapshot as a new commit (metadata-only, CAS-safe)."""
+    spark = get_spark("cdc-rollback", cores=2)
+    table = LakeTable(spark, args.table_root)
+    try:
+        v = table.rollback(args.to_version)
+    except ValueError as exc:
+        print(f"rollback error: {exc}", file=sys.stderr)
+        return 2
+    print(json.dumps({
+        "version": v,
+        "rolled_back_to": args.to_version,
+        "live_rows": table.count_exact(),
+    }))
+    return 0
+
+
+def cmd_delete_where(args: argparse.Namespace) -> int:
+    """Row-level predicate delete (GDPR/takedown path): MOR tombstones or
+    bucket-pruned COW rewrite."""
+    spark = get_spark("cdc-delete", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    try:
+        out = table.delete_where(args.where, strategy=args.strategy)
+    except ValueError as exc:
+        print(f"delete error: {exc}", file=sys.stderr)
+        return 2
+    if args.compact:
+        table.compact()
+        out["compacted"] = True
+    out["live_rows"] = table.count_exact()
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc-engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -415,6 +450,29 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--target-file-rows", type=int, default=1_000_000)
     rb.add_argument("--cores", type=int, default=None)
     rb.set_defaults(fn=cmd_rebucket)
+
+    ro = sub.add_parser(
+        "rollback", help="restore a prior version (metadata-only commit)"
+    )
+    ro.add_argument("--table-root", required=True)
+    ro.add_argument("--to-version", type=int, required=True)
+    ro.set_defaults(fn=cmd_rollback)
+
+    dw = sub.add_parser(
+        "delete-where",
+        help="row-level predicate delete (GDPR/takedown): mor tombstones "
+             "or bucket-pruned cow rewrite",
+    )
+    dw.add_argument("--table-root", required=True)
+    dw.add_argument("--where", required=True,
+                    help="SQL predicate over table columns; TRUE rows are "
+                         "deleted, FALSE/NULL rows stay")
+    dw.add_argument("--strategy", default="auto",
+                    choices=["auto", "mor", "cow"])
+    dw.add_argument("--compact", action="store_true",
+                    help="compact after a mor delete so removal is physical")
+    dw.add_argument("--cores", type=int, default=None)
+    dw.set_defaults(fn=cmd_delete_where)
 
     e = sub.add_parser("expire", help="expire snapshots, GC orphaned files")
     e.add_argument("--table-root", required=True)

@@ -1118,3 +1118,134 @@ class LakeTable:
         tags = dict(self.properties.get("tags", {}))
         tags[name] = v
         return self.set_properties({"tags": tags})
+
+    def rollback(self, to_version: int) -> int:
+        """Restore a prior snapshot's state as a NEW commit — metadata-only,
+        no data rewritten (Iceberg rollback analog; pairs with ``tag`` for
+        `replace_backup`-style recovery).
+
+        The target's file set, schema set, layout and properties all
+        restore — including ``applied_ranges``, so the replay's exactly-once
+        bookkeeping rolls back WITH the data and a re-replay of the undone
+        offset range re-applies instead of no-op'ing. History stays linear
+        (the rollback commit's parent is the current head), so time travel,
+        tags and ``expire_snapshots`` keep working; the rollback window IS
+        the retention window — raises if the target snapshot or any of its
+        data files has been expired. Goes through the same O_EXCL CAS as
+        every commit (concurrent-writer safe).
+        """
+        base = self.snapshot()
+        try:
+            target = self.snapshot(to_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot rollback: v{to_version} is not retained at "
+                f"{self.root} (expired? see expire_snapshots keep_last)"
+            ) from None
+        if to_version == base["version"]:
+            return base["version"]
+        missing = [
+            f["path"] for f in target["files"]
+            if not os.path.exists(os.path.join(self.root, f["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot rollback to v{to_version}: {len(missing)} data "
+                f"file(s) expired, e.g. {missing[0]}"
+            )
+        new_v = base["version"] + 1
+        snap = {
+            "version": new_v,
+            "parent": base["version"],
+            "operation": "rollback",
+            "rolled_back_to": to_version,
+            "current_schema_id": target["current_schema_id"],
+            "schemas": target["schemas"],
+            "partition": target["partition"],
+            "time_partition": target.get("time_partition"),
+            "clustering": target.get("clustering", []),
+            "merge_keys": target["merge_keys"],
+            "files": target["files"],
+            "properties": target["properties"],
+            "summary": target["summary"],
+            "committed_at": _now_iso(),
+        }
+        path = os.path.join(self.meta_dir, f"v{new_v}.json")
+        try:
+            _publish_json(snap, path)
+        except FileExistsError as exc:
+            raise CommitConflict(f"lost race for v{new_v} at {self.root}") from exc
+        return new_v
+
+    def delete_where(self, predicate, *, strategy: str = "auto") -> dict:
+        """Row-level predicate delete — the GDPR / takedown path a
+        training-data lake needs (delete every row for a repo/author/licence
+        without rewriting the table).
+
+        SQL DELETE semantics: rows where the predicate is TRUE go; rows
+        where it is FALSE **or NULL** stay.
+
+        - ``mor``: appends ``op='D'`` tombstones for the merge keys of
+          matching live rows — O(matches) write, nothing rewritten; readers
+          reconcile (the tombstone outranks every retained commit) and
+          ``compact`` makes it physical. Requires merge keys.
+        - ``cow``: rewrites only the buckets that contain matches, minus
+          the matching rows — write amplification bounded by touched
+          buckets, not table size. Unpartitioned tables fall back to a
+          full replace.
+        - ``auto``: mor when the table has merge keys, else cow.
+
+        Physical removal under mor happens at ``compact``/``expire``
+        cadence — callers with a hard deletion SLA should compact after.
+        Costs one count job (the deleted-row count it returns).
+        """
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if strategy == "auto":
+            strategy = "mor" if self.merge_keys else "cow"
+        live = self.read()
+        matched = live.where(pred)
+        if strategy == "mor":
+            keys = self.merge_keys
+            if not keys:
+                raise ValueError("mor delete_where requires merge keys")
+            tombs = matched.select(*keys).distinct()
+            n = tombs.count()
+            if n == 0:
+                return {"deleted_keys": 0, "version": self.version,
+                        "strategy": "mor"}
+            full = tombs.select(
+                *[
+                    (F.col(f.name) if f.name in keys
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in self.schema().fields
+                ],
+                F.lit("D").alias("op"),
+            )
+            v = self.append_deltas(full)
+            return {"deleted_keys": n, "version": v, "strategy": "mor"}
+        if strategy != "cow":
+            raise ValueError(f"unknown delete_where strategy {strategy!r}")
+        keep = F.coalesce(~pred, F.lit(True))  # NULL predicate -> keep
+        part = self.partition
+        if part is None:
+            kept_rows = live.where(keep)
+            n = matched.count()
+            v = self.replace(kept_rows)
+            return {"deleted_keys": n, "version": v, "strategy": "cow"}
+        # bucket-pruned rewrite: only buckets holding matches are touched;
+        # the driver-side list is bounded by num_buckets (maintenance op,
+        # not the per-batch hot loop)
+        buckets = sorted(
+            r.b
+            for r in matched.select(
+                self.bucket_of(F.col(part["column"])).alias("b")
+            ).distinct().collect()
+        )
+        if not buckets:
+            return {"deleted_keys": 0, "version": self.version,
+                    "strategy": "cow"}
+        n = matched.count()
+        in_buckets = self.bucket_of(F.col(part["column"])).isin(buckets)
+        post = live.where(in_buckets).where(keep)
+        v = self.overwrite_buckets(post, buckets)
+        return {"deleted_keys": n, "version": v, "strategy": "cow"}

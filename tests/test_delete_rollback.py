@@ -1,0 +1,162 @@
+"""Rollback (metadata-only restore) and delete_where (GDPR row deletes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(rows, REPOS_SCHEMA)
+
+
+ROWS = [
+    ("org0/repo0", "src/a.py", "c1", "python", "print(1)"),
+    ("org0/repo0", "src/b.py", "c1", "python", "print(2)"),
+    ("org1/repo1", "src/c.py", "c1", "java", "x"),
+    ("org2/repo2", "src/d.py", "c1", "python", "y"),
+]
+
+
+def fresh(spark, root, num_buckets=4):
+    t = LakeTable.create(
+        spark, root, REPOS_SCHEMA,
+        bucket_column="repo", num_buckets=num_buckets,
+        merge_keys=["repo", "path"],
+    )
+    t.append(make_df(spark, ROWS))
+    return t
+
+
+# ------------------------------------------------------------------ rollback
+def test_rollback_restores_rows_and_is_metadata_only(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root)
+    v1 = t.version
+    files_v1 = {f["path"] for f in t.snapshot()["files"]}
+    t.replace(make_df(spark, ROWS[:1]))
+    assert t.count_exact() == 1
+
+    v = t.rollback(v1)
+    assert v == t.version and t.snapshot()["parent"] == v1 + 1
+    assert t.count_exact() == len(ROWS)
+    # metadata-only: the restored snapshot references v1's files verbatim
+    assert {f["path"] for f in t.snapshot()["files"]} == files_v1
+    assert t.snapshot()["operation"] == "rollback"
+    assert t.snapshot()["rolled_back_to"] == v1
+    # history is linear: the pre-rollback head is still readable
+    assert t.read(version=v1 + 1).count() == 1
+
+
+def test_rollback_restores_exactly_once_bookkeeping(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root)
+    v1 = t.version
+    t.append(make_df(spark, ROWS[:1]), batch_id="repos:0:100")
+    assert t.has_batch("repos:0:100")
+
+    t.rollback(v1)
+    # applied_ranges rolled back with the data: the undone batch can re-apply
+    assert not t.has_batch("repos:0:100")
+
+
+def test_rollback_noop_and_errors(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root)
+    assert t.rollback(t.version) == t.version  # no-op, no new commit
+    with pytest.raises(ValueError, match="not retained"):
+        t.rollback(99)
+
+
+def test_rollback_to_expired_version_raises(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root)
+    for i in range(4):
+        t.replace(make_df(spark, ROWS[: i + 1]))
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="not retained|expired"):
+        t.rollback(1)
+
+
+# --------------------------------------------------------------- delete_where
+@pytest.mark.parametrize("strategy", ["mor", "cow"])
+def test_delete_where_removes_matching_rows(spark, tmp_table_root, strategy):
+    t = fresh(spark, tmp_table_root)
+    out = t.delete_where("repo = 'org0/repo0'", strategy=strategy)
+    assert out["strategy"] == strategy
+    assert out["deleted_keys"] == 2
+    left = sorted(r.repo for r in t.read().collect())
+    assert left == ["org1/repo1", "org2/repo2"]
+
+
+def test_delete_where_cow_is_bucket_pruned(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root, num_buckets=8)
+    before = {f["path"]: f["bucket"] for f in t.snapshot()["files"]}
+    target_bucket = t.read().select(
+        t.bucket_of(F.col("repo")).alias("b")
+    ).where(F.col("repo") == "org1/repo1").first().b
+
+    t.delete_where("repo = 'org1/repo1'", strategy="cow")
+    after = {f["path"] for f in t.snapshot()["files"]}
+    # every file of an untouched bucket carried over verbatim
+    untouched = {p for p, b in before.items() if b != target_bucket}
+    assert untouched <= after
+
+
+def test_delete_where_mor_tombstones_then_compact(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root)
+    gross_before = t.total_rows()
+    out = t.delete_where("lang = 'java'", strategy="mor")
+    assert out["deleted_keys"] == 1
+    # mor: nothing rewritten — gross manifest grows by the tombstone
+    assert t.total_rows() == gross_before + 1
+    assert t.count_exact() == len(ROWS) - 1
+    t.compact()
+    # physical after compaction
+    assert t.total_rows() == len(ROWS) - 1
+    assert sorted(r.lang for r in t.read().collect()) == [
+        "python", "python", "python"
+    ]
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, REPOS_SCHEMA,
+        bucket_column="repo", num_buckets=4, merge_keys=["repo", "path"],
+    )
+    rows = [
+        ("r0", "p0", "c1", None, "keep: NULL predicate"),
+        ("r1", "p1", "c1", "java", "delete"),
+        ("r2", "p2", "c1", "python", "keep"),
+    ]
+    t.append(make_df(spark, rows))
+    for strategy in ("cow",):
+        out = t.delete_where("lang = 'java'", strategy=strategy)
+        assert out["deleted_keys"] == 1
+    kept = sorted(r.repo for r in t.read().collect())
+    assert kept == ["r0", "r2"]  # SQL DELETE: NULL predicate rows stay
+
+
+def test_delete_where_then_reinsert_wins(spark, tmp_table_root):
+    # a merge upsert AFTER a mor delete re-creates the key (commit seq wins)
+    from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+    t = fresh(spark, tmp_table_root)
+    t.delete_where("repo = 'org0/repo0'", strategy="mor")
+    assert t.count_exact() == 2
+
+    batch = spark.createDataFrame(
+        [("org0/repo0", "src/a.py", "c9", "python", "reborn", "I")],
+        "repo string, path string, commit string, lang string, "
+        "content string, op string",
+    )
+    merge_apply(t, batch, keys=["repo", "path"], strategy="mor")
+    rows = {(r.repo, r.path): r.commit for r in t.read().collect()}
+    assert rows[("org0/repo0", "src/a.py")] == "c9"
+    assert len(rows) == 3
+
+
+def test_delete_where_no_matches_is_noop_commit_free(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root)
+    v = t.version
+    out = t.delete_where("repo = 'nope'", strategy="mor")
+    assert out["deleted_keys"] == 0 and t.version == v
+    out = t.delete_where("repo = 'nope'", strategy="cow")
+    assert out["deleted_keys"] == 0 and t.version == v
