@@ -656,6 +656,45 @@ FROM s LEFT JOIN per USING (doc_id)
 """
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/asof.py): every click event gets the
+    user's most recent view event at-or-before it — the feature-store /
+    CDC temporal-join primitive. One hash shuffle, no join node (union +
+    running last-value window); DuckDB's native ASOF JOIN is the oracle."""
+    from embulk_output_bigquery_java_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(clicks, views, on=["user_id"], left_on="ts", right_on="ts")
+    # timestamps cross the oracle boundary as epoch micros: pandas gives
+    # Spark results ns resolution and DuckDB results us — same instants,
+    # different int64 units — so both sides emit BIGINT microseconds
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value",
+        "view_event_id",
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("view_ts_us"), "view_value",
+    )
+
+
+_ASOF_SQL = r"""
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+       v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us,
+       v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch assembly (operators/packing.py): concat-and-chop
     packing of docs into 4096-char context windows per source shard — one
@@ -1424,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_repetition": q_doc_repetition,
         "dup_spans": q_dup_spans,
+        "asof_join_events": q_asof_join_events,
         "pack_sequences": q_pack_sequences,
         "stratified_cap": q_stratified_cap,
         "shuffle_shards": q_shuffle_shards,
@@ -1469,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "doc_repetition": _rep_sql(),
         "dup_spans": _DUP_SPANS_SQL,
+        "asof_join_events": _ASOF_SQL,
         "pack_sequences": _PACK_SQL,
         "stratified_cap": _STRATIFIED_SQL,
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,

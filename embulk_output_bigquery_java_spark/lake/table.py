@@ -1119,6 +1119,45 @@ class LakeTable:
         tags[name] = v
         return self.set_properties({"tags": tags})
 
+    def lookup(self, **key_values) -> DataFrame:
+        """Point query: the current live row(s) matching a key assignment,
+        e.g. ``t.lookup(repo='org0/r0', path='src/a.py')`` — the CDC
+        serving path ("what is this key's row now?").
+
+        Scans ONLY the key's hash bucket (file-level pruning via the same
+        bucket(N, key) transform the writer uses) plus that bucket's deltas;
+        with clustering on the key columns the remaining predicate also
+        row-group-skips inside the bucket's files via parquet min/max. Cost
+        is O(bucket), not O(table) — independent of table size as buckets
+        are rebucketed with growth.
+        """
+        unknown = [k for k in key_values if k not in self.schema().names]
+        if unknown:
+            raise ValueError(f"unknown lookup column(s): {unknown}")
+        pred = None
+        for k, v in key_values.items():
+            c = F.col(k) == F.lit(v)
+            pred = c if pred is None else (pred & c)
+        if pred is None:
+            raise ValueError("lookup needs at least one key column")
+        part = self.partition
+        buckets = None
+        if part and part["column"] in key_values:
+            # bucket of a literal: one row, no shuffle — negligible probe
+            b = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(key_values[part["column"]])),
+                        F.lit(part["num_buckets"]),
+                    ).cast("int").alias("b")
+                )
+                .first()
+                .b
+            )
+            buckets = [b]
+        return self.read(buckets=buckets).where(pred)
+
     def rollback(self, to_version: int) -> int:
         """Restore a prior snapshot's state as a NEW commit — metadata-only,
         no data rewritten (Iceberg rollback analog; pairs with ``tag`` for

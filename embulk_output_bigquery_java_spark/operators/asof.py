@@ -1,0 +1,120 @@
+"""As-of (point-in-time) join — the temporal-join primitive Spark lacks.
+
+The CDC/feature-store staple: for every left row, attach the most recent
+right row per key whose order value is at-or-before (``strict=False``) or
+strictly-before (``strict=True``) the left row's. Classic uses: join events
+to the dimension version that was current when the event happened, attach
+the last sensor reading, point-in-time-correct feature lookups (no leakage).
+
+Not in the reference (no query engine); built brief-first as an engine
+operator. DuckDB's native ``ASOF JOIN`` is the value oracle.
+
+100-TB shape: the naive formulations explode — a range join is O(|L|x|R|)
+per key without a range-join optimizer, and per-row subqueries don't
+distribute. This implementation is the scalable union trick:
+
+1. union left and right rows into one keyed stream (right payload NULL on
+   left rows and vice versa — fixed-width, no duplication),
+2. ONE hash shuffle on the key + per-partition sort by (order, side),
+3. ``last(col, ignorenulls=True)`` over an unbounded-preceding running
+   window carries each right payload forward to the left rows that follow,
+4. keep the left rows.
+
+Exactly one Exchange regardless of data size (asserted in
+tests/test_plans_physical.py); ties resolve by side ordering so
+at-or-before vs strictly-before is a sort-key flip, not a second pass.
+Hot keys are ordinary window skew — AQE/salting territory, no
+cross-product risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_ORD = "__asof_ord"
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_on: str = "ts",
+    right_on: str = "ts",
+    strict: bool = False,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus the latest right row per key
+    with ``right_on <= left_on`` (``<`` when ``strict``). Unmatched left
+    rows keep NULL right columns (left-join semantics).
+
+    ``right``'s non-key columns must not collide with ``left``'s — collide
+    ones are suffixed ``_asof`` (so a shared ``ts`` comes back as
+    ``ts_asof``). ``tolerance_s`` drops matches older than the given
+    seconds (pandas ``merge_asof`` tolerance analog): the join still
+    happens, the carried columns null out.
+    """
+    key = list(on)
+    lpayload = [c for c in left.columns if c not in key]
+    rpayload = [c for c in right.columns if c not in key]
+    if left_on not in left.columns:
+        raise ValueError(f"left_on {left_on!r} not in left columns")
+    if right_on not in right.columns or right_on in key:
+        raise ValueError(f"right_on {right_on!r} must be a right payload column")
+    ren = {c: (f"{c}_asof" if c in left.columns else c) for c in rpayload}
+
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+
+    # ties at equal order value: the side that sorts FIRST is visible to the
+    # other. Inclusive (at-or-before) wants right before left; strict wants
+    # left before right.
+    lside, rside = (0, 1) if strict else (1, 0)
+
+    lpart = left.select(
+        *key,
+        *lpayload,
+        *[F.lit(None).cast(rtypes[c]).alias(ren[c]) for c in rpayload],
+        F.col(left_on).alias(_ORD),
+        F.lit(lside).alias(_SIDE),
+    )
+    rpart = right.select(
+        *key,
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpayload],
+        *[F.col(c).alias(ren[c]) for c in rpayload],
+        F.col(right_on).alias(_ORD),
+        F.lit(rside).alias(_SIDE),
+    )
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(F.col(_ORD).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lpart.unionByName(rpart).select(
+        *key,
+        *lpayload,
+        *[
+            F.last(ren[c], ignorenulls=True).over(w).alias(ren[c])
+            for c in rpayload
+        ],
+        F.col(_ORD),
+        F.col(_SIDE),
+    )
+    out = filled.where(F.col(_SIDE) == lside)
+    if tolerance_s is not None:
+        rord = ren[right_on]
+        age: Column = F.col(_ORD).cast("double") - F.col(rord).cast("double")
+        keep = age <= F.lit(float(tolerance_s))
+        out = out.select(
+            *key,
+            *lpayload,
+            *[
+                F.when(keep, F.col(ren[c])).alias(ren[c])
+                for c in rpayload
+            ],
+            _ORD,
+            _SIDE,
+        )
+    return out.drop(_ORD, _SIDE)

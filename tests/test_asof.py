@@ -1,0 +1,110 @@
+"""As-of join operator vs pandas merge_asof + plan shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.asof import asof_join
+
+
+def mk(spark, seed=7, n_left=200, n_right=150, n_keys=12):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": rng.uniform(0, 1000, n_left).round(3),
+        "lv": np.arange(n_left),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right),
+        "ts": rng.uniform(0, 1000, n_right).round(3),
+        "rv": np.arange(n_right) * 10,
+    })
+    # unique (k, ts) on the right: equal-ts duplicates make the winner
+    # undefined in every engine (documented; callers dedupe)
+    right = right.drop_duplicates(["k", "ts"])
+    return left, right
+
+
+def reference(left, right, *, strict=False, tolerance=None):
+    kw = {}
+    if tolerance is not None:
+        kw["tolerance"] = tolerance
+    return pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "ts_asof"}
+        ),
+        left_on="ts",
+        right_on="ts_asof",
+        by="k",
+        allow_exact_matches=not strict,
+        direction="backward",
+        **kw,
+    )
+
+
+def normalize(df):
+    return (
+        df[["k", "ts", "lv", "rv", "ts_asof"]]
+        .sort_values(["k", "ts", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_pandas(spark, strict):
+    left, right = mk(spark)
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"], left_on="ts", right_on="ts", strict=strict,
+    ).toPandas()
+    want = reference(left, right, strict=strict)
+    pd.testing.assert_frame_equal(
+        normalize(out), normalize(want), check_dtype=False
+    )
+
+
+def test_asof_tolerance_nulls_old_matches(spark):
+    left, right = mk(spark, seed=11)
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"], left_on="ts", right_on="ts", tolerance_s=50.0,
+    ).toPandas()
+    want = reference(left, right, tolerance=50.0)
+    pd.testing.assert_frame_equal(
+        normalize(out), normalize(want), check_dtype=False
+    )
+
+
+def test_asof_exact_tie_semantics(spark):
+    left = spark.createDataFrame([(1, 10.0, "L")], "k int, ts double, lv string")
+    right = spark.createDataFrame([(1, 10.0, "R")], "k int, ts double, rv string")
+    inclusive = asof_join(left, right, on=["k"]).collect()[0]
+    assert inclusive.rv == "R"  # at-or-before: equal ts matches
+    strict = asof_join(left, right, on=["k"], strict=True).collect()[0]
+    assert strict.rv is None    # strictly-before: equal ts does not
+
+
+def test_asof_unmatched_left_rows_survive_with_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, 5.0, "early"), (2, 99.0, "other-key")],
+        "k int, ts double, lv string",
+    )
+    right = spark.createDataFrame([(1, 7.0, "late")], "k int, ts double, rv string")
+    rows = {r.lv: r for r in asof_join(left, right, on=["k"]).collect()}
+    assert len(rows) == 2
+    assert rows["early"].rv is None and rows["other-key"].rv is None
+
+
+def test_asof_single_exchange_plan(spark):
+    left, right = mk(spark)
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right), on=["k"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the union trick: one hash shuffle on the key, no join node at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

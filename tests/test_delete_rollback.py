@@ -160,3 +160,46 @@ def test_delete_where_no_matches_is_noop_commit_free(spark, tmp_table_root):
     assert out["deleted_keys"] == 0 and t.version == v
     out = t.delete_where("repo = 'nope'", strategy="cow")
     assert out["deleted_keys"] == 0 and t.version == v
+
+
+# -------------------------------------------------------------------- lookup
+def test_lookup_returns_current_row_and_prunes_to_bucket(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root, num_buckets=8)
+    row = t.lookup(repo="org1/repo1", path="src/c.py").collect()
+    assert len(row) == 1 and row[0].lang == "java"
+
+    # file-level pruning: the scan touches only the key's bucket
+    b = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit("org1/repo1")), F.lit(8)).cast("int").alias("b")
+        ).first().b
+    )
+    bucket_files = {
+        f["path"] for f in t.snapshot()["files"] if f["bucket"] == b
+    }
+    scanned = {p.split(tmp_table_root + "/", 1)[1]
+               for p in t.lookup(repo="org1/repo1").inputFiles()}
+    assert scanned <= bucket_files and scanned
+
+
+def test_lookup_sees_mor_deltas(spark, tmp_table_root):
+    from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+    t = fresh(spark, tmp_table_root)
+    batch = spark.createDataFrame(
+        [("org1/repo1", "src/c.py", "c7", "java", "updated", "U")],
+        "repo string, path string, commit string, lang string, "
+        "content string, op string",
+    )
+    merge_apply(t, batch, keys=["repo", "path"], strategy="mor")
+    got = t.lookup(repo="org1/repo1", path="src/c.py").collect()
+    assert len(got) == 1 and got[0].commit == "c7"
+
+
+def test_lookup_validates_columns(spark, tmp_table_root):
+    t = fresh(spark, tmp_table_root)
+    with pytest.raises(ValueError, match="unknown lookup"):
+        t.lookup(nope="x")
+    with pytest.raises(ValueError, match="at least one"):
+        t.lookup()
