@@ -867,6 +867,70 @@ FROM packed
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py): embedding-level semantic dedup —
+    IVF cells -> within-cell cosine pairs (>= 0.92) -> connected components
+    -> keep min-id representative. Corpus = embeddings plus 20 planted
+    exact-duplicate vectors (shifted ids), which the op must drop. Pair
+    work is O(|corpus| x stride), never all-pairs."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    dups = e.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    corpus = e.unionByName(dups)
+    kept = semantic_dedup_keep(
+        corpus, threshold=0.92, centroid_stride=50
+    )
+    return kept.select("vec_id")
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE
+corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+),
+cent AS (
+    SELECT vec_id AS cid, embedding AS cv FROM corpus WHERE vec_id % 50 = 0
+),
+assign AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding, c.cv), 6)
+                            DESC, c.cid ASC
+               ) AS rn
+        FROM corpus e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.92
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+    SELECT id, id AS comp FROM nodes
+    UNION
+    SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT c.vec_id FROM corpus c
+WHERE c.vec_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic centroid subset (vec_id % 50 == 0), nprobe=2."""
     from embulk_output_bigquery_java_spark.operators.similarity import ivf_topk
@@ -1472,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novel_docs": q_novel_docs,
         "redact_secrets": q_redact_secrets,
         "table_profile": q_table_profile,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
@@ -1518,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "novel_docs": _NOVEL_SQL,
         "redact_secrets": _REDACT_SQL,
         "table_profile": _PROFILE_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "ivf_ann_topk": _IVF_SQL,
         "exact_dup_groups": _DUPGROUP_SQL,
         "exact_dedup_keep": _EXACT_DEDUP_SQL,

@@ -199,6 +199,109 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """Deterministic IVF centroid subset (every ``centroid_stride``-th
+    vector — a fixed "sample" so an external oracle can mirror it), tiny
+    and broadcast."""
+    return F.broadcast(
+        corpus.where(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 50,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus -> Voronoi-cell assignment: argmax-cosine centroid per vector
+    as a two-phase max_by aggregate (map-side partial combine — ships |C|
+    rows through the shuffle, not |C| x n_centroids like a window would);
+    ties break toward the smaller centroid id via the -cid order component.
+    Returns (id, cid, vec)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, vec_col=vec_col, id_col=id_col,
+            centroid_stride=centroid_stride,
+        )
+    )
+    cscored = corpus.select(id_col, vec_col).crossJoin(cent).select(
+        "*", F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("_csim")
+    )
+    ordv = F.struct(F.col("_csim"), (-F.col("cid")).alias("_negcid"))
+    return (
+        cscored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col(vec_col).alias("_v")), ordv
+            ).alias("_b")
+        )
+        .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b._v").alias(vec_col))
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    centroid_stride: int = 50,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
+    cluster the corpus into IVF cells, find within-cell pairs with cosine
+    >= ``threshold``, group them into connected components, keep ONE
+    representative (min id) per component. Returns the kept corpus rows.
+
+    100-TB shape: this is exactly why SemDeDup clusters first — pair
+    generation is a self-join *within cells only*, and with stride-based
+    centroids the cell count grows with the corpus (expected cell size ~
+    ``centroid_stride``), so pair work is O(|C| x stride), never O(|C|^2).
+    One exchange on cid for the self-join, shuffle-bounded label
+    propagation for grouping, one anti join to apply the drop set.
+    ``max_cell_size`` caps degenerate cells (a hot centroid under skewed
+    embeddings) with the same documented recall trade as the LSH caps.
+    """
+    assigned = ivf_assign(
+        corpus, vec_col=vec_col, id_col=id_col,
+        centroid_stride=centroid_stride,
+    )
+    if max_cell_size is not None:
+        from .text_dedup import _cap_buckets
+
+        assigned = assigned.persist()
+        assigned = _cap_buckets(assigned, ["cid"], max_cell_size)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cid", F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cid", F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, on="cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    from .graph import dedup_keep_canonical
+
+    # components + keep-min-id + label-cache release in one helper
+    return dedup_keep_canonical(corpus, pairs, id_col=id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -222,28 +325,11 @@ def ivf_topk(
     assignment would be cached/bucketed by cid once and reused per query
     wave (the IVF "index").
     """
-    cent = F.broadcast(
-        corpus.where(F.col(id_col) % centroid_stride == 0).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-        )
+    cent = ivf_centroids(
+        corpus, vec_col=vec_col, id_col=id_col, centroid_stride=centroid_stride
     )
-
-    # corpus -> cell assignment: argmax-cosine centroid per vector as a
-    # two-phase max_by aggregate (map-side partial combine — ships |C| rows
-    # through the shuffle, not |C| x n_centroids like a window would);
-    # ties break toward the smaller centroid id via the -cid order component.
-    cscored = corpus.select(id_col, vec_col).crossJoin(cent).select(
-        "*", F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("_csim")
-    )
-    ordv = F.struct(F.col("_csim"), (-F.col("cid")).alias("_negcid"))
-    assigned = (
-        cscored.groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct(F.col("cid"), F.col(vec_col).alias("_v")), ordv
-            ).alias("_b")
-        )
-        .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b._v").alias(vec_col))
+    assigned = ivf_assign(
+        corpus, vec_col=vec_col, id_col=id_col, centroids=cent
     )
 
     # query -> nprobe nearest cells: queries are few, a window is fine

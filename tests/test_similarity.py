@@ -95,3 +95,74 @@ def test_embedding_near_dup(spark, emb):
     found = {(r.id_a, r.id_b) for r in pairs}
     for i in [r.vec_id for r in emb.limit(5).collect()]:
         assert (i, i + 1_000_000) in found
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, emb):
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+
+    dups = emb.where(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    corpus = emb.unionByName(dups)
+    kept = set(
+        r.vec_id
+        for r in semantic_dedup_keep(corpus, threshold=0.999).select(
+            "vec_id"
+        ).collect()
+    )
+    # every planted exact duplicate dropped, its min-id original kept
+    assert not any(v >= 1_000_000 for v in kept)
+    assert set(range(10)) <= kept
+
+
+def test_semantic_dedup_keeps_all_when_threshold_unreachable(spark, emb):
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+
+    n = emb.count()
+    kept = semantic_dedup_keep(emb, threshold=1.000001).count()
+    assert kept == n
+
+
+def test_semantic_dedup_cell_cap_bounds_pairs(spark, emb):
+    # with a 1-row cell cap no within-cell pair can form -> nothing dropped
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+
+    dups = emb.where(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    corpus = emb.unionByName(dups)
+    kept = semantic_dedup_keep(
+        corpus, threshold=0.999, max_cell_size=1
+    ).count()
+    assert kept == corpus.count()
+
+
+def test_ivf_assign_matches_bruteforce_argmax(spark, emb):
+    import numpy as np
+
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    rows = emb.limit(60).collect()
+    cent = [(r.vec_id, np.array(r.embedding)) for r in rows
+            if r.vec_id % 50 == 0]
+    got = {
+        r.vec_id: r.cid
+        for r in ivf_assign(emb.limit(60), centroid_stride=50).collect()
+    }
+    for r in rows:
+        v = np.array(r.embedding)
+        sims = [
+            (round(float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv))), 6),
+             -cid)
+            for cid, cv in cent
+        ]
+        want = -max(sims)[1]
+        assert got[r.vec_id] == want, r.vec_id
