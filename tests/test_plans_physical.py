@@ -193,3 +193,64 @@ def test_salted_dedup_plan_has_two_aggregate_phases(spark, changelog):
     n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert n_aggs >= 4, plan
     assert "_salt" in plan  # the salt column is real, not folded away
+
+
+def test_repetition_stats_is_zero_shuffle_projection(spark):
+    """The Gopher repetition gate must stay embarrassingly parallel: all
+    three signals are array expressions per row — any Exchange would mean
+    an accidental explode/groupBy snuck in."""
+    from embulk_output_bigquery_java_spark.operators.text_stats import (
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(repetition_stats(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_dup_spans_never_shuffles_document_text(spark):
+    """Cross-doc span dedup shuffles only fixed-width fingerprint rows:
+    the raw text column must be pruned before every Exchange (text appears
+    only below the first projection that hashes it away)."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        dup_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dup_span_stats(docs))
+    # every Exchange's output schema in the formatted plan is listed as
+    # "Arguments: hashpartitioning(...)" + the operator above it; assert the
+    # text column never appears as a shuffle output attribute
+    for block in plan.split("Exchange")[1:]:
+        head = block.splitlines()[0]
+        assert "text" not in head, head
+
+
+def test_semantic_dedup_pairs_join_only_on_cells(spark):
+    """SemDeDup's pair stage must be a cid-keyed join (within-cell), never
+    a cartesian over the corpus; the only CartesianProduct allowed is the
+    tiny broadcast centroid cross join."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        ivf_assign, semantic_dedup_keep,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = ivf_assign(emb)
+    a = assigned.select(F.col("vec_id").alias("id_a"), "cid",
+                        F.col("embedding").alias("_va"))
+    b = assigned.select(F.col("vec_id").alias("id_b"), "cid",
+                        F.col("embedding").alias("_vb"))
+    pairs = (
+        a.join(b, on="cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan, plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines, plan  # an equi-join with explicit keys exists
+    assert all("cid" in ln for ln in key_lines), key_lines
