@@ -656,6 +656,52 @@ FROM s LEFT JOIN per USING (doc_id)
 """
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of dup_spans (operators/text_dedup.py):
+    RefinedWeb-style boilerplate strip — every occurrence of an 8-token
+    span appearing in >= 2 docs is cut from the text. Fixed-width
+    fingerprint shuffles; one co-partitioned rebuild join."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        strip_dup_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_dup_spans(d, span_tokens=8).select(
+        "doc_id", "clean_text", "removed_spans"
+    )
+
+
+_STRIP_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, CAST(floor(len(toks)/8) AS INT) AS n_spans,
+    list_transform(generate_series(0, CAST(floor(len(toks)/8) AS INT)-1),
+      i -> sha256(lower(array_to_string(toks[i*8+1 : i*8+8], ' ')))) AS fps
+  FROM t
+), occ AS (
+  SELECT doc_id, (p).i AS idx, (p).fp AS fp FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(fps)),
+        i -> {'i': i - 1, 'fp': fps[i]})) AS p
+    FROM s WHERE len(fps) > 0
+  )
+), dup AS (
+  SELECT fp FROM occ GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+), drops AS (
+  SELECT doc_id, list(DISTINCT idx) AS drop_idx
+  FROM occ JOIN dup USING (fp) GROUP BY doc_id
+)
+SELECT s.doc_id,
+  coalesce(array_to_string(
+    [s.toks[j] FOR j IN range(1, len(s.toks)+1)
+     IF j > s.n_spans*8 OR NOT list_contains(coalesce(d.drop_idx, []),
+         CAST(floor((j-1)/8) AS BIGINT))], ' '), '') AS clean_text,
+  len(coalesce(d.drop_idx, [])) AS removed_spans
+FROM s LEFT JOIN drops d USING (doc_id)
+"""
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join (operators/asof.py): every click event gets the
     user's most recent view event at-or-before it — the feature-store /
@@ -1527,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_repetition": q_doc_repetition,
         "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
         "asof_join_events": q_asof_join_events,
         "pack_sequences": q_pack_sequences,
         "stratified_cap": q_stratified_cap,
@@ -1574,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "doc_repetition": _rep_sql(),
         "dup_spans": _DUP_SPANS_SQL,
+        "strip_dup_spans": _STRIP_SPANS_SQL,
         "asof_join_events": _ASOF_SQL,
         "pack_sequences": _PACK_SQL,
         "stratified_cap": _STRATIFIED_SQL,

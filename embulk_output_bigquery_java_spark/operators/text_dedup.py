@@ -796,3 +796,67 @@ def dup_span_stats(
             F.round(F.col("dup_spans") / F.col("n_spans"), 6),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Remove corpus-duplicated spans from the documents themselves — the
+    actionable form of :func:`dup_span_stats` (RefinedWeb-style boilerplate
+    strip: every occurrence of a ``span_tokens``-token window that appears
+    in >= 2 distinct documents is cut; headers, license banners, navboxes).
+
+    Matching is case-insensitive (spans fingerprint over lowercased
+    tokens); the rebuilt text keeps the original tokens, whitespace
+    collapsed to single spaces. Returns the input columns plus
+    ``clean_text`` and ``removed_spans``.
+
+    100-TB shape: occurrence rows shuffle as fixed-width (id, idx, sha256)
+    triples; the dup-flag aggregation partial-combines; the only scan of
+    the raw text besides the final rebuild is the zero-shuffle span
+    projection. The rebuild joins a per-doc drop-index array back to the
+    table — ONE co-partitioned shuffle of the docs table, the unavoidable
+    cost of editing every row (same shape CCNet/RefinedWeb pipelines pay).
+    """
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.floor(F.size(raw) / span_tokens).cast("int")
+    fps = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.sha2(
+            F.lower(
+                F.concat_ws(" ", F.slice(raw, i * span_tokens + 1, span_tokens))
+            ),
+            256,
+        ),
+    )
+    occ = df.where(n_spans > 0).select(
+        F.col(id_col),
+        F.posexplode(fps).alias("idx", "span_fp"),
+    )
+    dup_fps = (
+        occ.groupBy("span_fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("span_fp")
+    )
+    drops = (
+        occ.join(dup_fps, on="span_fp", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("_drop_idx"))
+    )
+    out = df.join(drops, on=id_col, how="left")
+    drop_idx = F.coalesce(F.col("_drop_idx"), F.array().cast("array<int>"))
+    kept = F.filter(
+        raw,
+        lambda x, j: (j >= n_spans * span_tokens)
+        | ~F.array_contains(drop_idx, F.floor(j / span_tokens).cast("int")),
+    )
+    return out.select(
+        *df.columns,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(drop_idx).alias("removed_spans"),
+    )

@@ -409,3 +409,56 @@ def test_dup_span_stats_repeated_span_within_one_doc_not_duplicated(spark):
     df = spark.createDataFrame([(1, span + " " + span)], ["doc_id", "text"])
     row = dup_span_stats(df).collect()[0]
     assert (row.n_spans, row.dup_spans) == (2, 0)
+
+
+def test_strip_dup_spans_removes_shared_spans_only(spark):
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        strip_dup_spans,
+    )
+
+    banner = " ".join(f"b{i}" for i in range(8))        # shared boilerplate
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"c{i}" for i in range(8))
+    rows = [
+        (1, banner + " " + uniq_a + " tail"),
+        (2, banner + " " + uniq_b),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_dup_spans(df).collect()}
+    assert out[1].clean_text == uniq_a + " tail"
+    assert out[1].removed_spans == 1
+    assert out[2].clean_text == uniq_b
+    assert out[3].clean_text == "short doc" and out[3].removed_spans == 0
+
+
+def test_strip_dup_spans_case_insensitive_match_keeps_raw_tokens(spark):
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        strip_dup_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (1, span.upper() + " keepme"),   # matches doc 2's span, case-folded
+        (2, span),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_dup_spans(df).collect()}
+    assert out[1].clean_text == "keepme"          # raw tokens cut entirely
+    assert out[2].clean_text == "" and out[2].removed_spans == 1
+
+
+def test_strip_dup_spans_consistent_with_dup_span_stats(spark, docs):
+    # normalized-token stats and raw-token strip agree on the lowercase
+    # corpus: every doc with dup_span_frac > 0 loses at least one span
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        dup_span_stats, strip_dup_spans,
+    )
+
+    sample = docs.limit(200).select("doc_id", "text")
+    stats = {r.doc_id: r.dup_spans for r in dup_span_stats(sample).collect()}
+    stripped = {
+        r.doc_id: r.removed_spans for r in strip_dup_spans(sample).collect()
+    }
+    for d, n in stats.items():
+        assert (stripped[d] > 0) == (n > 0), d
