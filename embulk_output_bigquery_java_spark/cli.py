@@ -313,6 +313,33 @@ def cmd_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_history(args: argparse.Namespace) -> int:
+    """List retained snapshots (time-travel / rollback targets), newest
+    first: version, operation, rows, bytes, commit time."""
+    spark = get_spark("cdc-history", cores=2)
+    table = LakeTable(spark, args.table_root)
+    rows = []
+    for v in range(table.version, -1, -1):
+        try:
+            s = table.snapshot(v)
+        except FileNotFoundError:
+            continue  # expired
+        rows.append({
+            "version": s["version"],
+            "operation": s["operation"],
+            "parent": s.get("parent"),
+            "rolled_back_to": s.get("rolled_back_to"),
+            "total_rows": s["summary"]["total_rows"],
+            "total_bytes": s["summary"]["total_bytes"],
+            "files": len(s["files"]),
+            "committed_at": s.get("committed_at"),
+        })
+        if args.limit and len(rows) >= args.limit:
+            break
+    print(json.dumps(rows, indent=None))
+    return 0
+
+
 def cmd_rollback(args: argparse.Namespace) -> int:
     """Restore a prior snapshot as a new commit (metadata-only, CAS-safe)."""
     spark = get_spark("cdc-rollback", cores=2)
@@ -450,6 +477,13 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--target-file-rows", type=int, default=1_000_000)
     rb.add_argument("--cores", type=int, default=None)
     rb.set_defaults(fn=cmd_rebucket)
+
+    hi = sub.add_parser(
+        "history", help="list retained snapshots (rollback targets)"
+    )
+    hi.add_argument("--table-root", required=True)
+    hi.add_argument("--limit", type=int, default=0)
+    hi.set_defaults(fn=cmd_history)
 
     ro = sub.add_parser(
         "rollback", help="restore a prior version (metadata-only commit)"

@@ -1,0 +1,39 @@
+"""Build the spark-submit --py-files artifact: a zip of the engine package.
+
+    python tools/make_pyfiles_zip.py [out.zip]
+
+On a cluster:
+
+    spark-submit --py-files cdc_engine.zip runner.py replay --table-root ...
+
+where runner.py is any driver script importing
+``embulk_output_bigquery_java_spark`` (see tests/test_spark_submit.py for a
+working end-to-end example — the same zip + spark-submit path is exercised
+in CI against local[4]).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "embulk_output_bigquery_java_spark"
+
+
+def build(out: str) -> str:
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(os.path.join(HERE, PKG)):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                p = os.path.join(root, f)
+                z.write(p, os.path.relpath(p, HERE))
+    return out
+
+
+if __name__ == "__main__":
+    print(build(sys.argv[1] if len(sys.argv) > 1 else "cdc_engine.zip"))
