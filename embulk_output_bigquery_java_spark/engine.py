@@ -33,6 +33,7 @@ from pyspark.storagelevel import StorageLevel
 
 from .config import IngestConfig, Mode
 from .lake import CommitConflict, LakeTable
+from .functions.reconcile import reconcile_col
 from .operators.dedup import lww_dedup
 from .operators.evolve import diff_schemas, ensure_schema
 from .operators.merge import merge_apply
@@ -439,11 +440,11 @@ class CdcEngine:
         def project(df: DataFrame) -> DataFrame:
             if "op" in df.columns:
                 df = df.where(F.col("op") != "D")
+            # nested-aware reconcile (functions/reconcile.py): missing
+            # [nested] fields -> NULL, legal widenings cast
             return df.select(
                 *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    reconcile_col(f.name, df.schema, f)
                     for f in table.schema().fields
                 ]
             )

@@ -1,0 +1,87 @@
+"""Schema reconciliation expressions — nested-aware column casting.
+
+Spark's ``Column.cast(struct<...>)`` resolves struct fields POSITIONALLY
+and requires equal field counts, so it cannot reconcile a file written
+under an old schema to an evolved one once a nested field has been added
+(BigQuery's ``ALLOW_FIELD_ADDITION`` applies recursively to RECORD columns
+— README.md:113 of the reference — and Iceberg resolves nested fields by
+id at read time). This module builds the equivalent *expression*: structs
+are rebuilt field-by-name (missing nested field -> typed NULL), arrays via
+``transform``, maps via ``transform_values``, leaves via ``cast``.
+
+Everything stays a Catalyst expression — no UDFs, no shuffles; at 100 TB
+this is a per-row projection fused into whole-stage codegen exactly like
+the flat cast it replaces. Identity reconciliations short-circuit to the
+bare column so the common no-evolution plan is unchanged.
+
+Used by the lake read path (old files -> current schema), the delta/mode
+write paths (narrower batch -> table schema), and the engine's mode
+projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _same_shape(src: T.DataType, dst: T.DataType) -> bool:
+    """Type equality ignoring nullability flags at every level."""
+    return src.simpleString() == dst.simpleString()
+
+
+def reconcile_expr(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    """Return ``col`` (of type ``src``) re-expressed as type ``dst``.
+
+    Struct fields resolve BY NAME (a ``dst`` field absent from ``src``
+    reads as typed NULL — the add-nested-field evolution); arrays and map
+    values recurse; scalar mismatches fall back to ``cast`` (legal
+    widenings — legality is the caller's concern, ``diff_schemas``
+    enforces it at evolution time).
+    """
+    if _same_shape(src, dst):
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        have = {f.name: f for f in src.fields}
+        children = []
+        for f in dst.fields:
+            if f.name in have:
+                children.append(
+                    reconcile_expr(
+                        col.getField(f.name), have[f.name].dataType, f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                children.append(F.lit(None).cast(f.dataType).alias(f.name))
+        rebuilt = F.struct(*children)
+        # struct(...) of a NULL parent yields a non-null struct of NULLs;
+        # preserve parent-level NULL explicitly
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(rebuilt)
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return F.transform(
+            col, lambda x: reconcile_expr(x, src.elementType, dst.elementType)
+        )
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        if not _same_shape(src.keyType, dst.keyType):
+            # map keys identify entries; key-type changes are not an
+            # evolution (diff_schemas rejects them) — cast as a last resort
+            return col.cast(dst)
+        return F.transform_values(
+            col, lambda _, v: reconcile_expr(v, src.valueType, dst.valueType)
+        )
+    return col.cast(dst)
+
+
+def reconcile_col(
+    name: str, src_schema: T.StructType, dst_field: T.StructField
+) -> Column:
+    """Top-level helper: column ``name`` of ``src_schema`` reconciled to
+    ``dst_field`` (missing entirely -> typed NULL), aliased to the field
+    name."""
+    have = {f.name: f for f in src_schema.fields}
+    if name not in have:
+        return F.lit(None).cast(dst_field.dataType).alias(dst_field.name)
+    return reconcile_expr(
+        F.col(name), have[name].dataType, dst_field.dataType
+    ).alias(dst_field.name)

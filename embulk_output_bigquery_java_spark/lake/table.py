@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.reconcile import reconcile_col
+
 log = logging.getLogger(__name__)
 
 _BUCKET_COL = "_bucket"
@@ -435,9 +437,10 @@ class LakeTable:
                     list(stored.fields) + [T.StructField(_OP_COL, T.StringType(), True)]
                 )
             df = self.spark.read.schema(read_schema).parquet(*paths)
+            # name-resolving nested reconcile (missing [nested] field ->
+            # NULL, legal widenings cast) — functions/reconcile.py
             cols = [
-                (F.col(fld.name).cast(fld.dataType) if fld.name in df.columns
-                 else F.lit(None).cast(fld.dataType)).alias(fld.name)
+                reconcile_col(fld.name, stored, fld)
                 for fld in cur_schema.fields
             ]
             if has_delta:
@@ -748,12 +751,13 @@ class LakeTable:
         column plus ``op`` ('I'/'U'/'D'; delete rows may have NULL non-key
         columns).
         """
-        # cast to the table schema: a batch carrying a (legally) narrower
-        # type would otherwise write parquet that mismatches the schema id
-        # stamped on the file entries
+        # reconcile to the table schema: a batch carrying a (legally)
+        # narrower type — including a struct missing a later-added nested
+        # field — would otherwise write parquet that mismatches the schema
+        # id stamped on the file entries
         ordered = df.select(
             *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
+                reconcile_col(f.name, df.schema, f)
                 for f in self.schema().fields
             ],
             _OP_COL,

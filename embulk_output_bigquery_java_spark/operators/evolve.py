@@ -14,6 +14,14 @@ the table schema and emit the DDL-equivalent actions:
 - anything else         -> SchemaEvolutionError (fail fast; the reference
                            would produce a load-job error)
 
+The diff recurses into nested types, mirroring BigQuery's recursive
+ALLOW_FIELD_ADDITION / ALLOW_FIELD_RELAXATION on RECORD columns: a struct
+column may gain fields (`ADD COLUMN meta.reviewer string`), struct fields
+may legally widen (`WIDEN COLUMN meta.stars int -> bigint`), and the same
+applies inside array elements and map values. Spark's positional struct
+cast cannot express the read-time side of this — see
+functions/reconcile.py for the name-resolving projection readers use.
+
 Actions apply as a metadata-only snapshot commit (`LakeTable.update_schema`);
 existing files are reconciled at read time (lake/table.py::read).
 """
@@ -53,6 +61,70 @@ def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
     return (src.simpleString(), dst.simpleString()) in _WIDEN_OK
 
 
+def _evolve_type(
+    path: str, old: T.DataType, new: T.DataType, actions: list[str]
+) -> T.DataType:
+    """Evolve ``old`` to accept ``new``, appending actions; returns the
+    evolved type. Struct fields resolve by name (missing in ``new`` ->
+    kept, new in ``new`` -> appended nullable); arrays/map-values recurse;
+    scalars widen per ``_WIDEN_OK`` or raise."""
+    if old == new:
+        return old
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        cur = {f.name: f for f in old.fields}
+        fields = list(old.fields)
+        for f in new.fields:
+            if f.name not in cur:
+                fields.append(T.StructField(f.name, f.dataType, True, f.metadata))
+                actions.append(
+                    f"ADD COLUMN {path}.{f.name} {f.dataType.simpleString()}"
+                )
+                continue
+            oldf = cur[f.name]
+            evolved = _evolve_type(
+                f"{path}.{f.name}", oldf.dataType, f.dataType, actions
+            )
+            if evolved is not oldf.dataType:
+                idx = [x.name for x in fields].index(f.name)
+                fields[idx] = T.StructField(
+                    f.name, evolved, oldf.nullable, oldf.metadata
+                )
+        return T.StructType(fields)
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        elem = _evolve_type(
+            f"{path}[]", old.elementType, new.elementType, actions
+        )
+        if elem is old.elementType:
+            return old
+        return T.ArrayType(elem, old.containsNull or new.containsNull)
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        if old.keyType != new.keyType:
+            raise SchemaEvolutionError(
+                f"map key type change for {path}: "
+                f"{old.keyType.simpleString()} -> {new.keyType.simpleString()}"
+                " (keys identify entries; not an evolution)"
+            )
+        val = _evolve_type(
+            f"{path}{{}}", old.valueType, new.valueType, actions
+        )
+        if val is old.valueType:
+            return old
+        return T.MapType(old.keyType, val, old.valueContainsNull or new.valueContainsNull)
+    if _is_widening(old, new):
+        actions.append(
+            f"WIDEN COLUMN {path} "
+            f"{old.simpleString()} -> {new.simpleString()}"
+        )
+        return new
+    if _is_widening(new, old):
+        # incoming is narrower — current type already covers it; cast up
+        return old
+    raise SchemaEvolutionError(
+        f"incompatible type change for {path}: "
+        f"{old.simpleString()} -> {new.simpleString()}"
+    )
+
+
 def diff_schemas(
     current: T.StructType, incoming: T.StructType
 ) -> tuple[list[str], T.StructType]:
@@ -60,6 +132,7 @@ def diff_schemas(
 
     Columns present in `current` but absent from `incoming` are kept (a batch
     may legitimately not carry every column); new columns append at the end.
+    Nested types evolve recursively — see :func:`_evolve_type`.
     """
     actions: list[str] = []
     cur = {f.name: f for f in current.fields}
@@ -71,23 +144,10 @@ def diff_schemas(
             actions.append(f"ADD COLUMN {f.name} {f.dataType.simpleString()}")
             continue
         old = cur[f.name]
-        if old.dataType == f.dataType:
-            continue
-        if _is_widening(old.dataType, f.dataType):
+        evolved = _evolve_type(f.name, old.dataType, f.dataType, actions)
+        if evolved is not old.dataType:
             idx = [x.name for x in fields].index(f.name)
-            fields[idx] = T.StructField(f.name, f.dataType, old.nullable, old.metadata)
-            actions.append(
-                f"WIDEN COLUMN {f.name} "
-                f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
-            )
-            continue
-        if _is_widening(f.dataType, old.dataType):
-            # incoming is narrower — table schema already covers it; cast up
-            continue
-        raise SchemaEvolutionError(
-            f"incompatible type change for {f.name}: "
-            f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
-        )
+            fields[idx] = T.StructField(f.name, evolved, old.nullable, old.metadata)
     return actions, T.StructType(fields)
 
 

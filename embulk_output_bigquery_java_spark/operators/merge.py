@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.reconcile import reconcile_col
 from ..lake import LakeTable
 from ..plans.mor_fold import validate_rule_for_mor
 
@@ -138,7 +139,7 @@ def merge_apply(
                 )
         delta = batch.select(
             *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
+                reconcile_col(f.name, batch.schema, f)
                 for f in target_schema.fields
             ],
             F.col(op_col).alias("op"),
@@ -187,16 +188,21 @@ def merge_apply(
                 on=keys, how="left_anti",
             )
             .where(F.col(op_col) != "D")
-            .select(*target_cols)
+            .select(*[reconcile_col(f.name, batch.schema, f)
+                      for f in target_schema.fields])
         )
         post = survivors.unionByName(updated).unionByName(inserts)
     else:
-        upserts = batch.where(F.col(op_col) != "D").select(*target_cols)
+        upserts = batch.where(F.col(op_col) != "D").select(
+            *[reconcile_col(f.name, batch.schema, f)
+              for f in target_schema.fields]
+        )
         post = survivors.unionByName(upserts)
 
-    # conform types to the (possibly evolved) table schema
+    # conform types to the (possibly evolved) table schema — nested-aware
+    # (a batch may carry a struct missing a later-added nested field)
     post = post.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields]
+        *[reconcile_col(f.name, post.schema, f) for f in target_schema.fields]
     )
 
     if part:

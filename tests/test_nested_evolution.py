@@ -1,0 +1,265 @@
+"""Nested-struct schema evolution — recursive diff + name-resolving
+reconcile (BigQuery's ALLOW_FIELD_ADDITION / ALLOW_FIELD_RELAXATION apply
+recursively to RECORD columns; Spark's positional struct cast cannot
+express the read side, see functions/reconcile.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.config import IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.functions.reconcile import (
+    reconcile_col,
+    reconcile_expr,
+)
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.operators.evolve import (
+    SchemaEvolutionError,
+    diff_schemas,
+)
+
+
+def _s(*fields):
+    return T.StructType(list(fields))
+
+
+def _f(name, dt, nullable=True):
+    return T.StructField(name, dt, nullable)
+
+
+# ------------------------------------------------------------- diff unit
+
+def test_diff_nested_add_and_widen():
+    cur = _s(_f("meta", _s(_f("stars", T.IntegerType()), _f("lang", T.StringType()))))
+    inc = _s(_f("meta", _s(_f("stars", T.LongType()), _f("reviewer", T.StringType()))))
+    actions, evolved = diff_schemas(cur, inc)
+    assert actions == [
+        "WIDEN COLUMN meta.stars int -> bigint",
+        "ADD COLUMN meta.reviewer string",
+    ]
+    meta = evolved["meta"].dataType
+    assert [f.name for f in meta.fields] == ["stars", "lang", "reviewer"]
+    assert meta["stars"].dataType == T.LongType()
+    assert meta["reviewer"].dataType == T.StringType()
+
+
+def test_diff_nested_missing_field_kept_no_action():
+    cur = _s(_f("meta", _s(_f("a", T.IntegerType()), _f("b", T.StringType()))))
+    inc = _s(_f("meta", _s(_f("a", T.IntegerType()))))
+    actions, evolved = diff_schemas(cur, inc)
+    assert actions == []
+    assert evolved == cur
+
+
+def test_diff_nested_incompatible_raises_with_path():
+    cur = _s(_f("meta", _s(_f("a", T.StringType()))))
+    inc = _s(_f("meta", _s(_f("a", T.LongType()))))
+    with pytest.raises(SchemaEvolutionError, match=r"meta\.a"):
+        diff_schemas(cur, inc)
+
+
+def test_diff_array_of_struct_element_add():
+    cur = _s(_f("files", T.ArrayType(_s(_f("path", T.StringType())))))
+    inc = _s(_f("files", T.ArrayType(_s(_f("path", T.StringType()),
+                                        _f("mode", T.IntegerType())))))
+    actions, evolved = diff_schemas(cur, inc)
+    assert actions == ["ADD COLUMN files[].mode int"]
+    elem = evolved["files"].dataType.elementType
+    assert [f.name for f in elem.fields] == ["path", "mode"]
+
+
+def test_diff_map_value_widen_and_key_change_rejected():
+    cur = _s(_f("counts", T.MapType(T.StringType(), T.IntegerType())))
+    inc = _s(_f("counts", T.MapType(T.StringType(), T.LongType())))
+    actions, evolved = diff_schemas(cur, inc)
+    assert actions == ["WIDEN COLUMN counts{} int -> bigint"]
+    assert evolved["counts"].dataType.valueType == T.LongType()
+
+    bad = _s(_f("counts", T.MapType(T.LongType(), T.IntegerType())))
+    with pytest.raises(SchemaEvolutionError, match="map key"):
+        diff_schemas(cur, bad)
+
+
+def test_diff_deep_nesting_two_levels():
+    cur = _s(_f("a", _s(_f("b", _s(_f("c", T.IntegerType()))))))
+    inc = _s(_f("a", _s(_f("b", _s(_f("c", T.IntegerType()),
+                                   _f("d", T.StringType()))))))
+    actions, _ = diff_schemas(cur, inc)
+    assert actions == ["ADD COLUMN a.b.d string"]
+
+
+# --------------------------------------------------------- reconcile expr
+
+def test_reconcile_struct_add_and_widen(spark):
+    src = _s(_f("stars", T.IntegerType()), _f("lang", T.StringType()))
+    dst = _s(_f("stars", T.LongType()), _f("lang", T.StringType()),
+             _f("reviewer", T.StringType()))
+    df = spark.createDataFrame(
+        [((3, "py"),), (None,)], _s(_f("meta", src))
+    )
+    out = df.select(reconcile_expr(F.col("meta"), src, dst).alias("meta"))
+    assert out.schema["meta"].dataType.simpleString() == dst.simpleString()
+    rows = out.collect()
+    assert rows[0].meta.stars == 3 and rows[0].meta.reviewer is None
+    # parent-level NULL struct stays NULL (not a struct of NULLs)
+    assert rows[1].meta is None
+
+
+def test_reconcile_array_of_struct_elements(spark):
+    src_el = _s(_f("p", T.StringType()))
+    dst_el = _s(_f("p", T.StringType()), _f("n", T.LongType()))
+    df = spark.createDataFrame(
+        [([("x",), ("y",)],), ([],), (None,)],
+        _s(_f("files", T.ArrayType(src_el))),
+    )
+    out = df.select(
+        reconcile_expr(
+            F.col("files"), T.ArrayType(src_el), T.ArrayType(dst_el)
+        ).alias("files")
+    )
+    rows = out.collect()
+    assert [e.p for e in rows[0].files] == ["x", "y"]
+    assert all(e.n is None for e in rows[0].files)
+    assert rows[1].files == [] and rows[2].files is None
+
+
+def test_reconcile_map_values(spark):
+    src = T.MapType(T.StringType(), T.IntegerType())
+    dst = T.MapType(T.StringType(), T.LongType())
+    df = spark.createDataFrame([({"a": 1},)], _s(_f("m", src)))
+    out = df.select(reconcile_expr(F.col("m"), src, dst).alias("m"))
+    assert out.schema["m"].dataType.valueType == T.LongType()
+    assert out.first().m == {"a": 1}
+
+
+def test_reconcile_col_missing_column_is_typed_null(spark):
+    src_schema = _s(_f("k", T.StringType()))
+    dst_field = _f("meta", _s(_f("a", T.IntegerType())))
+    df = spark.createDataFrame([("x",)], src_schema)
+    out = df.select(reconcile_col("meta", src_schema, dst_field))
+    assert out.schema["meta"].dataType.simpleString() == "struct<a:int>"
+    assert out.first().meta is None
+
+
+def test_reconcile_identity_is_bare_column(spark):
+    """No-evolution reconcile must not wrap the column (plan unchanged)."""
+    src = _s(_f("a", T.IntegerType()))
+    df = spark.createDataFrame([((1,),)], _s(_f("meta", src)))
+    plain = df.select(F.col("meta")).schema
+    rec = df.select(
+        reconcile_expr(F.col("meta"), src, src).alias("meta")
+    ).schema
+    assert plain == rec
+
+
+# ----------------------------------------------------- lake + engine e2e
+
+_META_V1 = _s(_f("stars", T.IntegerType()), _f("license", T.StringType()))
+_META_V2 = _s(_f("stars", T.LongType()), _f("license", T.StringType()),
+              _f("reviewer", T.StringType()))
+
+
+def _ev_schema(meta):
+    return _s(
+        _f("repo", T.StringType(), False),
+        _f("path", T.StringType(), False),
+        _f("meta", meta),
+        _f("op", T.StringType(), False),
+        _f("commit_seq", T.LongType(), False),
+        _f("event_offset", T.LongType(), False),
+    )
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_engine_nested_evolution_mid_stream(spark, tmp_path, strategy):
+    """A struct column gains a nested field (and widens another) between
+    batches; both merge strategies evolve the table, old rows read the
+    added field as NULL, and LWW upserts across the boundary stay correct."""
+    root = str(tmp_path / f"t_{strategy}")
+    cfg = IngestConfig(table="t", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=2, merge_strategy=strategy)
+    eng = CdcEngine(spark, cfg, root)
+
+    b1 = spark.createDataFrame(
+        [("r1", "a.py", (3, "mit"), "I", 1, 0),
+         ("r1", "b.py", (7, "bsd"), "I", 1, 1)],
+        _ev_schema(_META_V1),
+    )
+    eng.apply_batch(b1, "b1")
+
+    b2 = spark.createDataFrame(
+        [("r1", "a.py", (2 ** 40, "mit", "alice"), "U", 2, 0),
+         ("r2", "c.py", (1, "gpl", "bob"), "I", 2, 1)],
+        _ev_schema(_META_V2),
+    )
+    eng.apply_batch(b2, "b2")
+
+    t = LakeTable(spark, root)
+    out = t.read()
+    meta_t = out.schema["meta"].dataType
+    assert meta_t["stars"].dataType == T.LongType()
+    assert [f.name for f in meta_t.fields] == ["stars", "license", "reviewer"]
+    got = {(r.repo, r.path): r.meta for r in out.collect()}
+    assert got[("r1", "a.py")].stars == 2 ** 40
+    assert got[("r1", "a.py")].reviewer == "alice"
+    # untouched pre-evolution row: widened + NULL-filled at read time
+    assert got[("r1", "b.py")].stars == 7
+    assert got[("r1", "b.py")].reviewer is None
+    assert got[("r2", "c.py")].reviewer == "bob"
+
+
+def test_engine_nested_narrower_batch_after_evolution(spark, tmp_path):
+    """After the table evolved, a late producer still on the OLD struct
+    shape must keep working (its rows read NULL for the added field)."""
+    root = str(tmp_path / "t_narrow")
+    cfg = IngestConfig(table="t", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=2, merge_strategy="mor")
+    eng = CdcEngine(spark, cfg, root)
+
+    eng.apply_batch(
+        spark.createDataFrame(
+            [("r1", "a.py", (3, "mit", "alice"), "I", 1, 0)],
+            _ev_schema(_META_V2),
+        ),
+        "b1",
+    )
+    # narrower batch: meta lacks `reviewer`, stars is int
+    eng.apply_batch(
+        spark.createDataFrame(
+            [("r1", "b.py", (5, "bsd"), "I", 2, 0)], _ev_schema(_META_V1)
+        ),
+        "b2",
+    )
+    out = LakeTable(spark, root).read()
+    got = {r.path: r.meta for r in out.collect()}
+    assert got["a.py"].reviewer == "alice"
+    assert got["b.py"].stars == 5 and got["b.py"].reviewer is None
+
+
+def test_compact_folds_nested_evolved_deltas(spark, tmp_path):
+    """compact() after a nested evolution rewrites winners under the
+    evolved schema (the reconciling read feeds the compaction)."""
+    root = str(tmp_path / "t_compact")
+    cfg = IngestConfig(table="t", mode="merge", merge_keys=["repo", "path"],
+                       num_buckets=2, merge_strategy="mor")
+    eng = CdcEngine(spark, cfg, root)
+    eng.apply_batch(
+        spark.createDataFrame(
+            [("r1", "a.py", (3, "mit"), "I", 1, 0)], _ev_schema(_META_V1)
+        ),
+        "b1",
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [("r1", "a.py", (4, "mit", "carol"), "U", 2, 0)],
+            _ev_schema(_META_V2),
+        ),
+        "b2",
+    )
+    t = LakeTable(spark, root)
+    t.compact()
+    snap = t.snapshot()
+    assert not any(f.get("kind") == "delta" for f in snap["files"])
+    row = t.read().first()
+    assert row.meta.stars == 4 and row.meta.reviewer == "carol"
