@@ -280,6 +280,25 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_zorder(args: argparse.Namespace) -> int:
+    """Rewrite the table z-ordered by the given columns (multi-column
+    file skipping; run offline like compact/rebucket). The layout pins
+    into table properties so later compactions keep it."""
+    spark = get_spark("cdc-zorder", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    v = table.zorder(
+        args.columns, bits=args.bits,
+        target_file_rows=args.target_file_rows,
+    )
+    print(json.dumps({
+        "version": v,
+        "zorder": table.zorder_spec,
+        "files": len(table.snapshot()["files"]),
+        "total_rows": table.total_rows(),
+    }))
+    return 0
+
+
 def cmd_rebucket(args: argparse.Namespace) -> int:
     """Rewrite the table under a new hash-bucket count (growth maintenance;
     run offline — not concurrently with a replay)."""
@@ -470,6 +489,15 @@ def main(argv: list[str] | None = None) -> int:
                         "row ratio >= this (omit = full rewrite)")
     c.add_argument("--cores", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    z = sub.add_parser("zorder", help="rewrite z-ordered by columns "
+                                      "(multi-column data skipping)")
+    z.add_argument("--table-root", required=True)
+    z.add_argument("--columns", nargs="+", required=True)
+    z.add_argument("--bits", type=int, default=None)
+    z.add_argument("--target-file-rows", type=int, default=1_000_000)
+    z.add_argument("--cores", type=int, default=None)
+    z.set_defaults(fn=cmd_zorder)
 
     rb = sub.add_parser("rebucket", help="rewrite under a new bucket count")
     rb.add_argument("--table-root", required=True)

@@ -1,0 +1,144 @@
+"""Z-order (Morton) clustering — multi-column data skipping.
+
+Single-column clustering (D4) gives parquet min/max skipping on ONE
+leading column; a filter on the second cluster column still scans every
+file. Z-ordering interleaves the bits of several columns' bounded ranks
+into one sort key, so each written file covers a small HYPER-RECTANGLE of
+the value space and min/max footer stats prune scans on EVERY z-ordered
+column — the Delta Lake ``OPTIMIZE ZORDER BY`` / space-filling-curve
+layout, built here from pure Catalyst expressions (no UDFs).
+
+Mechanics:
+
+1. each column is encoded to a monotonic double (numerics/timestamps cast;
+   dates via days; strings via their zero-padded 7-byte big-endian prefix,
+   which preserves lexicographic order),
+2. ONE aggregate job collects per-column min/max; each value then scales
+   linearly to a ``bits``-bit integer rank (NULL -> rank 0; constant
+   column -> rank 0). Linear scaling is stats-cheap; heavily skewed
+   columns concentrate ranks and degrade toward fewer effective bits —
+   acceptable for a maintenance rewrite, and the interleave is oblivious
+   to how ranks were produced,
+3. ranks interleave bit-by-bit into one bigint z-value (built as ONE SQL
+   text expression over pre-named rank columns — wide bitwise trees are
+   dramatically cheaper to construct as text than as Column-object
+   algebra, and whole-stage codegen fuses them either way).
+
+At 100 TB this is a per-row projection plus the table rewrite you were
+already paying for in compaction; the stats pass is a single
+min/max aggregate (partial-aggregated, no shuffle of data rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_RANK_PREFIX = "_zr"
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def default_bits(n_cols: int) -> int:
+    """Bits per column: 16, shrunk so the z-value fits a signed bigint."""
+    if n_cols < 1:
+        raise ValueError("zorder needs at least one column")
+    return min(16, 63 // n_cols)
+
+
+def _monotonic_sql(name: str, dtype: T.DataType) -> str:
+    """SQL text mapping column ``name`` to a monotonic DOUBLE."""
+    q = f"`{name}`"
+    if isinstance(dtype, _NUMERIC) or isinstance(dtype, T.BooleanType):
+        return f"cast({q} as double)"
+    if isinstance(dtype, T.TimestampType):
+        return f"cast(cast({q} as double) as double)"
+    if isinstance(dtype, T.DateType):
+        return f"cast(datediff({q}, date'1970-01-01') as double)"
+    if isinstance(dtype, T.StringType):
+        # fixed-width 7-byte big-endian prefix keeps lexicographic order
+        # (unpadded variable-width would rank 'z' below 'aa'); 56 bits sit
+        # comfortably inside double's 53-bit mantissa after scaling
+        return (
+            f"cast(conv(hex(cast(substring(rpad({q}, 7, chr(0)), 1, 7) "
+            f"as binary)), 16, 10) as double)"
+        )
+    raise ValueError(
+        f"zorder does not support column {name!r} of type "
+        f"{dtype.simpleString()} (numeric, boolean, date, timestamp, "
+        "string supported)"
+    )
+
+
+def zorder_ranks(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """Per-column ``bits``-bit rank Columns for ``cols``.
+
+    Runs ONE min/max aggregate action over ``df`` to bound the scaling.
+    NULLs and constant columns rank 0.
+    """
+    have = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in have]
+    if missing:
+        raise ValueError(f"zorder columns not in schema: {missing}")
+    nums = [_monotonic_sql(c, have[c]) for c in cols]
+    aggs = []
+    for i, n in enumerate(nums):
+        aggs.append(F.expr(f"min({n})").alias(f"mn{i}"))
+        aggs.append(F.expr(f"max({n})").alias(f"mx{i}"))
+    stats = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    ranks = []
+    for i, n in enumerate(nums):
+        mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+        if mn is None or mx is None or mx <= mn:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        scale = top / (mx - mn)
+        ranks.append(F.expr(
+            f"least({top}L, greatest(0L, cast(floor("
+            f"(coalesce({n}, {mn!r}) - {mn!r}) * {scale!r}) as bigint)))"
+        ))
+    return ranks
+
+
+def interleave_expr(rank_names: list[str], bits: int) -> Column:
+    """Morton interleave of pre-computed rank columns into one bigint.
+
+    Bit ``j`` of rank ``i`` lands at position ``j * k + i`` so all columns
+    share significance evenly.
+    """
+    k = len(rank_names)
+    terms = []
+    for j in range(bits):
+        for i, r in enumerate(rank_names):
+            terms.append(f"shiftleft(shiftright(`{r}`, {j}) & 1, {j * k + i})")
+    return F.expr(" | ".join(terms))
+
+
+def with_zvalue(
+    df: DataFrame, cols: list[str], bits: int | None = None, out: str = "_z"
+) -> DataFrame:
+    """Return ``df`` with a z-value column ``out`` over ``cols``.
+
+    One stats action (see :func:`zorder_ranks`); the rank columns are
+    transient and dropped.
+    """
+    b = bits or default_bits(len(cols))
+    ranks = zorder_ranks(df, cols, b)
+    names = [f"{_RANK_PREFIX}{i}" for i in range(len(cols))]
+    staged = df.select("*", *[r.alias(n) for n, r in zip(names, ranks)])
+    return staged.withColumn(out, interleave_expr(names, b)).drop(*names)
+
+
+def zvalue_py(values: list[int], bits: int) -> int:
+    """Pure-python Morton interleave of integer ranks (test oracle)."""
+    z = 0
+    k = len(values)
+    for j in range(bits):
+        for i, v in enumerate(values):
+            z |= ((v >> j) & 1) << (j * k + i)
+    return z

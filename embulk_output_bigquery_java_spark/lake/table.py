@@ -44,12 +44,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.reconcile import reconcile_col
+from ..functions.zorder import with_zvalue
 
 log = logging.getLogger(__name__)
 
 _BUCKET_COL = "_bucket"
 _TP_COL = "_tp"
 _OP_COL = "op"
+_Z_COL = "_zvalue"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 #: time-partition transforms (D3 — BigqueryClient.java:289-317): partition
@@ -297,6 +299,14 @@ class LakeTable:
     def clustering(self) -> list[str]:
         return self.snapshot().get("clustering", [])
 
+    @property
+    def zorder_spec(self) -> dict | None:
+        """Pinned z-order layout ({'columns': [...], 'bits': b}), set by
+        :meth:`zorder`; :meth:`compact` re-applies it to rewritten buckets
+        so the multi-column skipping layout survives maintenance."""
+        raw = self.properties.get("zorder")
+        return json.loads(raw) if raw else None
+
     def total_rows(self, version: int | None = None) -> int:
         return self.snapshot(version)["summary"]["total_rows"]
 
@@ -525,6 +535,7 @@ class LakeTable:
         self, df: DataFrame, schema_id: int, *,
         max_records_per_file: int = 5_000_000,
         partition: dict | None = None,
+        zorder: dict | None = None,
     ) -> list[dict]:
         """Write df's rows as data files; returns snapshot file entries.
 
@@ -538,6 +549,12 @@ class LakeTable:
         part = partition if partition is not None else self.partition
         tp = self.time_partition
         cluster = [c for c in self.clustering if c in df.columns]
+        if zorder:
+            # z-value computed BEFORE the partition rebalance so its one
+            # stats aggregate scans the plain input (functions/zorder.py)
+            df = with_zvalue(
+                df, zorder["columns"], zorder.get("bits"), out=_Z_COL
+            )
         part_cols: list[str] = []
         if part:
             bucket = F.pmod(
@@ -556,7 +573,18 @@ class LakeTable:
             # (skewed repo / hot day) is split across multiple tasks by data
             # size, so write parallelism follows bytes, not partition count.
             df = df.hint("rebalance", *part_cols)
-        if cluster:
+        if zorder:
+            # z-order: rows sort by the Morton key so every file covers a
+            # small hyper-rectangle of (columns) space — min/max skipping
+            # works on ALL z-ordered columns, not just a leading one.
+            if part_cols:
+                df = df.sortWithinPartitions(*part_cols, _Z_COL)
+            else:
+                n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+                df = df.repartitionByRange(n, F.col(_Z_COL)) \
+                       .sortWithinPartitions(_Z_COL)
+            df = df.drop(_Z_COL)  # projection keeps per-partition order
+        elif cluster:
             # D4 clustering: order rows by the cluster fields inside each
             # written file so parquet row-group min/max stats support data
             # skipping on those columns (BigqueryClient.java:209-212 analog).
@@ -1054,6 +1082,7 @@ class LakeTable:
         one bucket, so per-bucket MOR reconciliation is self-contained.
         """
         base = self.snapshot()
+        zspec = self.zorder_spec  # pinned layout survives compaction
         if buckets is None and min_delta_ratio is not None:
             buckets = self.dirty_buckets(min_delta_ratio)
             if not buckets:
@@ -1063,6 +1092,7 @@ class LakeTable:
             files = self._write_data(
                 df, base["current_schema_id"],
                 max_records_per_file=target_file_rows,
+                zorder=zspec,
             )
             return self._commit(
                 operation="compact", files=files, expected_version=base["version"]
@@ -1072,12 +1102,55 @@ class LakeTable:
             self.read(buckets=buckets, ignore_scan_group_bound=True),
             base["current_schema_id"],
             max_records_per_file=target_file_rows,
+            zorder=zspec,
         )
         kept = [f for f in base["files"] if f["bucket"] not in bset]
         return self._commit(
             operation="compact",
             files=kept + new_files,
             expected_version=base["version"],
+        )
+
+    def zorder(
+        self,
+        columns: list[str],
+        *,
+        bits: int | None = None,
+        target_file_rows: int = 1_000_000,
+    ) -> int:
+        """Rewrite the table z-ordered by ``columns`` — the
+        ``OPTIMIZE ... ZORDER BY`` maintenance op (functions/zorder.py).
+
+        Each written file then covers a small hyper-rectangle of the
+        column space, so parquet min/max footer stats prune scans
+        filtering on ANY of the columns (single-column ``clustering``
+        only serves the leading one). MOR deltas fold in (reconciled
+        read), hash-bucket layout is preserved (z-sort within buckets —
+        merge pruning still works), and the spec pins into table
+        properties so :meth:`compact` keeps the layout. Like
+        :meth:`rebucket` this rewrites the touched data — run it as
+        offline maintenance, not per batch.
+        """
+        from ..functions.zorder import default_bits
+
+        schema_cols = {f.name for f in self.schema().fields}
+        missing = [c for c in columns if c not in schema_cols]
+        if missing:
+            raise ValueError(f"zorder columns not in table schema: {missing}")
+        spec = {"columns": list(columns),
+                "bits": bits or default_bits(len(columns))}
+        base = self.snapshot()
+        df = self.read(ignore_scan_group_bound=True)
+        files = self._write_data(
+            df, base["current_schema_id"],
+            max_records_per_file=target_file_rows,
+            zorder=spec,
+        )
+        return self._commit(
+            operation="zorder",
+            files=files,
+            expected_version=base["version"],
+            properties_update={"zorder": json.dumps(spec, sort_keys=True)},
         )
 
     def rebucket(

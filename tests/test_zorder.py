@@ -1,0 +1,164 @@
+"""Z-order clustering — Morton interleave correctness + the multi-column
+file-skipping layout claim, checked against parquet footer stats."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.config import IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.functions.zorder import (
+    default_bits,
+    with_zvalue,
+    zvalue_py,
+)
+from embulk_output_bigquery_java_spark.lake import LakeTable
+
+XY = T.StructType([
+    T.StructField("x", T.IntegerType(), False),
+    T.StructField("y", T.IntegerType(), False),
+])
+
+
+def _grid_df(spark, side=16):
+    rows = [(x, y) for x in range(side) for y in range(side)]
+    return spark.createDataFrame(rows, XY)
+
+
+def test_zvalue_matches_python_reference(spark):
+    # ranks over 0..15 with bits=4 scale to themselves (min 0, max 15)
+    df = _grid_df(spark, side=16)
+    got = {(r.x, r.y): r._z for r in with_zvalue(df, ["x", "y"], bits=4).collect()}
+    for (x, y), z in got.items():
+        assert z == zvalue_py([x, y], 4), (x, y)
+
+
+def test_single_column_string_rank_is_lexicographic(spark):
+    # 'z' must rank above 'aa' (fixed-width padded prefix, not raw bytes)
+    words = ["", "a", "aa", "ab", "aba", "b", "z", "zz", "zzzzzzzz"]
+    df = spark.createDataFrame([(w,) for w in words], ["s"])
+    out = {r.s: r._z for r in with_zvalue(df, ["s"], bits=16).collect()}
+    ranked = sorted(words, key=lambda w: out[w])
+    assert ranked == sorted(words)
+
+
+def test_default_bits_fit_bigint():
+    assert default_bits(1) == 16
+    assert default_bits(2) == 16
+    assert default_bits(4) == 15
+    assert default_bits(8) == 7
+    with pytest.raises(ValueError):
+        default_bits(0)
+
+
+def test_unsupported_type_and_missing_column_raise(spark):
+    df = spark.createDataFrame([([1],)], T.StructType(
+        [T.StructField("arr", T.ArrayType(T.IntegerType()), True)]
+    ))
+    with pytest.raises(ValueError, match="does not support"):
+        with_zvalue(df, ["arr"])
+    with pytest.raises(ValueError, match="not in schema"):
+        with_zvalue(df, ["nope"])
+
+
+def _per_file_ranges(table: LakeTable, col: str) -> list[int]:
+    spans = []
+    for fe in table.snapshot()["files"]:
+        vals = pq.read_table(
+            os.path.join(table.root, fe["path"]), columns=[col]
+        )[col].to_pylist()
+        if vals:
+            spans.append(max(vals) - min(vals))
+    return spans
+
+
+def test_zorder_bounds_every_columns_file_range(spark, tmp_path):
+    """The layout claim: after zorder(x, y) each file covers a small
+    hyper-rectangle, so footer min/max prune on BOTH columns. A
+    lexicographic (x, y) clustering leaves y unbounded per file."""
+    side = 64  # domain 0..63 per column
+    grid = _grid_df(spark, side).repartition(4)
+
+    lex = LakeTable.create(
+        spark, str(tmp_path / "lex"), XY, clustering=["x", "y"]
+    )
+    # comparable file count/layout: range-split by the leading cluster col
+    lex.append(grid.repartitionByRange(4, "x"))
+
+    zt = LakeTable.create(spark, str(tmp_path / "z"), XY)
+    zt.append(grid)
+    # small target_file_rows: files split at exact row counts inside each
+    # sorted range partition, so each file is a contiguous z-run
+    zt.zorder(["x", "y"], target_file_rows=512)
+
+    domain = side - 1
+    avg = lambda xs: sum(xs) / len(xs)
+    lex_y = _per_file_ranges(lex, "y")
+    z_x = _per_file_ranges(zt, "x")
+    z_y = _per_file_ranges(zt, "y")
+    assert len(z_x) >= 8
+    # lexicographic: y spans ~the whole domain in every file
+    assert min(lex_y) >= 0.9 * domain
+    # z-order: BOTH columns bounded well under the domain on average (a
+    # file straddling a sampled range boundary may span wider; the scan
+    # fraction a point filter reads is governed by the mean span)
+    assert avg(z_x) <= 0.55 * domain
+    assert avg(z_y) <= 0.55 * domain
+    # and no rows lost
+    assert zt.read().count() == side * side
+
+
+def test_zorder_on_bucketed_engine_table_keeps_merge_working(spark, tmp_path):
+    from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+    from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+    root = str(tmp_path / "repos")
+    cfg = IngestConfig(table="repos", mode="merge",
+                       merge_keys=["repo", "path"], num_buckets=4,
+                       merge_strategy="mor")
+    eng = CdcEngine(spark, cfg, root)
+    eng.ensure_table(REPOS_SCHEMA)
+    changes = gen_changes(spark, 2000, n_repos=20, paths_per_repo=10)
+    eng.apply_batch(changes.where(F.col("seq") < 1000), "b1", seq_range=(0, 1000))
+
+    t = LakeTable(spark, root)
+    before = {(r.repo, r.path): r.commit for r in t.read().collect()}
+    t.zorder(["path", "lang"])
+    assert t.zorder_spec == {"columns": ["path", "lang"], "bits": 16}
+    after = {(r.repo, r.path): r.commit for r in t.read().collect()}
+    assert after == before
+    # bucket layout survived: every rewritten file belongs to one bucket
+    assert all(fe["bucket"] is not None for fe in t.snapshot()["files"])
+
+    # merges still apply and prune correctly on the z-ordered layout
+    eng.apply_batch(
+        changes.where(F.col("seq") >= 1000), "b2", seq_range=(1000, 2000)
+    )
+    live = changes.groupBy("repo", "path").agg(
+        F.max_by("op", F.struct("commit_seq", "event_offset")).alias("op")
+    ).where(F.col("op") != "D")
+    assert t.read().count() == live.count()
+
+
+def test_compact_reapplies_pinned_zorder(spark, tmp_path):
+    side = 32
+    zt = LakeTable.create(spark, str(tmp_path / "zc"), XY)
+    zt.append(_grid_df(spark, side))
+    zt.zorder(["x", "y"])
+    # dirty the table with more appended files, then compact
+    zt.append(_grid_df(spark, side))
+    zt.compact(target_file_rows=512)
+    assert zt.zorder_spec is not None
+    domain = side - 1
+    spans = _per_file_ranges(zt, "y")
+    assert sum(spans) / len(spans) <= 0.6 * domain
+    assert zt.read().count() == 2 * side * side
+
+
+def test_zorder_rejects_unknown_column(spark, tmp_path):
+    zt = LakeTable.create(spark, str(tmp_path / "zv"), XY)
+    with pytest.raises(ValueError, match="not in table schema"):
+        zt.zorder(["x", "nope"])
