@@ -266,6 +266,89 @@ WHERE tp AND mp AND (tei IS DISTINCT FROM mei OR tv IS DISTINCT FROM mv)
 """
 
 
+def q_ivm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): a per-event_type
+    (count, sum) summary over the PRE-merge state is maintained forward
+    using only the CDC feed of the merge — the oracle RECOMPUTES the same
+    summary directly over the post-merge state, so the value-hash match is
+    the delta-propagation correctness claim itself. Sums ride exact
+    decimals internally (incremental + direct float arithmetic would
+    differ in low bits) and surface as double on both sides."""
+    from embulk_output_bigquery_java_spark.operators.changes import snapshot_diff
+    from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+    from embulk_output_bigquery_java_spark.operators.ivm import maintain_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.col("value").cast("decimal(18,6)").alias("vd"),
+    )
+    before = lww_dedup(
+        ev.where(F.col("event_id") % 2 == 0), LWW_KEYS, LWW_ORDER
+    ).select("user_id", "event_type", "event_id", "vd")
+    # post-merge state, identical to q_cdc_merge_apply but on exact vd
+    batch = lww_dedup(
+        ev.where(F.col("event_id") % 2 == 1), LWW_KEYS, LWW_ORDER
+    ).withColumn("op", F.when(F.col("vd") < 1, "D").otherwise("U"))
+    survivors = before.join(
+        F.broadcast(batch.select(*LWW_KEYS)), on=LWW_KEYS, how="left_anti"
+    )
+    cols = ["user_id", "event_type", "event_id", "vd"]
+    after = survivors.select(*cols).unionByName(
+        batch.where(F.col("op") != "D").select(*cols)
+    )
+
+    summary_before = before.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("vd").alias("sum_vd")
+    )
+    feed = snapshot_diff(
+        before, after, LWW_KEYS, compare_cols=["event_id", "vd"]
+    )
+    maintained = maintain_aggregate(
+        summary_before, feed, ["event_type"], sum_cols=["vd"],
+    )
+    return maintained.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_vd").cast("double").alias("sum_vd"),
+    ).orderBy("event_type")
+
+
+_IVM_COUNTS_SQL = """
+WITH evt AS (
+    SELECT event_id, ts, user_id, event_type,
+           CAST(value AS DECIMAL(18,6)) AS vd
+    FROM events
+),
+tgt AS (
+    SELECT user_id, event_type, event_id, vd FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) rn FROM evt WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+),
+bat AS (
+    SELECT user_id, event_type, event_id, vd,
+           CASE WHEN vd < 1 THEN 'D' ELSE 'U' END AS op FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) rn FROM evt WHERE event_id % 2 = 1
+    ) WHERE rn = 1
+),
+merged AS (
+    SELECT user_id, event_type, event_id, vd FROM tgt
+    WHERE (user_id, event_type) NOT IN (SELECT (user_id, event_type) FROM bat)
+    UNION ALL
+    SELECT user_id, event_type, event_id, vd FROM bat WHERE op <> 'D'
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(vd) AS DOUBLE) AS sum_vd
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-matrix edges on real columns: long->STRING (C7), double->INTEGER
     32-bit truncation (C8), timestamp->INTEGER epoch-millis (C20),
@@ -1559,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_window": q_lww_dedup_window,
         "cdc_merge_apply": q_cdc_merge_apply,
         "table_changes_feed": q_table_changes,
+        "ivm_counts": q_ivm_counts,
         "mor_rule_fold": q_mor_rule_fold,
         "cast_matrix": q_cast_matrix,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1607,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "lww_dedup_window": _LWW_SQL,
         "cdc_merge_apply": _CDC_MERGE_SQL,
         "table_changes_feed": _TABLE_CHANGES_SQL,
+        "ivm_counts": _IVM_COUNTS_SQL,
         "mor_rule_fold": _MOR_RULE_SQL,
         "cast_matrix": _CAST_SQL,
         "agg_pricing_summary": _Q1_SQL,

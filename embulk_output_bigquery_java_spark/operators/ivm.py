@@ -1,0 +1,117 @@
+"""Incremental view maintenance (IVM) — keep a downstream aggregate in
+sync from the CDC feed, without recomputing it.
+
+The canonical CDC consumer: a summary table (counts / sums per group) over
+a source the engine is merge-replaying. Recomputing it per batch costs a
+full scan of the source; maintaining it costs one aggregate over the
+(small) changes feed plus one keyed join against the summary — O(churn),
+not O(table). This is the classic delta-propagation rule for
+distributive, self-inverse aggregates:
+
+    insert / update_postimage  ->  +1 row,  +value
+    delete / update_preimage   ->  -1 row,  -value
+
+so COUNT and SUM (and AVG = SUM/COUNT at read time) maintain exactly.
+MIN/MAX/DISTINCT do NOT maintain under deletes (retracting the current
+minimum needs the full group) — :func:`maintain_aggregate` only offers
+the maintainable set, by design.
+
+Feed shape: `operators/changes.py::snapshot_diff / table_changes` (the
+Delta-CDF row shape: ``keys + values + change_col``). Updates emit BOTH
+images, so a value change adjusts the sum by (post - pre) and the count
+by zero — no special-casing needed.
+
+100-TB shape: one partial-aggregated shuffle over the changes feed
+(already bounded per batch), one join on the summary's own group key —
+co-partitioned if the summary is stored grouped, broadcastable when the
+batch's touched-group set is small. Never a source scan.
+
+Not in the reference (BigQuery materialized views handle this
+server-side; README.md:17-21 scope); built brief-first as the
+engine-native consumer of the `table_changes` feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .changes import CHANGE_TYPES
+
+_ADD = ("insert", "update_postimage")
+_SUB = ("delete", "update_preimage")
+assert set(_ADD) | set(_SUB) == set(CHANGE_TYPES), "feed contract drifted"
+
+
+def delta_aggregate(
+    changes: DataFrame,
+    group_cols: list[str],
+    *,
+    sum_cols: list[str] | None = None,
+    change_col: str = "_change_type",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Per-group (Δcount, Δsum...) from a CDC feed — one partial-aggregated
+    shuffle, no source access.
+
+    ``sum_cols`` values contribute with the row's sign; NULL measure
+    values are skipped by SUM on both the incremental and the direct path,
+    so parity holds.
+    """
+    adds = ", ".join(f"'{t}'" for t in _ADD)
+    subs = ", ".join(f"'{t}'" for t in _SUB)
+    # strictness: an unrecognized change_type would silently corrupt the
+    # view — the sign expression raises per-row (it feeds every aggregate,
+    # so Catalyst cannot prune the check away)
+    sign = F.expr(
+        f"CASE WHEN `{change_col}` IN ({adds}) THEN 1 "
+        f"WHEN `{change_col}` IN ({subs}) THEN -1 "
+        f"ELSE raise_error(concat('delta_aggregate: unrecognized "
+        f"change type ', coalesce(`{change_col}`, 'NULL'))) END"
+    )
+    aggs = [F.sum(sign).alias(count_col)]
+    for c in sum_cols or []:
+        aggs.append(F.sum(sign * F.col(c)).alias(f"sum_{c}"))
+    return changes.groupBy(*group_cols).agg(*aggs)
+
+
+def maintain_aggregate(
+    summary: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    *,
+    sum_cols: list[str] | None = None,
+    change_col: str = "_change_type",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Apply a CDC feed to a (count/sum) summary; returns the new summary.
+
+    ``summary`` must carry ``group_cols + [count_col] + sum_<c>`` (the
+    shape :func:`delta_aggregate` and a direct groupBy both produce).
+    Groups whose maintained count reaches 0 drop out, exactly like the
+    recomputed view. Cost: one aggregate over ``changes`` + one
+    full-outer join on the group key — O(churned groups), never a source
+    scan.
+    """
+    sum_cols = list(sum_cols or [])
+    measure_cols = [count_col] + [f"sum_{c}" for c in sum_cols]
+    missing = [c for c in group_cols + measure_cols if c not in summary.columns]
+    if missing:
+        raise ValueError(f"summary is missing maintained columns: {missing}")
+    delta = delta_aggregate(
+        changes, group_cols, sum_cols=sum_cols,
+        change_col=change_col, count_col=count_col,
+    ).select(
+        *group_cols,
+        *[F.col(m).alias(f"_d_{m}") for m in measure_cols],
+    )
+    joined = summary.join(delta, on=group_cols, how="full_outer")
+    merged = joined.select(
+        *group_cols,
+        *[
+            (F.coalesce(F.col(m), F.lit(0)) +
+             F.coalesce(F.col(f"_d_{m}"), F.lit(0))).alias(m)
+            for m in measure_cols
+        ],
+    )
+    return merged.where(F.col(count_col) > 0)

@@ -1,0 +1,119 @@
+"""Incremental view maintenance: maintained summary == recomputed summary
+for every mutation mix the CDC feed can carry."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.operators.changes import snapshot_diff
+from embulk_output_bigquery_java_spark.operators.ivm import (
+    delta_aggregate,
+    maintain_aggregate,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType(), False),
+    T.StructField("grp", T.StringType(), False),
+    T.StructField("v", T.LongType(), True),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _summary(df, count_col="n_rows"):
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias(count_col), F.sum("v").alias("sum_v")
+    )
+
+
+def _as_map(df):
+    return {r.grp: (r.n_rows, r.sum_v) for r in df.collect()}
+
+
+def test_maintained_equals_recomputed(spark):
+    before = _df(spark, [
+        ("a", "g1", 10), ("b", "g1", 20), ("c", "g2", 5),
+        ("d", "g2", 7), ("e", "g3", 1),
+    ])
+    after = _df(spark, [
+        ("a", "g1", 10),            # unchanged
+        ("b", "g1", 25),            # value update (+5)
+        ("d", "g2", 7),             # c deleted
+        ("f", "g2", 100),           # insert
+        ("e", "g3", 1), ("g", "g3", 2),  # insert into g3
+    ])
+    changes = snapshot_diff(before, after, ["k"], compare_cols=["grp", "v"])
+    maintained = maintain_aggregate(
+        _summary(before), changes, ["grp"], sum_cols=["v"]
+    )
+    assert _as_map(maintained) == _as_map(_summary(after))
+
+
+def test_group_drops_when_count_reaches_zero(spark):
+    before = _df(spark, [("a", "g1", 1), ("b", "g2", 2)])
+    after = _df(spark, [("b", "g2", 2)])
+    changes = snapshot_diff(before, after, ["k"], compare_cols=["grp", "v"])
+    maintained = maintain_aggregate(
+        _summary(before), changes, ["grp"], sum_cols=["v"]
+    )
+    assert _as_map(maintained) == {"g2": (1, 2)}
+
+
+def test_brand_new_group_appears(spark):
+    before = _df(spark, [("a", "g1", 1)])
+    after = _df(spark, [("a", "g1", 1), ("z", "g9", 42)])
+    changes = snapshot_diff(before, after, ["k"], compare_cols=["grp", "v"])
+    maintained = maintain_aggregate(
+        _summary(before), changes, ["grp"], sum_cols=["v"]
+    )
+    assert _as_map(maintained) == {"g1": (1, 1), "g9": (1, 42)}
+
+
+def test_update_moves_sum_not_count(spark):
+    before = _df(spark, [("a", "g1", 10), ("b", "g1", 20)])
+    after = _df(spark, [("a", "g1", 13), ("b", "g1", 20)])
+    changes = snapshot_diff(before, after, ["k"], compare_cols=["grp", "v"])
+    d = delta_aggregate(changes, ["grp"], sum_cols=["v"])
+    row = d.first()
+    assert row.n_rows == 0 and row.sum_v == 3
+
+
+def test_null_measures_match_direct_sum_semantics(spark):
+    before = _df(spark, [("a", "g1", None), ("b", "g1", 4)])
+    after = _df(spark, [("b", "g1", 4), ("c", "g1", None), ("d", "g1", 6)])
+    changes = snapshot_diff(before, after, ["k"], compare_cols=["grp", "v"])
+    maintained = maintain_aggregate(
+        _summary(before), changes, ["grp"], sum_cols=["v"]
+    )
+    assert _as_map(maintained) == _as_map(_summary(after))
+
+
+def test_row_moving_between_groups(spark):
+    # an update that changes the GROUP column must retract from the old
+    # group and add to the new one (pre/post images land in different grps)
+    before = _df(spark, [("a", "g1", 5), ("b", "g2", 1)])
+    after = _df(spark, [("a", "g2", 5), ("b", "g2", 1)])
+    changes = snapshot_diff(before, after, ["k"], compare_cols=["grp", "v"])
+    maintained = maintain_aggregate(
+        _summary(before), changes, ["grp"], sum_cols=["v"]
+    )
+    assert _as_map(maintained) == _as_map(_summary(after))
+
+
+def test_unknown_change_type_fails_the_job(spark):
+    feed = spark.createDataFrame(
+        [("g1", 1, "upsert")], ["grp", "v", "_change_type"]
+    )
+    with pytest.raises(Exception, match="unrecognized change type"):
+        delta_aggregate(feed, ["grp"], sum_cols=["v"]).collect()
+
+
+def test_missing_summary_columns_raise(spark):
+    feed = spark.createDataFrame(
+        [("g1", 1, "insert")], ["grp", "v", "_change_type"]
+    )
+    bad_summary = spark.createDataFrame([("g1", 1)], ["grp", "n_rows"])
+    with pytest.raises(ValueError, match="missing maintained columns"):
+        maintain_aggregate(bad_summary, feed, ["grp"], sum_cols=["v"])
