@@ -299,6 +299,30 @@ def cmd_zorder(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sync_view(args: argparse.Namespace) -> int:
+    """Create (first run) and incrementally sync a maintained COUNT/SUM
+    view table from a source lake table's change feed (operators/ivm.py).
+    Cost per sync is O(churn since last sync), never a source scan."""
+    from .operators.ivm import create_view_table, sync_view
+
+    spark = get_spark("cdc-sync-view", cores=args.cores)
+    source = LakeTable(spark, args.source_root)
+    if not LakeTable.exists(args.view_root):
+        if not args.group_cols:
+            print("config error: --group-cols required to create the view",
+                  file=sys.stderr)
+            return 2
+        create_view_table(
+            source, args.view_root,
+            group_cols=args.group_cols, sum_cols=args.sum_cols or [],
+            num_buckets=args.num_buckets,
+        )
+    view = LakeTable(spark, args.view_root)
+    stats = sync_view(view, source)
+    print(json.dumps(stats | {"view_rows": view.count_exact()}))
+    return 0
+
+
 def cmd_rebucket(args: argparse.Namespace) -> int:
     """Rewrite the table under a new hash-bucket count (growth maintenance;
     run offline — not concurrently with a replay)."""
@@ -498,6 +522,16 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--target-file-rows", type=int, default=1_000_000)
     z.add_argument("--cores", type=int, default=None)
     z.set_defaults(fn=cmd_zorder)
+
+    sv = sub.add_parser("sync-view", help="create/advance a maintained "
+                                          "count/sum view of a lake table")
+    sv.add_argument("--source-root", required=True)
+    sv.add_argument("--view-root", required=True)
+    sv.add_argument("--group-cols", nargs="+", default=None)
+    sv.add_argument("--sum-cols", nargs="+", default=None)
+    sv.add_argument("--num-buckets", type=int, default=16)
+    sv.add_argument("--cores", type=int, default=None)
+    sv.set_defaults(fn=cmd_sync_view)
 
     rb = sub.add_parser("rebucket", help="rewrite under a new bucket count")
     rb.add_argument("--table-root", required=True)

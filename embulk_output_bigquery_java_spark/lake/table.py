@@ -341,6 +341,16 @@ class LakeTable:
             applied_batch=batch_id,
         )
 
+    def update_properties(self, update: dict) -> int:
+        """Metadata-only commit merging ``update`` into table properties."""
+        base = self.snapshot()
+        return self._commit(
+            operation="set-properties",
+            files=base["files"],
+            expected_version=base["version"],
+            properties_update=update,
+        )
+
     # ------------------------------------------------------------- reading
     def bucket_of(self, col) -> F.Column:
         """bucket(N, key) partition transform (consistent across engine)."""

@@ -33,10 +33,12 @@ engine-native consumer of the `table_changes` feed.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .changes import CHANGE_TYPES
+from .changes import CHANGE_TYPES, table_changes
 
 _ADD = ("insert", "update_postimage")
 _SUB = ("delete", "update_preimage")
@@ -115,3 +117,123 @@ def maintain_aggregate(
         ],
     )
     return merged.where(F.col(count_col) > 0)
+
+
+# --------------------------------------------------- lake-backed views
+
+def create_view_table(
+    source, view_root: str, *,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    count_col: str = "n_rows",
+    num_buckets: int = 16,
+    if_not_exists: bool = False,
+):
+    """Create a MAINTAINED VIEW as a first-class lake table.
+
+    The view is an ordinary merge table keyed on ``group_cols`` (so every
+    sync is a normal bucket-pruned merge commit) whose spec + last-synced
+    source version pin into its properties — :func:`sync_view` advances it
+    incrementally from the source's change feed.
+    """
+    from ..lake import LakeTable
+
+    sum_cols = list(sum_cols or [])
+    # measure schema comes from the actual aggregate plan (sum(long)->long,
+    # sum(decimal(p,s))->decimal(p+10,s), ...): analyze, never execute
+    shape = (
+        source.read().limit(0).groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias(count_col),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        ).schema
+    )
+    spec = {
+        "source_root": source.root,
+        "group_cols": list(group_cols),
+        "sum_cols": sum_cols,
+        "count_col": count_col,
+        "source_version": 0,
+    }
+    return LakeTable.create(
+        source.spark, view_root, shape,
+        bucket_column=group_cols[0],
+        num_buckets=num_buckets,
+        merge_keys=list(group_cols),
+        properties={"ivm": json.dumps(spec, sort_keys=True)},
+        if_not_exists=if_not_exists,
+    )
+
+
+def sync_view(view, source=None) -> dict:
+    """Advance a maintained view to the source's current version.
+
+    Cost is O(churn): the feed reads only buckets whose manifests changed
+    since the last sync (`table_changes`), the delta aggregate shuffles
+    only feed rows, existing view rows load only for churned groups, and
+    the apply is a normal keyed merge (zero-count groups become deletes).
+    The new source version commits WITH the merged rows, so a crashed or
+    replayed sync is a no-op (the version check) and a concurrent sync
+    loses the snapshot CAS — exactly-once by the same mechanism the
+    replay uses.
+    """
+    from ..lake import LakeTable
+    from .merge import merge_apply
+
+    raw = view.properties.get("ivm")
+    if not raw:
+        raise ValueError(
+            f"table at {view.root} is not a maintained view "
+            "(create it with create_view_table)"
+        )
+    spec = json.loads(raw)
+    if source is None:
+        source = LakeTable(view.spark, spec["source_root"])
+    group_cols = spec["group_cols"]
+    sum_cols = spec["sum_cols"]
+    count_col = spec["count_col"]
+    measure_cols = [count_col] + [f"sum_{c}" for c in sum_cols]
+
+    v_from, v_to = int(spec["source_version"]), source.version
+    if v_to == v_from:
+        return {"synced_from": v_from, "synced_to": v_to, "groups": 0,
+                "view_version": view.version}
+
+    feed = table_changes(source, v_from, v_to)
+    delta = delta_aggregate(
+        feed, group_cols, sum_cols=sum_cols, count_col=count_col
+    ).select(
+        *group_cols,
+        *[F.col(m).alias(f"_d_{m}") for m in measure_cols],
+    )
+    # existing measures for CHURNED groups only (broadcast the small
+    # delta-key set; untouched view rows never load)
+    current = view.read().join(
+        F.broadcast(delta.select(*group_cols)), on=group_cols, how="inner"
+    )
+    cur_aliased = current.select(
+        *group_cols, *[F.col(m).alias(f"_c_{m}") for m in measure_cols]
+    )
+    merged = delta.join(cur_aliased, on=group_cols, how="left").select(
+        *group_cols,
+        *[
+            (F.coalesce(F.col(f"_c_{m}"), F.lit(0)) +
+             F.coalesce(F.col(f"_d_{m}"), F.lit(0))).alias(m)
+            for m in measure_cols
+        ],
+    )
+    batch = merged.withColumn(
+        "op", F.when(F.col(count_col) > 0, F.lit("U")).otherwise(F.lit("D"))
+    )
+    new_spec = dict(spec, source_version=v_to)
+    props = {"ivm": json.dumps(new_spec, sort_keys=True)}
+    res = merge_apply(
+        view, batch, keys=group_cols, properties=props, strategy="cow",
+    )
+    if res.batch_rows == 0:
+        # source advanced with zero churn for this view: still record the
+        # watermark so the next sync's feed window stays bounded
+        view.update_properties(props)
+    return {
+        "synced_from": v_from, "synced_to": v_to,
+        "groups": res.batch_rows, "view_version": view.version,
+    }

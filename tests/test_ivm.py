@@ -117,3 +117,101 @@ def test_missing_summary_columns_raise(spark):
     bad_summary = spark.createDataFrame([("g1", 1)], ["grp", "n_rows"])
     with pytest.raises(ValueError, match="missing maintained columns"):
         maintain_aggregate(bad_summary, feed, ["grp"], sum_cols=["v"])
+
+
+# --------------------------------------------------- lake-backed views
+
+from embulk_output_bigquery_java_spark.lake import LakeTable  # noqa: E402
+from embulk_output_bigquery_java_spark.operators.ivm import (  # noqa: E402
+    create_view_table,
+    sync_view,
+)
+from embulk_output_bigquery_java_spark.operators.merge import (  # noqa: E402
+    merge_apply,
+)
+
+
+def _source(spark, root):
+    return LakeTable.create(
+        spark, root, SCHEMA, bucket_column="k", num_buckets=4,
+        merge_keys=["k"],
+    )
+
+
+def _apply(spark, t, rows):
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)]),
+    )
+    merge_apply(t, df, keys=["k"])
+
+
+def _recompute(t):
+    return {
+        r.grp: (r.n_rows, r.sum_v)
+        for r in t.read().groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+        ).collect()
+    }
+
+
+def _view_map(v):
+    return {r.grp: (r.n_rows, r.sum_v) for r in v.read().collect()}
+
+
+def test_view_tracks_source_across_merge_batches(spark, tmp_path):
+    src = _source(spark, str(tmp_path / "src"))
+    _apply(spark, src, [("a", "g1", 10, "I"), ("b", "g1", 20, "I"),
+                        ("c", "g2", 5, "I")])
+    view = create_view_table(src, str(tmp_path / "view"),
+                             group_cols=["grp"], sum_cols=["v"],
+                             num_buckets=2)
+    s1 = sync_view(view, src)
+    assert s1["synced_from"] == 0 and s1["synced_to"] == src.version
+    assert _view_map(view) == _recompute(src)
+
+    # updates + a delete + a new group, then sync again
+    _apply(spark, src, [("b", "g1", 25, "U"), ("c", "g2", 5, "D"),
+                        ("d", "g3", 7, "I")])
+    sync_view(view, src)
+    assert _view_map(view) == _recompute(src)
+    assert _view_map(view) == {"g1": (2, 35), "g3": (1, 7)}  # g2 dropped
+
+    # third wave: empty a group via deletes only
+    _apply(spark, src, [("d", "g3", 7, "D"), ("a", "g1", 11, "U")])
+    sync_view(view, src)
+    assert _view_map(view) == _recompute(src) == {"g1": (2, 36)}
+
+
+def test_sync_is_idempotent_and_exactly_once(spark, tmp_path):
+    src = _source(spark, str(tmp_path / "src"))
+    _apply(spark, src, [("a", "g1", 1, "I")])
+    view = create_view_table(src, str(tmp_path / "view"),
+                             group_cols=["grp"], sum_cols=["v"],
+                             num_buckets=2)
+    sync_view(view, src)
+    v_before = view.version
+    again = sync_view(view, src)  # nothing new: no commit at all
+    assert again["groups"] == 0 and view.version == v_before
+    assert _view_map(view) == {"g1": (1, 1)}
+
+
+def test_zero_churn_source_commit_advances_watermark(spark, tmp_path):
+    src = _source(spark, str(tmp_path / "src"))
+    _apply(spark, src, [("a", "g1", 1, "I")])
+    view = create_view_table(src, str(tmp_path / "view"),
+                             group_cols=["grp"], sum_cols=["v"],
+                             num_buckets=2)
+    sync_view(view, src)
+    src.mark_batch_applied("noop:1")  # version moves, zero data churn
+    stats = sync_view(view, src)
+    assert stats["groups"] == 0
+    import json as _json
+    assert _json.loads(view.properties["ivm"])["source_version"] == src.version
+
+
+def test_sync_rejects_non_view_table(spark, tmp_path):
+    src = _source(spark, str(tmp_path / "src"))
+    plain = _source(spark, str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="not a maintained view"):
+        sync_view(plain, src)
