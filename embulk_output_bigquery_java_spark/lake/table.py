@@ -52,6 +52,66 @@ _BUCKET_COL = "_bucket"
 _TP_COL = "_tp"
 _OP_COL = "op"
 _Z_COL = "_zvalue"
+
+#: column types whose footer min/max are tracked in the manifest
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+)
+
+
+def _footer_minmax(md, cols: set[str]) -> dict[str, list]:
+    """Per-column [min, max] from a parquet footer, across row groups.
+
+    Reuses the footer the writer already opens for num_rows — zero extra
+    I/O. A column's stat is dropped entirely if any row group lacks exact
+    min/max (parquet truncates long binary stats; a truncated max could
+    wrongly prune), so stored stats are always safe to prune with.
+    """
+    agg: dict[str, list] = {}
+    dropped: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            name = col.path_in_schema
+            if name not in cols or name in dropped:
+                continue
+            st = col.statistics
+            if (
+                st is None or not st.has_min_max
+                or not getattr(st, "is_min_value_exact", True)
+                or not getattr(st, "is_max_value_exact", True)
+            ):
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [mn, mx]
+            else:
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+    return agg
+
+
+def _stats_intersects(entry: dict, col: str, lo, hi) -> bool:
+    """True when the file MAY hold rows with col in [lo, hi] (no stats ->
+    must keep; disjoint stats -> safe to prune)."""
+    stats = entry.get("stats") or {}
+    if col not in stats:
+        return True
+    mn, mx = stats[col]
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 #: time-partition transforms (D3 — BigqueryClient.java:289-317): partition
@@ -372,9 +432,19 @@ class LakeTable:
         buckets: list[int] | None = None,
         tp_range: tuple[int, int] | None = None,
         *,
+        col_range: dict[str, tuple] | None = None,
         ignore_scan_group_bound: bool = False,
     ) -> DataFrame:
         """Scan, optionally pruned to a set of buckets (file-level pruning).
+
+        ``col_range`` = {column: (lo, hi)} filters rows to the inclusive
+        range (None bound = open) AND prunes base files whose manifest
+        min/max stats (collected free from the parquet footer at write,
+        for merge keys / clustering / z-order columns) cannot intersect —
+        planning-time skipping that never even lists the pruned files.
+        Delta files are exempt (a delta may supersede a pruned base row);
+        the residual predicate on the reconciled output keeps the result
+        exact, mirroring ``tp_range``.
 
         Files written under an older schema id are read with *their* schema
         and reconciled to the current one by name (missing -> NULL, legal
@@ -397,6 +467,14 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if col_range:
+            files = [
+                f for f in files
+                if f.get("kind") == "delta" or all(
+                    _stats_intersects(f, c, lo, hi)
+                    for c, (lo, hi) in col_range.items()
+                )
+            ]
         if tp_range is not None:
             if not snap.get("time_partition"):
                 raise ValueError("tp_range requires a time-partitioned table")
@@ -470,11 +548,21 @@ class LakeTable:
                 )
                 cols.append(F.lit(seq).alias("_seq"))
             parts.append(df.select(*cols))
+        def residual(df: DataFrame) -> DataFrame:
+            # exact range semantics on the (reconciled) output: pruning is
+            # approximate, and a delta may have moved a key out of range
+            for c, (lo, hi) in (col_range or {}).items():
+                if lo is not None:
+                    df = df.where(F.col(c) >= lo)
+                if hi is not None:
+                    df = df.where(F.col(c) <= hi)
+            return df
+
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if not has_delta:
-            return out
+            return residual(out)
 
         keys = self.merge_keys
         if not keys:
@@ -538,7 +626,21 @@ class LakeTable:
             live = live.where(
                 tp_expr.isNotNull() & (tp_expr >= lo) & (tp_expr <= hi)
             )
-        return live
+        return residual(live)
+
+    def _stats_columns(self, df: DataFrame) -> set[str]:
+        """Columns whose per-file min/max go into the manifest: merge keys
+        (point lookups), clustering fields, and z-order columns — the
+        columns reads actually filter on; bounded so manifests stay small."""
+        want = set(self.merge_keys) | set(self.clustering)
+        zspec = self.zorder_spec
+        if zspec:
+            want |= set(zspec["columns"])
+        ok = {
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, _STATS_TYPES)
+        }
+        return want & ok
 
     # ------------------------------------------------------------- writing
     def _write_data(
@@ -612,13 +714,24 @@ class LakeTable:
             glob.glob(os.path.join(abs_dir, "**", "*.parquet"), recursive=True)
         )
 
+        stats_cols = self._stats_columns(df)
+        if zorder:
+            # the spec being applied commits WITH these files — include its
+            # columns now, not just the already-pinned spec
+            ok = {
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, _STATS_TYPES)
+            }
+            stats_cols |= set(zorder["columns"]) & ok
+
         def entry_of(path: str) -> dict:
             rel = os.path.relpath(path, self.root)
             m = re.search(rf"{_BUCKET_COL}=(\d+)", rel)
+            md = pq.ParquetFile(path).metadata
             entry = {
                 "path": rel,
                 "bucket": int(m.group(1)) if m else None,
-                "rows": pq.ParquetFile(path).metadata.num_rows,
+                "rows": md.num_rows,
                 "bytes": os.path.getsize(path),
                 "schema_id": schema_id,
             }
@@ -629,6 +742,10 @@ class LakeTable:
                     if mt and mt.group(1) != _HIVE_NULL
                     else None
                 )
+            if stats_cols:
+                stats = _footer_minmax(md, stats_cols)
+                if stats:
+                    entry["stats"] = stats
             return entry
 
         # footer reads are per-file driver I/O — do them concurrently (the
@@ -1243,7 +1360,16 @@ class LakeTable:
                 .b
             )
             buckets = [b]
-        return self.read(buckets=buckets).where(pred)
+        # equality doubles as a degenerate range: manifest min/max stats
+        # (merge keys are always tracked) prune files inside the bucket
+        # before Spark lists them
+        col_range = {
+            k: (v, v) for k, v in key_values.items()
+            if isinstance(v, (int, float, str)) and not isinstance(v, bool)
+        }
+        return self.read(
+            buckets=buckets, col_range=col_range or None
+        ).where(pred)
 
     def rollback(self, to_version: int) -> int:
         """Restore a prior snapshot's state as a NEW commit — metadata-only,

@@ -1,0 +1,138 @@
+"""Manifest column stats + planning-time file pruning.
+
+Per-file min/max for merge-key / clustering / z-order columns ride the
+manifest (harvested free from the footer the writer already opens);
+``read(col_range=...)`` drops non-intersecting base files BEFORE Spark
+lists them, keeps every delta (supersede hazard), and applies an exact
+residual filter — checked here down to ``DataFrame.inputFiles()``."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.lake.table import _stats_intersects
+from embulk_output_bigquery_java_spark.operators.merge import merge_apply
+
+XY = T.StructType([
+    T.StructField("x", T.IntegerType(), False),
+    T.StructField("y", T.IntegerType(), False),
+])
+
+KV = T.StructType([
+    T.StructField("k", T.StringType(), False),
+    T.StructField("x", T.LongType(), True),
+])
+
+
+def _grid(spark, side=32):
+    return spark.createDataFrame(
+        [(x, y) for x in range(side) for y in range(side)], XY
+    )
+
+
+def test_stats_recorded_for_clustering_columns(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), XY, clustering=["x"]
+    )
+    t.append(_grid(spark).repartitionByRange(4, "x"))
+    entries = t.snapshot()["files"]
+    assert all("stats" in f and "x" in f["stats"] for f in entries)
+    mins = [f["stats"]["x"][0] for f in entries]
+    maxs = [f["stats"]["x"][1] for f in entries]
+    assert min(mins) == 0 and max(maxs) == 31
+    # range-split files carry DISJOINT x ranges — the skipping precondition
+    spans = sorted(zip(mins, maxs))
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_col_range_prunes_input_files_and_stays_exact(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), XY, clustering=["x"])
+    t.append(_grid(spark).repartitionByRange(4, "x"))
+    total = len(t.snapshot()["files"])
+    narrow = t.read(col_range={"x": (3, 5)})
+    assert len(narrow.inputFiles()) < total
+    got = sorted((r.x, r.y) for r in narrow.collect())
+    assert got == sorted((x, y) for x in range(3, 6) for y in range(32))
+
+
+def test_open_bounds_and_missing_stats_are_safe(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), XY)  # no stats cols
+    t.append(_grid(spark, side=8))
+    # no stats recorded -> nothing pruned, residual still filters exactly
+    out = t.read(col_range={"y": (None, 2)})
+    assert out.count() == 8 * 3
+    assert _stats_intersects({"stats": {}}, "y", 0, 1) is True
+    assert _stats_intersects({"stats": {"y": [5, 9]}}, "y", None, 4) is False
+    assert _stats_intersects({"stats": {"y": [5, 9]}}, "y", 10, None) is False
+    assert _stats_intersects({"stats": {"y": [5, 9]}}, "y", 9, None) is True
+
+
+def _kv_table(spark, root):
+    return LakeTable.create(
+        spark, root, KV, bucket_column="k", num_buckets=1,
+        merge_keys=["k"], clustering=["x"],
+    )
+
+
+def _apply(spark, t, rows):
+    df = spark.createDataFrame(
+        rows, T.StructType(KV.fields + [T.StructField("op", T.StringType(), False)])
+    )
+    merge_apply(t, df, keys=["k"], strategy="mor")
+
+
+def test_mor_delta_moving_key_out_of_range_is_not_resurrected(spark, tmp_path):
+    """Base row x=5 superseded by a delta with x=100: a read for x in
+    [0, 10] must return NOTHING for that key — the delta is exempt from
+    pruning and the residual drops the new out-of-range winner."""
+    t = _kv_table(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("a", 5), ("b", 7)], KV))
+    _apply(spark, t, [("a", 100, "U")])
+    got = {r.k: r.x for r in t.read(col_range={"x": (0, 10)}).collect()}
+    assert got == {"b": 7}
+    # and the full read still shows the superseding value
+    assert {r.k: r.x for r in t.read().collect()} == {"a": 100, "b": 7}
+
+
+def test_mor_delta_moving_key_into_range_is_found(spark, tmp_path):
+    t = _kv_table(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("a", 500)], KV))
+    _apply(spark, t, [("a", 3, "U")])
+    got = {r.k: r.x for r in t.read(col_range={"x": (0, 10)}).collect()}
+    assert got == {"a": 3}
+
+
+def test_tombstone_in_delta_survives_base_pruning(spark, tmp_path):
+    t = _kv_table(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("a", 5)], KV))
+    _apply(spark, t, [("a", None, "D")])
+    assert t.read(col_range={"x": (0, 10)}).count() == 0
+
+
+def test_lookup_uses_stats_pruning_on_merge_keys(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), KV, bucket_column="k", num_buckets=2,
+        merge_keys=["k"],
+    )
+    # two appends -> multiple files per bucket with disjoint key ranges
+    t.append(spark.createDataFrame([(f"a{i:02d}", i) for i in range(50)], KV))
+    t.append(spark.createDataFrame([(f"m{i:02d}", i) for i in range(50)], KV))
+    row = t.lookup(k="m07")
+    assert row.count() == 1 and row.first().x == 7
+    all_files = len(t.snapshot()["files"])
+    assert len(row.inputFiles()) < all_files
+
+
+def test_zorder_plus_stats_prune_on_second_column(spark, tmp_path):
+    """The composition claim: z-order makes per-file min/max tight on
+    EVERY z column, and manifest stats turn that into planning-time file
+    skipping for a filter on the SECOND column."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), XY)
+    t.append(_grid(spark, side=64))
+    t.zorder(["x", "y"], target_file_rows=512)
+    total = len(t.snapshot()["files"])
+    assert total >= 8
+    q = t.read(col_range={"y": (0, 3)})
+    assert len(q.inputFiles()) < total
+    assert q.count() == 64 * 4
