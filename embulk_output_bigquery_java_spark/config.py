@@ -181,6 +181,12 @@ class IngestConfig:
     #: replay is ~10^4 batches — unbounded metadata/orphan files otherwise.
     expire_every_batches: int = 50
     keep_snapshots: int = 10
+    #: maintained-view roots synced from this table's change feed every
+    #: sync_views_every_batches committed batches (operators/ivm.py;
+    #: each sync is O(churn since last sync) and exactly-once via its
+    #: source-version watermark, so cadence is a freshness knob only).
+    sync_views: list[str] = field(default_factory=list)
+    sync_views_every_batches: int = 1
 
     def __post_init__(self) -> None:
         if isinstance(self.mode, str):

@@ -583,6 +583,27 @@ class CdcEngine:
                         # crashed pipelined prepares); the grace window
                         # protects this run's in-flight prefetch
                         t.gc_orphans(grace_s=3600.0)
+                    if (
+                        self.cfg.sync_views
+                        and self.cfg.sync_views_every_batches
+                        and batches % self.cfg.sync_views_every_batches == 0
+                    ):
+                        # advance maintained views from this table's change
+                        # feed (operators/ivm.py). O(churn) per sync and
+                        # watermark-idempotent, so a crash between the merge
+                        # commit and the sync just re-syncs next cadence.
+                        from .operators.ivm import sync_view
+
+                        src = LakeTable(self.spark, self.table_root)
+                        for vroot in self.cfg.sync_views:
+                            stats = sync_view(
+                                LakeTable(self.spark, vroot), src
+                            )
+                            log.info(
+                                "view sync %s: v%s -> v%s (%d groups)",
+                                vroot, stats["synced_from"],
+                                stats["synced_to"], stats["groups"],
+                            )
                 if self.checkpoint_path:
                     ckpt.store(
                         self.checkpoint_path,

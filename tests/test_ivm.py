@@ -210,6 +210,42 @@ def test_zero_churn_source_commit_advances_watermark(spark, tmp_path):
     assert _json.loads(view.properties["ivm"])["source_version"] == src.version
 
 
+def test_engine_replay_syncs_views_on_cadence(spark, tmp_path):
+    """cfg.sync_views: the replay loop advances maintained views right
+    after merge commits — the view tracks the table with zero extra
+    source scans."""
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+    from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+    root = str(tmp_path / "src")
+    vroot = str(tmp_path / "view")
+    cfg = IngestConfig(
+        table="repos", mode="merge", merge_keys=["repo", "path"],
+        num_buckets=4, merge_strategy="mor",
+        sync_views=[vroot], sync_views_every_batches=1,
+    )
+    eng = CdcEngine(spark, cfg, root,
+                    checkpoint_path=str(tmp_path / "ck.json"))
+    src = eng.ensure_table(REPOS_SCHEMA)
+    create_view_table(src, vroot, group_cols=["lang"], num_buckets=2)
+
+    changes = gen_changes(spark, 2000, n_repos=20, paths_per_repo=10)
+    eng.replay(changes, n_events=2000, batch_size=1000)
+
+    view = LakeTable(spark, vroot)
+    expect = {
+        r.lang: r.n_rows
+        for r in src.read().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).collect()
+    }
+    assert {r.lang: r.n_rows for r in view.read().collect()} == expect
+    import json as _json
+    assert _json.loads(view.properties["ivm"])["source_version"] == src.version
+
+
 def test_sync_rejects_non_view_table(spark, tmp_path):
     src = _source(spark, str(tmp_path / "src"))
     plain = _source(spark, str(tmp_path / "plain"))
