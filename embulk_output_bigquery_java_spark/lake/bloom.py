@@ -1,0 +1,108 @@
+"""Per-file merge-key bloom filters — sidecar index for point-lookup skipping.
+
+The manifest's min/max column stats (table.py ``_footer_minmax``) prune
+range predicates, but CDC merge keys are identifier-shaped (repo, path):
+every file in a bucket spans nearly the full lexicographic key range, so
+min/max never skips anything for a point lookup. Iceberg solves this with
+bloom blobs in puffin files; this module is that idea for the engine's
+manifest: each base data file gets a ``<file>.bloom`` sidecar holding an
+m-bit filter over the canonical merge-key string, and ``LakeTable.lookup``
+drops files whose filter proves the key absent — before Spark ever lists
+them.
+
+Scale shape: the filter is BUILT distributed (one column-pruned scan of the
+just-written files, grouped per file via ``applyInPandas`` — executors
+write their own sidecars, nothing rides the driver) and PROBED driver-side
+(a point lookup touches one bucket's few files; each probe is k bit reads
+on an mmap-sized byte string, cached per path since data files are
+immutable). Hashing is vectorized ``pandas.util.hash_pandas_object``
+(SipHash with pinned 16-byte keys — process-independent, no per-row
+Python), with Kirsch-Mitzenmacher double hashing for the k probe positions;
+build and probe share the functions below so false negatives are impossible
+by construction.
+
+Reference anchor: this plays the role BigQuery's storage-side indexes play
+for the plugin's target tables (the reference delegates all data layout to
+BigQuery, e.g. clustering in BigqueryClient.java:209-212); the engine owns
+its layout, so it owns the index too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+#: pinned 16-char SipHash keys (pandas requires exactly 16) — any stable
+#: pair works; changing them invalidates every existing sidecar.
+_HASH_KEY_1 = "cdc-bloom-h1-key"
+_HASH_KEY_2 = "cdc-bloom-h2-key"
+
+#: canonical key-tuple encoding: column values cast to string, NULL ->
+#: sentinel, joined by a separator that identifier-shaped keys never
+#: contain (collisions would only ever ADD false positives, never drop rows)
+KEY_SEP = "\x1f"
+NULL_TOKEN = "\x00null\x00"
+
+MIN_BITS = 1 << 10          # floor so tiny files still get a real filter
+MAX_BITS = 1 << 27          # 16 MiB sidecar cap (a ~5M-row file at 10 b/row
+                            # wants 2^26; past the cap fpp degrades, never
+                            # correctness)
+
+
+def canonical_key(values) -> str:
+    """Driver-side probe form of the canonical key string; must mirror the
+    JVM build expression (``concat_ws`` over ``coalesce(cast(c as string),
+    NULL_TOKEN)``) exactly."""
+    return KEY_SEP.join(
+        NULL_TOKEN if v is None else str(v) for v in values
+    )
+
+
+def _hash_pair(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per key (vectorized). h2 is forced odd
+    so the double-hash stride cycles every position of a power-of-two m."""
+    s = keys.astype(object)
+    h1 = pd.util.hash_pandas_object(
+        s, index=False, hash_key=_HASH_KEY_1
+    ).to_numpy(dtype=np.uint64)
+    h2 = pd.util.hash_pandas_object(
+        s, index=False, hash_key=_HASH_KEY_2
+    ).to_numpy(dtype=np.uint64)
+    return h1, h2 | np.uint64(1)
+
+
+def size_bits(n_rows: int, bits_per_row: int) -> int:
+    """Power-of-two filter size for n keys (power of two makes the k probe
+    positions a mask, not a modulo)."""
+    want = max(MIN_BITS, int(n_rows) * int(bits_per_row))
+    m = MIN_BITS
+    while m < want and m < MAX_BITS:
+        m <<= 1
+    return m
+
+
+def build_bits(keys: pd.Series, m: int, k: int) -> np.ndarray:
+    """m-bit filter over the key series as packed little-endian uint64
+    words (the sidecar payload is ``bits.tobytes()``)."""
+    h1, h2 = _hash_pair(keys)
+    mask = np.uint64(m - 1)
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    one = np.uint64(1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, pos >> np.uint64(6), one << (pos & np.uint64(63)))
+    return bits
+
+
+def might_contain(payload: bytes, m: int, k: int, key: str) -> bool:
+    """Probe one canonical key against a sidecar payload. False means the
+    key is PROVABLY absent from the file; True means maybe-present."""
+    h1, h2 = _hash_pair(pd.Series([key]))
+    h1, h2 = int(h1[0]), int(h2[0])
+    mask = m - 1
+    for i in range(k):
+        pos = (h1 + i * h2) % (1 << 64) & mask
+        word = int.from_bytes(payload[(pos >> 6) * 8:(pos >> 6) * 8 + 8], "little")
+        if not (word >> (pos & 63)) & 1:
+            return False
+    return True

@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 from ..functions.reconcile import reconcile_col
 from ..functions.zorder import with_zvalue
+from . import bloom as _bloom
 
 log = logging.getLogger(__name__)
 
@@ -225,6 +226,9 @@ class LakeTable:
         self.spark = spark
         self.root = os.path.abspath(root)
         self.meta_dir = os.path.join(self.root, "meta")
+        # bloom sidecar payload cache — data files (and so their sidecars)
+        # are immutable, keyed by relative path; bounded FIFO
+        self._bloom_cache: dict[str, bytes] = {}
         if self.current_version() is None:
             raise TableNotFound(f"no lake table at {self.root}")
 
@@ -367,6 +371,25 @@ class LakeTable:
         raw = self.properties.get("zorder")
         return json.loads(raw) if raw else None
 
+    @property
+    def bloom_spec(self) -> dict | None:
+        """Per-file merge-key bloom sidecar spec ({'bits_per_row': b,
+        'k': h}) from the ``key_bloom`` table property (dict or JSON
+        string). When set, every BASE data-file write builds a
+        ``<file>.bloom`` sidecar over the canonical merge-key string and
+        :meth:`lookup` skips files whose filter proves the key absent —
+        see ``lake/bloom.py``. None (default) = no sidecars: the build
+        costs one column-pruned scan of each write, worth it only for
+        lookup-heavy serving tables."""
+        raw = self.properties.get("key_bloom")
+        if not raw:
+            return None
+        spec = json.loads(raw) if isinstance(raw, str) else dict(raw)
+        return {
+            "bits_per_row": int(spec.get("bits_per_row", 10)),
+            "k": int(spec.get("k", 7)),
+        }
+
     def total_rows(self, version: int | None = None) -> int:
         return self.snapshot(version)["summary"]["total_rows"]
 
@@ -433,6 +456,7 @@ class LakeTable:
         tp_range: tuple[int, int] | None = None,
         *,
         col_range: dict[str, tuple] | None = None,
+        bloom_key: str | None = None,
         ignore_scan_group_bound: bool = False,
     ) -> DataFrame:
         """Scan, optionally pruned to a set of buckets (file-level pruning).
@@ -474,6 +498,16 @@ class LakeTable:
                     _stats_intersects(f, c, lo, hi)
                     for c, (lo, hi) in col_range.items()
                 )
+            ]
+        if bloom_key is not None:
+            # sidecar probe (lake/bloom.py): drop base files whose filter
+            # PROVES the key absent; deltas exempt as everywhere above.
+            # A point lookup reaches here with a handful of bucket-pruned
+            # candidates, so the driver-side probes are k bit reads each.
+            files = [
+                f for f in files
+                if f.get("kind") == "delta"
+                or self._bloom_admits(f, bloom_key)
             ]
         if tp_range is not None:
             if not snap.get("time_partition"):
@@ -648,6 +682,7 @@ class LakeTable:
         max_records_per_file: int = 5_000_000,
         partition: dict | None = None,
         zorder: dict | None = None,
+        key_bloom: bool = True,
     ) -> list[dict]:
         """Write df's rows as data files; returns snapshot file entries.
 
@@ -754,8 +789,88 @@ class LakeTable:
 
         if len(paths) > 4:
             with ThreadPoolExecutor(min(16, len(paths))) as ex:
-                return list(ex.map(entry_of, paths))
-        return [entry_of(p) for p in paths]
+                entries = list(ex.map(entry_of, paths))
+        else:
+            entries = [entry_of(p) for p in paths]
+        spec = self.bloom_spec if key_bloom else None
+        if spec and entries and self.merge_keys:
+            self._build_blooms(abs_dir, entries, spec)
+        return entries
+
+    def _build_blooms(
+        self, abs_dir: str, entries: list[dict], spec: dict
+    ) -> None:
+        """Distributed sidecar build for a fresh write (lake/bloom.py).
+
+        One column-pruned scan of the new files (keys only — payload bytes
+        never move), grouped per file; each task builds its file's filter in
+        numpy and writes the sidecar itself (tmp + atomic rename), so the
+        driver only collects (path, m, k) rows. False-positive-only by
+        construction: probe and build share the hash functions."""
+        keys = self.merge_keys
+        bpr, k = spec["bits_per_row"], spec["k"]
+
+        key_expr = F.concat_ws(
+            _bloom.KEY_SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_bloom.NULL_TOKEN))
+                for c in keys
+            ],
+        )
+        rows = self.spark.read.parquet(abs_dir).select(
+            F.input_file_name().alias("_file"), key_expr.alias("_key")
+        )
+
+        def build(pdf):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+
+            uri = pdf["_file"].iloc[0]
+            path = uri
+            for prefix in ("file://", "file:"):
+                if path.startswith(prefix):
+                    path = path[len(prefix):]
+                    break
+            m = _bloom.size_bits(len(pdf), bpr)
+            bits = _bloom.build_bits(pdf["_key"], m, k)
+            tmp = f"{path}.bloom.tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as fh:
+                fh.write(bits.tobytes())
+            _os.replace(tmp, f"{path}.bloom")
+            return _pd.DataFrame({"path": [path], "m": [m]})
+
+        built = {
+            r.path: r.m
+            for r in rows.groupBy("_file")
+            .applyInPandas(build, "path string, m long")
+            .collect()
+        }
+        for e in entries:
+            m = built.get(os.path.join(self.root, e["path"]))
+            if m is not None:
+                e["bloom"] = {"path": e["path"] + ".bloom", "m": m, "k": k}
+
+    def _bloom_admits(self, entry: dict, key: str) -> bool:
+        """False only when the file's sidecar PROVES the key absent; any
+        missing/unreadable/ill-sized sidecar degrades to True (scan it)."""
+        b = entry.get("bloom")
+        if not b:
+            return True
+        payload = self._bloom_cache.get(b["path"])
+        if payload is None:
+            try:
+                with open(os.path.join(self.root, b["path"]), "rb") as fh:
+                    payload = fh.read()
+            except OSError:
+                return True
+            if len(self._bloom_cache) >= 256:
+                self._bloom_cache.pop(next(iter(self._bloom_cache)))
+            self._bloom_cache[b["path"]] = payload
+        if len(payload) * 8 != b["m"]:
+            return True
+        return _bloom.might_contain(payload, b["m"], b["k"], key)
 
     def _commit(
         self,
@@ -917,8 +1032,10 @@ class LakeTable:
             ],
             _OP_COL,
         )
+        # delta files are exempt from every planning-time prune (a delta may
+        # supersede any base row), so a bloom sidecar would never be probed
         new_files = self._write_data(
-            ordered, self.snapshot()["current_schema_id"]
+            ordered, self.snapshot()["current_schema_id"], key_bloom=False
         )
         for f in new_files:
             f["kind"] = "delta"
@@ -1125,6 +1242,9 @@ class LakeTable:
                     if os.path.exists(abs_p):
                         os.remove(abs_p)
                         deleted.append(f["path"])
+                    # the file's bloom sidecar dies with it
+                    if os.path.exists(abs_p + ".bloom"):
+                        os.remove(abs_p + ".bloom")
             os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
         return deleted
 
@@ -1147,6 +1267,9 @@ class LakeTable:
                 live.update(
                     f["path"] for f in self.snapshot(int(m.group(1)))["files"]
                 )
+        # a live data file's bloom sidecar is live too (sidecars are not
+        # separate manifest entries)
+        live |= {f"{p}.bloom" for p in live}
         cutoff = _time.time() - grace_s
         deleted: list[str] = []
         # every file under data/ that no snapshot references is a candidate
@@ -1367,8 +1490,21 @@ class LakeTable:
             k: (v, v) for k, v in key_values.items()
             if isinstance(v, (int, float, str)) and not isinstance(v, bool)
         }
+        # full merge-key assignment + bloom sidecars -> probe the per-file
+        # filters too (identifier-shaped keys defeat min/max, blooms don't).
+        # str/int only: their Python str() matches Spark's cast-to-string,
+        # which the build side hashed (bool/float formatting differs).
+        bloom_key = None
+        mk = self.merge_keys
+        if self.bloom_spec and mk and all(
+            k in key_values
+            and isinstance(key_values[k], (str, int))
+            and not isinstance(key_values[k], bool)
+            for k in mk
+        ):
+            bloom_key = _bloom.canonical_key([key_values[k] for k in mk])
         return self.read(
-            buckets=buckets, col_range=col_range or None
+            buckets=buckets, col_range=col_range or None, bloom_key=bloom_key
         ).where(pred)
 
     def rollback(self, to_version: int) -> int:

@@ -1,0 +1,194 @@
+"""Per-file merge-key bloom sidecars (lake/bloom.py).
+
+Identifier-shaped merge keys defeat min/max stats (every file spans the
+key range), so point lookups need a membership index: each base write
+builds a ``<file>.bloom`` sidecar distributed (applyInPandas per file,
+executors write their own sidecars) and ``lookup`` drops files whose
+filter proves the key absent. False negatives are impossible by
+construction — build and probe share the hash path — and everything
+degrades to "scan it" when a sidecar is missing or ill-sized."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_bigquery_java_spark.lake import LakeTable
+from embulk_output_bigquery_java_spark.lake import bloom
+
+
+SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("content", T.StringType(), True),
+])
+
+SPEC = {"key_bloom": {"bits_per_row": 12, "k": 7}}
+
+
+def _rows(lo, hi):
+    return [(f"org/r{i % 7}", f"src/f{i}.py", f"body-{i}") for i in range(lo, hi)]
+
+
+def _make(spark, root, **kw):
+    return LakeTable.create(
+        spark, root, SCHEMA,
+        bucket_column="repo", num_buckets=4,
+        merge_keys=["repo", "path"], properties=SPEC, **kw,
+    )
+
+
+# ---------------------------------------------------------------- unit layer
+
+def test_build_probe_no_false_negatives():
+    keys = pd.Series([f"k{i}" for i in range(5000)])
+    m = bloom.size_bits(len(keys), 10)
+    payload = bloom.build_bits(keys, m, 7).tobytes()
+    assert all(bloom.might_contain(payload, m, 7, k) for k in keys)
+
+
+def test_probe_rejects_most_absent_keys():
+    keys = pd.Series([f"k{i}" for i in range(5000)])
+    m = bloom.size_bits(len(keys), 10)
+    payload = bloom.build_bits(keys, m, 7).tobytes()
+    hits = sum(
+        bloom.might_contain(payload, m, 7, f"absent{i}") for i in range(2000)
+    )
+    # 10 bits/row + k=7 -> fpp < 1%; allow generous slack
+    assert hits < 100
+
+
+def test_size_bits_power_of_two_and_bounded():
+    assert bloom.size_bits(0, 10) == bloom.MIN_BITS
+    m = bloom.size_bits(5_000_000, 10)
+    assert m & (m - 1) == 0
+    assert m <= bloom.MAX_BITS
+    assert bloom.size_bits(10**12, 10) == bloom.MAX_BITS
+
+
+def test_canonical_key_null_sentinel():
+    assert bloom.canonical_key(["a", None]) == "a" + bloom.KEY_SEP + bloom.NULL_TOKEN
+
+
+# --------------------------------------------------------------- table layer
+
+def test_write_builds_sidecars_and_manifest_entries(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 400), SCHEMA))
+    entries = t.snapshot()["files"]
+    assert entries
+    for e in entries:
+        assert "bloom" in e, e
+        side = os.path.join(t.root, e["bloom"]["path"])
+        assert os.path.exists(side)
+        assert os.path.getsize(side) * 8 == e["bloom"]["m"]
+
+
+def test_lookup_finds_every_present_key(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 300), SCHEMA))
+    for repo, path, body in _rows(0, 300)[::37]:
+        got = t.lookup(repo=repo, path=path).collect()
+        assert len(got) == 1 and got[0].content == body
+
+
+def test_lookup_prunes_files_for_absent_keys(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 300), SCHEMA))
+    # absent keys: the overwhelming majority of probes should plan to read
+    # ZERO files (bloom proves absence before Spark lists anything)
+    empty_plans = 0
+    for i in range(40):
+        df = t.lookup(repo=f"org/r{i % 7}", path=f"nope/{i}.py")
+        files = df.inputFiles()
+        empty_plans += not files
+        assert df.count() == 0  # correctness regardless of pruning
+    assert empty_plans >= 38
+
+
+def test_no_spec_means_no_sidecars(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        bucket_column="repo", num_buckets=4, merge_keys=["repo", "path"],
+    )
+    t.append(spark.createDataFrame(_rows(0, 100), SCHEMA))
+    assert all("bloom" not in e for e in t.snapshot()["files"])
+
+
+def test_delta_files_get_no_blooms_and_stay_exempt(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 200), SCHEMA))
+    upd = spark.createDataFrame(
+        [("org/r0", "src/f0.py", "NEW", "U")],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType(), False)]),
+    )
+    t.append_deltas(upd)
+    snap = t.snapshot()["files"]
+    assert all("bloom" not in f for f in snap if f.get("kind") == "delta")
+    # the delta supersedes the base even though the base file's bloom admits
+    got = t.lookup(repo="org/r0", path="src/f0.py").collect()
+    assert len(got) == 1 and got[0].content == "NEW"
+    # a key that exists ONLY in the delta must be found despite every base
+    # bloom proving it absent (deltas are exempt from the probe)
+    ins = spark.createDataFrame(
+        [("org/r1", "only/in/delta.py", "D-ONLY", "U")], upd.schema
+    )
+    t.append_deltas(ins)
+    got = t.lookup(repo="org/r1", path="only/in/delta.py").collect()
+    assert len(got) == 1 and got[0].content == "D-ONLY"
+
+
+def test_compact_rebuilds_blooms_on_new_files(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 200), SCHEMA))
+    upd = spark.createDataFrame(
+        [("org/r0", "src/f0.py", "NEW", "U")],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType(), False)]),
+    )
+    t.append_deltas(upd)
+    t.compact(min_delta_ratio=None)
+    entries = t.snapshot()["files"]
+    assert entries and all(f.get("kind") != "delta" for f in entries)
+    assert all("bloom" in f for f in entries)
+    got = t.lookup(repo="org/r0", path="src/f0.py").collect()
+    assert len(got) == 1 and got[0].content == "NEW"
+
+
+def test_missing_sidecar_degrades_to_scan(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 100), SCHEMA))
+    for e in t.snapshot()["files"]:
+        os.remove(os.path.join(t.root, e["bloom"]["path"]))
+    t._bloom_cache.clear()
+    got = t.lookup(repo="org/r0", path="src/f0.py").collect()
+    assert len(got) == 1
+
+
+def test_expire_snapshots_removes_dead_sidecars(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 100), SCHEMA))
+    old_sides = [
+        os.path.join(t.root, e["bloom"]["path"])
+        for e in t.snapshot()["files"]
+    ]
+    t.replace(spark.createDataFrame(_rows(100, 150), SCHEMA))
+    t.replace(spark.createDataFrame(_rows(150, 200), SCHEMA))
+    t.expire_snapshots(keep_last=1)
+    assert all(not os.path.exists(p) for p in old_sides)
+    live = [e for e in t.snapshot()["files"]]
+    assert all(
+        os.path.exists(os.path.join(t.root, e["bloom"]["path"])) for e in live
+    )
+
+
+def test_gc_orphans_keeps_live_sidecars(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows(0, 100), SCHEMA))
+    sides = [
+        os.path.join(t.root, e["bloom"]["path"])
+        for e in t.snapshot()["files"]
+    ]
+    t.gc_orphans(grace_s=0.0)
+    assert all(os.path.exists(p) for p in sides)

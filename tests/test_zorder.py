@@ -104,9 +104,13 @@ def test_zorder_bounds_every_columns_file_range(spark, tmp_path):
     assert min(lex_y) >= 0.9 * domain
     # z-order: BOTH columns bounded well under the domain on average (a
     # file straddling a sampled range boundary may span wider; the scan
-    # fraction a point filter reads is governed by the mean span)
-    assert avg(z_x) <= 0.55 * domain
-    assert avg(z_y) <= 0.55 * domain
+    # fraction a point filter reads is governed by the mean span). The
+    # bound is loose-ish on purpose: repartitionByRange samples with an
+    # RDD-id-derived seed, so boundary placement varies run to run —
+    # 0.55 flaked under full-suite ordering; lexicographic stays ~1.0
+    # either way, so 0.65 still separates the layouts decisively.
+    assert avg(z_x) <= 0.65 * domain
+    assert avg(z_y) <= 0.65 * domain
     # and no rows lost
     assert zt.read().count() == side * side
 
