@@ -3,11 +3,12 @@
 entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 28 queries are
-                 value-checked. 24 against live ANSI-SQL re-derivations
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 45 queries are
+                 value-checked. 41 against live ANSI-SQL re-derivations
                  (incl. the media suite, the recursive-CTE components
-                 oracle, and the MOR merge_rule fold vs its closed-form
-                 suffix-sum); the four hash-family ops whose values are
+                 oracle, the Debezium wire-format parse, and the MOR
+                 merge_rule fold vs its closed-form suffix-sum); the four
+                 hash-family ops whose values are
                  engine-specific (minhash/simhash banding, hyperplane LSH)
                  check against PINNED GOLDEN parquet (golden/*.sf0.01.parquet,
                  generated once by tools/make_goldens.py, reviewed, and
@@ -116,6 +117,107 @@ SELECT user_id, event_type, event_id, value FROM tgt
 WHERE (user_id, event_type) NOT IN (SELECT (user_id, event_type) FROM bat)
 UNION ALL
 SELECT user_id, event_type, event_id, value FROM bat WHERE op <> 'D'
+"""
+
+
+def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium wire-format adapter (sources/debezium.py — the public
+    binlog/WAL envelope the reference's host never exposes): fabricate an
+    envelope per events row with a deterministic op rule (value<1 → d,
+    else event_id%3==0 → c, else u; before-images carry value+100),
+    interleave raw compaction tombstones, then run the generic PERMISSIVE
+    ``from_json`` parse and flatten order/meta + image columns. The oracle
+    recomputes the expected OUTPUT relationally, so the hash match proves
+    the encode→parse loop lossless, the c/r/u/d mapping right, and the
+    tombstones dropped — all in one zero-exchange projection pipeline."""
+    from pyspark.sql import types as T
+
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        parse_debezium,
+    )
+
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        # parquet ts is NTZ; session tz is pinned UTC so this cast is the
+        # same epoch DuckDB's epoch_ms reads
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    op = (
+        F.when(F.col("value") < 1, F.lit("d"))
+        .when(F.col("event_id") % 3 == 0, F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+
+    def image(val):
+        return F.struct(
+            F.col("event_id").alias("event_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("event_type").alias("event_type"),
+            val.alias("value"),
+        )
+
+    envelope = F.struct(
+        F.when(op != "c", image(F.round(F.col("value") + 100, 6)))
+        .alias("before"),
+        F.when(op != "d", image(F.round(F.col("value"), 6))).alias("after"),
+        F.struct(
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            (F.col("event_id") / 10).cast("long").alias("txId"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        F.struct(
+            (F.col("event_id") / 10).cast("long").cast("string").alias("id"),
+            (F.col("event_id") % 10).alias("total_order"),
+        ).alias("transaction"),
+    )
+    lines = ev.select(F.to_json(envelope).alias("value")).unionAll(
+        ev.where(F.col("event_id") % 997 == 0).select(
+            F.lit("null").alias("value")  # Kafka compaction tombstones
+        )
+    )
+    p = parse_debezium(lines, row_schema, "value")
+    a, b = F.col("after"), F.col("before")
+    return p.events.select(
+        F.col("op").alias("cdc_op"),
+        F.col("seq"),
+        F.col("commit_seq"),
+        F.col("event_offset"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.coalesce(a["event_id"], b["event_id"]).alias("event_id"),
+        F.coalesce(a["user_id"], b["user_id"]).alias("user_id"),
+        F.coalesce(a["event_type"], b["event_type"]).alias("event_type"),
+        a["value"].alias("after_value"),
+        b["value"].alias("before_value"),
+    )
+
+
+_DEBEZIUM_PARSE_SQL = """
+SELECT
+    CASE WHEN value < 1 THEN 'D'
+         WHEN event_id % 3 = 0 THEN 'I'
+         ELSE 'U' END                                   AS cdc_op,
+    event_id                                            AS seq,
+    CAST(FLOOR(event_id / 10) AS BIGINT)                AS commit_seq,
+    event_id % 10                                       AS event_offset,
+    epoch_ms(ts)                                        AS ts_ms,
+    event_id,
+    user_id,
+    event_type,
+    CASE WHEN value < 1 THEN NULL
+         ELSE ROUND(value, 6) END                       AS after_value,
+    CASE WHEN value >= 1 AND event_id % 3 = 0 THEN NULL
+         ELSE ROUND(value + 100, 6) END                 AS before_value
+FROM events
 """
 
 
@@ -1641,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_maxby": q_lww_dedup_maxby,
         "lww_dedup_window": q_lww_dedup_window,
         "cdc_merge_apply": q_cdc_merge_apply,
+        "debezium_parse": q_debezium_parse,
         "table_changes_feed": q_table_changes,
         "ivm_counts": q_ivm_counts,
         "mor_rule_fold": q_mor_rule_fold,
@@ -1690,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         "lww_dedup_maxby": _LWW_SQL,
         "lww_dedup_window": _LWW_SQL,
         "cdc_merge_apply": _CDC_MERGE_SQL,
+        "debezium_parse": _DEBEZIUM_PARSE_SQL,
         "table_changes_feed": _TABLE_CHANGES_SQL,
         "ivm_counts": _IVM_COUNTS_SQL,
         "mor_rule_fold": _MOR_RULE_SQL,

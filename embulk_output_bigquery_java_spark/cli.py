@@ -61,7 +61,21 @@ def cmd_replay(args: argparse.Namespace) -> int:
         ledger_path=args.ledger, checkpoint_path=args.checkpoint,
     )
     eng.ensure_table(REPOS_SCHEMA)
-    if args.changes_path:
+    if args.changes_path and args.changes_format == "debezium":
+        from .sources.debezium import read_debezium_changes
+        from .sources.readers import BadRecordsExceeded, LoadResult
+
+        parsed = read_debezium_changes(spark, args.changes_path)
+        try:
+            changes, n_bad = LoadResult(
+                parsed.events, parsed.quarantine
+            ).enforce_budget(max_bad_records=args.max_bad_records)
+        except BadRecordsExceeded as exc:
+            print(f"bad records: {exc}", file=sys.stderr)
+            return 3
+        if n_bad:
+            print(f"quarantined {n_bad} envelope(s)", file=sys.stderr)
+    elif args.changes_path:
         changes = spark.read.parquet(args.changes_path)
     else:
         changes = gen_changes(
@@ -145,6 +159,12 @@ def cmd_changes(args: argparse.Namespace) -> int:
     if args.out:
         if args.format == "jsonl":
             export_jsonl(feed, args.out, compression="gzip", mode="overwrite")
+        elif args.format == "debezium":
+            from .sources.debezium import feed_to_debezium
+
+            feed_to_debezium(
+                feed, table.merge_keys, commit_seq=to_v
+            ).write.mode("overwrite").text(args.out)
         else:
             feed.write.mode("overwrite").parquet(args.out)
         out["out"] = args.out
@@ -429,6 +449,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--events", type=int, default=100_000)
     r.add_argument("--batch-size", type=int, default=25_000)
     r.add_argument("--changes-path", default=None)
+    r.add_argument("--changes-format", default="parquet",
+                   choices=["parquet", "debezium"],
+                   help="debezium = JSONL dir of Debezium envelopes "
+                        "(sources/debezium.py wire adapter)")
+    r.add_argument("--max-bad-records", type=int, default=0)
     r.add_argument("--repos", type=int, default=100)
     r.add_argument("--paths-per-repo", type=int, default=50)
     r.add_argument("--num-buckets", type=int, default=16)
@@ -480,7 +505,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="default: current version")
     ch.add_argument("--out", default=None,
                     help="write the feed here (distributed write)")
-    ch.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    ch.add_argument("--format", choices=["parquet", "jsonl", "debezium"],
+                    default="parquet")
     ch.add_argument("--cores", type=int, default=8)
     ch.set_defaults(fn=cmd_changes)
 

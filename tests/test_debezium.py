@@ -1,0 +1,163 @@
+"""Debezium wire-format adapter (sources/debezium.py).
+
+The roundtrip test is the contract: encode → parse → changes must be
+bit-identical to the canonical generator stream, so the parser's field
+mapping is pinned by construction, not by sampled examples.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.schemas import (
+    CHANGES_SCHEMA,
+    REPOS_SCHEMA,
+)
+from embulk_output_bigquery_java_spark.sources.debezium import (
+    changes_from_debezium,
+    encode_debezium,
+    feed_to_debezium,
+    parse_debezium,
+    read_debezium_changes,
+)
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+
+def _canon(df):
+    return df.select(
+        *[F.col(f.name).cast(f.dataType) for f in CHANGES_SCHEMA.fields]
+    )
+
+
+def test_roundtrip_is_exact(spark):
+    ch = gen_changes(spark, 1200, n_repos=15, paths_per_repo=8)
+    out = _canon(
+        changes_from_debezium(
+            parse_debezium(encode_debezium(ch), REPOS_SCHEMA, "value").events
+        )
+    )
+    assert out.exceptAll(ch).count() == 0
+    assert ch.exceptAll(out).count() == 0
+
+
+def test_delete_envelope_has_no_after_key(spark):
+    ch = gen_changes(spark, 400, n_repos=10, paths_per_repo=5)
+    dels = encode_debezium(ch.where(F.col("op") == "D")).collect()
+    assert dels, "generator op mix must include deletes"
+    for r in dels:
+        env = json.loads(r.value)
+        assert "after" not in env  # to_json omits nulls, like the connector
+        assert env["op"] == "d"
+        assert env["before"]["content"]  # before image carries prior content
+
+
+def test_snapshot_read_op_maps_to_insert(spark):
+    line = json.dumps(
+        {
+            "after": {"repo": "r", "path": "p", "commit": "c",
+                      "lang": "py", "content": "x"},
+            "source": {"ts_ms": 1_700_000_000_000, "txId": 7, "lsn": 70,
+                       "snapshot": "true"},
+            "op": "r",
+            "transaction": {"id": "7", "total_order": 3},
+        }
+    )
+    df = spark.createDataFrame([Row(value=line)])
+    ev = parse_debezium(df, REPOS_SCHEMA, "value").events.collect()
+    assert len(ev) == 1
+    assert ev[0].op == "I"
+    assert ev[0].seq == 70 and ev[0].commit_seq == 7 and ev[0].event_offset == 3
+
+
+def test_tombstones_dropped_not_quarantined(spark):
+    lines = [
+        Row(value="null"),
+        Row(value=""),
+        Row(value=json.dumps({"source": {"ts_ms": 1}})),  # key-only compaction
+    ]
+    p = parse_debezium(spark.createDataFrame(lines), REPOS_SCHEMA, "value")
+    assert p.events.count() == 0
+    assert p.quarantine.count() == 0
+    assert p.tombstones.count() == 3
+
+
+def test_malformed_and_unknown_op_quarantined_with_reason(spark):
+    lines = [
+        Row(value="{not json"),
+        Row(value=json.dumps({"op": "x", "after": {"repo": "r", "path": "p"}})),
+    ]
+    p = parse_debezium(spark.createDataFrame(lines), REPOS_SCHEMA, "value")
+    q = {r.reason for r in p.quarantine.collect()}
+    assert p.events.count() == 0
+    assert q == {"malformed envelope", "unknown op: x"}
+
+
+def test_parse_plan_has_no_exchange_and_no_python(spark):
+    ch = gen_changes(spark, 100, n_repos=5, paths_per_repo=3)
+    out = changes_from_debezium(
+        parse_debezium(encode_debezium(ch), REPOS_SCHEMA, "value").events
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_replay_from_debezium_jsonl_matches_generator_replay(spark, tmp_path):
+    """End-to-end: wire files in, same final table state as the DataFrame
+    path — the engine's exactly-once + LWW semantics are format-blind."""
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.lake.table import LakeTable
+
+    n = 2000
+    ch = gen_changes(spark, n, n_repos=12, paths_per_repo=6)
+    wire_dir = str(tmp_path / "wire")
+    encode_debezium(ch).write.text(wire_dir)
+
+    def replay(root, changes):
+        cfg = IngestConfig(table="repos", mode="merge",
+                           merge_keys=["repo", "path"], num_buckets=4)
+        eng = CdcEngine(spark, cfg, root)
+        eng.ensure_table(REPOS_SCHEMA)
+        eng.replay(changes, n_events=n, batch_size=1000)
+        return LakeTable(spark, root).read()
+
+    parsed = read_debezium_changes(spark, wire_dir)
+    assert parsed.quarantine.count() == 0
+    a = replay(str(tmp_path / "ta"), parsed.events)
+    b = replay(str(tmp_path / "tb"), ch)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
+def test_feed_to_debezium_packs_updates_and_roundtrips_ops(spark):
+    feed = spark.createDataFrame(
+        [
+            Row(repo="r1", path="a", commit="c1", lang="py", content="new",
+                _change_type="insert"),
+            Row(repo="r1", path="b", commit="c0", lang="py", content="old",
+                _change_type="update_preimage"),
+            Row(repo="r1", path="b", commit="c1", lang="py", content="new",
+                _change_type="update_postimage"),
+            Row(repo="r2", path="c", commit="c0", lang="go", content="bye",
+                _change_type="delete"),
+        ]
+    )
+    lines = feed_to_debezium(feed, ["repo", "path"], commit_seq=9)
+    assert lines.count() == 3  # update packed into ONE envelope
+    by_key = {}
+    for r in lines.collect():
+        env = json.loads(r.value)
+        img = env.get("after") or env.get("before")
+        by_key[(img["repo"], img["path"])] = env
+    assert by_key[("r1", "a")]["op"] == "c"
+    assert by_key[("r2", "c")]["op"] == "d"
+    u = by_key[("r1", "b")]
+    assert u["op"] == "u"
+    assert u["before"]["content"] == "old" and u["after"]["content"] == "new"
+    assert u["transaction"]["id"] == "9" and u["source"]["txId"] == 9
+    # and the standard parser accepts its own export
+    p = parse_debezium(lines, REPOS_SCHEMA, "value")
+    assert p.quarantine.count() == 0 and p.events.count() == 3
