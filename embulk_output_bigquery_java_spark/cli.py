@@ -362,6 +362,26 @@ def cmd_rebucket(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_evolve_buckets(args: argparse.Namespace) -> int:
+    """Metadata-only bucket-count change (partition-spec evolution): new
+    writes bucket under the new count, existing files stay put and keep
+    pruning under the spec that placed them; COW merges migrate touched
+    old-spec files lazily and a full `compact` finishes the migration."""
+    spark = get_spark("cdc-evolve-buckets", cores=2)
+    table = LakeTable(spark, args.table_root)
+    before = table.partition
+    v = table.evolve_buckets(args.num_buckets)
+    print(json.dumps({
+        "version": v,
+        "buckets_before": before["num_buckets"] if before else None,
+        "buckets_after": args.num_buckets,
+        "default_spec_id": table.default_spec_id,
+        "live_specs": sorted(table.live_spec_ids()),
+        "rewritten_files": 0,
+    }))
+    return 0
+
+
 def cmd_expire(args: argparse.Namespace) -> int:
     """Expire old snapshots + delete orphaned data files (W10 GC analog)."""
     spark = get_spark("cdc-expire", cores=2)
@@ -565,6 +585,14 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--target-file-rows", type=int, default=1_000_000)
     rb.add_argument("--cores", type=int, default=None)
     rb.set_defaults(fn=cmd_rebucket)
+
+    eb = sub.add_parser(
+        "evolve-buckets",
+        help="metadata-only bucket-count change (spec evolution)",
+    )
+    eb.add_argument("--table-root", required=True)
+    eb.add_argument("--num-buckets", type=int, required=True)
+    eb.set_defaults(fn=cmd_evolve_buckets)
 
     hi = sub.add_parser(
         "history", help="list retained snapshots (rollback targets)"

@@ -353,7 +353,38 @@ class LakeTable:
 
     @property
     def partition(self) -> dict | None:
+        """The DEFAULT partition spec — what new writes bucket under."""
         return self.snapshot()["partition"]
+
+    @property
+    def partition_specs(self) -> dict[int, dict]:
+        """Every bucket spec this table has ever written under, by spec id
+        (Iceberg partition-spec-evolution analog). Snapshots predating
+        spec evolution synthesize ``{0: partition}``; file entries carry
+        ``spec_id`` (absent = 0) so planning prunes each file under the
+        spec that actually placed it."""
+        return self._specs_of(self.snapshot())
+
+    @staticmethod
+    def _specs_of(snap: dict) -> dict[int, dict]:
+        raw = snap.get("partition_specs")
+        if raw:
+            return {int(k): v for k, v in raw.items()}
+        return {0: snap["partition"]} if snap.get("partition") else {}
+
+    @property
+    def default_spec_id(self) -> int:
+        return self.snapshot().get("default_spec_id", 0)
+
+    def live_spec_ids(self, version: int | None = None) -> set[int]:
+        """Spec ids that still matter for planning: every spec some live
+        file was written under, plus the default (future writes)."""
+        snap = self.snapshot(version)
+        if not snap.get("partition"):
+            return set()
+        live = {int(f.get("spec_id", 0)) for f in snap["files"]}
+        live.add(snap.get("default_spec_id", 0))
+        return live
 
     @property
     def time_partition(self) -> dict | None:
@@ -435,11 +466,40 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------- reading
-    def bucket_of(self, col) -> F.Column:
-        """bucket(N, key) partition transform (consistent across engine)."""
-        part = self.partition
+    def bucket_of(self, col, spec_id: int | None = None) -> F.Column:
+        """bucket(N, key) partition transform (consistent across engine).
+
+        ``spec_id`` picks a historical spec (partition evolution); default
+        is the spec new writes use."""
+        if spec_id is None:
+            part = self.partition
+        else:
+            part = self.partition_specs[spec_id]
         assert part, "table is unpartitioned"
         return F.pmod(F.xxhash64(col), F.lit(part["num_buckets"])).cast("int")
+
+    def buckets_for_key(self, value) -> dict[int, list[int]]:
+        """The key's bucket under EVERY live spec — the per-spec pruning
+        map a point lookup needs after bucket-spec evolution. One 1-row
+        driver-side job computes all specs' hashes together."""
+        live = sorted(self.live_spec_ids())
+        if not live:
+            return {}
+        specs = self.partition_specs
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(value)),
+                        F.lit(specs[s]["num_buckets"]),
+                    ).cast("int").alias(f"b{s}")
+                    for s in live
+                ]
+            )
+            .first()
+        )
+        return {s: [row[f"b{s}"]] for s in live}
 
     def tp_of(self, col) -> F.Column:
         """Time-partition transform: encoded partition value of a timestamp
@@ -455,6 +515,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         tp_range: tuple[int, int] | None = None,
         *,
+        buckets_by_spec: dict[int, list[int]] | None = None,
         col_range: dict[str, tuple] | None = None,
         bloom_key: str | None = None,
         ignore_scan_group_bound: bool = False,
@@ -488,9 +549,31 @@ class LakeTable:
         snap = self.snapshot(version)
         cur_schema = T.StructType.fromJson(snap["schemas"][str(snap["current_schema_id"])])
         files = snap["files"]
+        if buckets is not None and buckets_by_spec is not None:
+            raise ValueError("pass buckets or buckets_by_spec, not both")
         if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+            # sugar for the single-spec common case; a bucket id is only
+            # meaningful relative to its spec, so refuse ambiguity loudly
+            live = {int(f.get("spec_id", 0)) for f in files}
+            live.add(snap.get("default_spec_id", 0))
+            if len(live) > 1:
+                raise ValueError(
+                    "table has multiple live partition specs "
+                    f"{sorted(live)}; prune with buckets_by_spec (or run a "
+                    "full compact() to finish the bucket migration)"
+                )
+            buckets_by_spec = {next(iter(live)): buckets}
+        if buckets_by_spec is not None:
+            # exact per-spec pruning (partition evolution): a file is kept
+            # only when the caller's map covers its spec AND its bucket —
+            # the caller derives the map from the key(s) under every live
+            # spec, so old-spec files prune just as tightly as new ones
+            bmap = {int(s): set(bs) for s, bs in buckets_by_spec.items()}
+            files = [
+                f for f in files
+                if int(f.get("spec_id", 0)) in bmap
+                and f["bucket"] in bmap[int(f.get("spec_id", 0))]
+            ]
         if col_range:
             files = [
                 f for f in files
@@ -681,6 +764,7 @@ class LakeTable:
         self, df: DataFrame, schema_id: int, *,
         max_records_per_file: int = 5_000_000,
         partition: dict | None = None,
+        spec_id: int | None = None,
         zorder: dict | None = None,
         key_bloom: bool = True,
     ) -> list[dict]:
@@ -694,6 +778,10 @@ class LakeTable:
         write_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
         abs_dir = os.path.join(self.root, write_dir)
         part = partition if partition is not None else self.partition
+        file_spec_id = (
+            spec_id if spec_id is not None
+            else (self.default_spec_id if part else None)
+        )
         tp = self.time_partition
         cluster = [c for c in self.clustering if c in df.columns]
         if zorder:
@@ -770,6 +858,10 @@ class LakeTable:
                 "bytes": os.path.getsize(path),
                 "schema_id": schema_id,
             }
+            if file_spec_id is not None and file_spec_id != 0:
+                # spec 0 stays implicit so pre-evolution manifests and
+                # fresh tables keep byte-identical entries
+                entry["spec_id"] = file_spec_id
             if tp:
                 mt = re.search(rf"{_TP_COL}=([^/]+)", rel)
                 entry["tp"] = (
@@ -884,6 +976,8 @@ class LakeTable:
         current_schema_id: int | None = None,
         merge_keys: list[str] | None = None,
         partition: dict | None = None,
+        partition_specs: dict | None = None,
+        default_spec_id: int | None = None,
     ) -> int:
         """Atomically publish a new snapshot; O_EXCL create is the commit point."""
         base = self.snapshot()
@@ -936,6 +1030,28 @@ class LakeTable:
             "schemas": schemas if schemas is not None else base["schemas"],
             "partition": partition if partition is not None else base["partition"],
             "time_partition": base.get("time_partition"),
+            **(
+                {
+                    "partition_specs": (
+                        partition_specs
+                        if partition_specs is not None
+                        else base["partition_specs"]
+                    )
+                }
+                if (partition_specs is not None or "partition_specs" in base)
+                else {}
+            ),
+            **(
+                {
+                    "default_spec_id": (
+                        default_spec_id
+                        if default_spec_id is not None
+                        else base["default_spec_id"]
+                    )
+                }
+                if (default_spec_id is not None or "default_spec_id" in base)
+                else {}
+            ),
             "clustering": base.get("clustering", []),
             "merge_keys": merge_keys if merge_keys is not None else base["merge_keys"],
             "files": files,
@@ -985,7 +1101,9 @@ class LakeTable:
         )
 
     def overwrite_buckets(
-        self, df: DataFrame, buckets: list[int], *, batch_id: str | None = None,
+        self, df: DataFrame, buckets: list[int] | None = None, *,
+        buckets_by_spec: dict[int, list[int]] | None = None,
+        batch_id: str | None = None,
         properties: dict | None = None,
     ) -> int:
         """Replace only the files of the given buckets (COW merge commit).
@@ -994,14 +1112,37 @@ class LakeTable:
         Files in untouched buckets carry over untouched — this is what keeps
         a merge batch's write amplification bounded by the touched buckets,
         not the table size.
+
+        After :meth:`evolve_buckets`, pass ``buckets_by_spec`` (the same
+        map the target read pruned with): files are dropped per their own
+        spec, and the post-image writes under the DEFAULT spec — so every
+        COW merge lazily migrates the old-spec files it touches. New files
+        may then land in default-spec buckets outside the touched set
+        (an old-spec file's keys spread across many new-spec buckets);
+        that is correct — a bucket may always hold multiple files — so the
+        stray-row guard applies only to the single-spec fast path.
         """
         base = self.snapshot()
-        bset = set(buckets)
+        if (buckets is None) == (buckets_by_spec is None):
+            raise ValueError("pass exactly one of buckets / buckets_by_spec")
+        if buckets_by_spec is None:
+            buckets_by_spec = {base.get("default_spec_id", 0): buckets}
+        bmap = {int(s): set(bs) for s, bs in buckets_by_spec.items()}
         new_files = self._write_data(df, base["current_schema_id"])
-        stray = [f for f in new_files if f["bucket"] not in bset and f["rows"] > 0]
-        if stray:
-            raise ValueError(f"rows written outside declared buckets: {stray}")
-        kept = [f for f in base["files"] if f["bucket"] not in bset]
+        if set(bmap) == {base.get("default_spec_id", 0)}:
+            # single-spec fast path keeps the strict invariant: the
+            # post-image of N buckets must not write outside them
+            bset = bmap[base.get("default_spec_id", 0)]
+            stray = [
+                f for f in new_files if f["bucket"] not in bset and f["rows"] > 0
+            ]
+            if stray:
+                raise ValueError(f"rows written outside declared buckets: {stray}")
+        kept = [
+            f for f in base["files"]
+            if int(f.get("spec_id", 0)) not in bmap
+            or f["bucket"] not in bmap[int(f.get("spec_id", 0))]
+        ]
         return self._commit(
             operation="merge",
             files=kept + new_files,
@@ -1099,6 +1240,12 @@ class LakeTable:
     def delete_buckets(self, buckets: list[int]) -> int:
         """Metadata-only hash-partition delete (drop buckets, keep the rest)."""
         base = self.snapshot()
+        if len(self.live_spec_ids()) > 1:
+            raise ValueError(
+                "bucket delete is ambiguous while a bucket-spec migration "
+                "is in flight (a key's old-spec files live under different "
+                "bucket ids); run a full compact() first"
+            )
         bset = set(buckets)
         kept = [f for f in base["files"] if f["bucket"] not in bset]
         return self._commit(
@@ -1122,7 +1269,14 @@ class LakeTable:
         )
         if not delta_buckets:
             return
-        if self.partition is None or None in delta_buckets:
+        if (
+            self.partition is None
+            or None in delta_buckets
+            or len(self.live_spec_ids()) > 1
+        ):
+            # unpartitioned, unattributable deltas, or a bucket-spec
+            # migration in flight: bucket-scoped folding is ambiguous,
+            # fold everything (which also finishes the migration)
             self.compact()
         else:
             self.compact(buckets=delta_buckets)
@@ -1333,6 +1487,14 @@ class LakeTable:
         """
         base = self.snapshot()
         zspec = self.zorder_spec  # pinned layout survives compaction
+        if (buckets is not None or min_delta_ratio is not None) and len(
+            self.live_spec_ids()
+        ) > 1:
+            raise ValueError(
+                "bucket-scoped compaction is ambiguous while a bucket-spec "
+                "migration is in flight (multiple live specs); run a full "
+                "compact() to finish the migration first"
+            )
         if buckets is None and min_delta_ratio is not None:
             buckets = self.dirty_buckets(min_delta_ratio)
             if not buckets:
@@ -1425,18 +1587,58 @@ class LakeTable:
             raise ValueError("num_buckets must be positive")
         base = self.snapshot()
         new_part = {"column": part["column"], "num_buckets": num_buckets}
+        specs = self._specs_of(base)
+        new_id = max(specs) + 1
+        specs[new_id] = new_part
         files = self._write_data(
             # folds any outstanding MOR deltas too
             self.read(ignore_scan_group_bound=True),
             base["current_schema_id"],
             max_records_per_file=target_file_rows,
             partition=new_part,
+            spec_id=new_id,
         )
         return self._commit(
             operation="rebucket",
             files=files,
             expected_version=base["version"],
             partition=new_part,
+            partition_specs={str(k): v for k, v in specs.items()},
+            default_spec_id=new_id,
+        )
+
+    def evolve_buckets(self, num_buckets: int) -> int:
+        """Change the bucket count for FUTURE writes — **metadata-only**
+        (Iceberg partition-spec evolution). The 100-TB alternative to
+        :meth:`rebucket`: no byte of existing data moves; a new spec with
+        the new count is appended and becomes the default, old files keep
+        the spec id that placed them, and planning prunes every file under
+        its own spec (``read(buckets_by_spec=...)``, ``lookup``,
+        ``merge_apply``). Migration is lazy: COW merges fold the touched
+        old-spec files into new-spec files as a side effect, and a full
+        :meth:`compact` finishes the job — until then the table simply has
+        two live specs and per-batch merges pay one extra per-spec
+        touched-bucket aggregate.
+        """
+        part = self.partition
+        if not part:
+            raise ValueError("table is unpartitioned")
+        if num_buckets <= 0:
+            raise ValueError("num_buckets must be positive")
+        base = self.snapshot()
+        if num_buckets == part["num_buckets"]:
+            return base["version"]
+        specs = self._specs_of(base)
+        new_id = max(specs) + 1
+        new_part = {"column": part["column"], "num_buckets": num_buckets}
+        specs[new_id] = new_part
+        return self._commit(
+            operation="evolve-buckets",
+            files=base["files"],
+            expected_version=base["version"],
+            partition=new_part,
+            partition_specs={str(k): v for k, v in specs.items()},
+            default_spec_id=new_id,
         )
 
     def tag(self, name: str, version: int | None = None) -> int:
@@ -1468,21 +1670,12 @@ class LakeTable:
         if pred is None:
             raise ValueError("lookup needs at least one key column")
         part = self.partition
-        buckets = None
+        by_spec = None
         if part and part["column"] in key_values:
-            # bucket of a literal: one row, no shuffle — negligible probe
-            b = (
-                self.spark.range(1)
-                .select(
-                    F.pmod(
-                        F.xxhash64(F.lit(key_values[part["column"]])),
-                        F.lit(part["num_buckets"]),
-                    ).cast("int").alias("b")
-                )
-                .first()
-                .b
-            )
-            buckets = [b]
+            # bucket of a literal under EVERY live spec (one 1-row job, no
+            # shuffle) — old-spec files prune as tightly as new-spec ones
+            # while a bucket migration is in flight
+            by_spec = self.buckets_for_key(key_values[part["column"]])
         # equality doubles as a degenerate range: manifest min/max stats
         # (merge keys are always tracked) prune files inside the bucket
         # before Spark lists them
@@ -1504,7 +1697,9 @@ class LakeTable:
         ):
             bloom_key = _bloom.canonical_key([key_values[k] for k in mk])
         return self.read(
-            buckets=buckets, col_range=col_range or None, bloom_key=bloom_key
+            buckets_by_spec=by_spec,
+            col_range=col_range or None,
+            bloom_key=bloom_key,
         ).where(pred)
 
     def rollback(self, to_version: int) -> int:

@@ -103,25 +103,35 @@ def _payload_types(df: DataFrame, cols: list[str]) -> list[tuple[str, str]]:
     return [(c, by_name[c]) for c in cols]
 
 
-def _touched_buckets(snap_from: dict, snap_to: dict) -> list[int] | None:
-    """Buckets whose file sets differ between two snapshots (metadata-only).
+def _touched_buckets(
+    snap_from: dict, snap_to: dict
+) -> dict[int, list[int]] | None:
+    """Buckets whose file sets differ between two snapshots, keyed by the
+    partition spec that placed them (metadata-only). A bucket id is only
+    meaningful relative to its spec, so after ``evolve_buckets`` the diff
+    must not conflate spec-0 bucket 3 with spec-1 bucket 3.
 
     Returns None when the diff cannot be bucket-bounded (a changed file
     without a bucket id — unpartitioned table or foreign file)."""
     def by_bucket(snap):
         out: dict[object, set[str]] = {}
         for f in snap["files"]:
-            out.setdefault(f.get("bucket"), set()).add(f["path"])
+            key = (
+                None
+                if f.get("bucket") is None
+                else (int(f.get("spec_id", 0)), f["bucket"])
+            )
+            out.setdefault(key, set()).add(f["path"])
         return out
 
     fb, tb = by_bucket(snap_from), by_bucket(snap_to)
-    touched: set[int] = set()
-    for bucket in set(fb) | set(tb):
-        if fb.get(bucket, set()) != tb.get(bucket, set()):
-            if bucket is None:
+    touched: dict[int, set[int]] = {}
+    for key in set(fb) | set(tb):
+        if fb.get(key, set()) != tb.get(key, set()):
+            if key is None:
                 return None
-            touched.add(bucket)
-    return sorted(touched)
+            touched.setdefault(key[0], set()).add(key[1])
+    return {s: sorted(bs) for s, bs in touched.items()}
 
 
 def table_changes(
@@ -150,9 +160,9 @@ def table_changes(
         empty = table.read(version=snap_to["version"]).limit(0)
         return empty.withColumn(change_col, F.lit(None).cast("string"))
 
-    buckets = _touched_buckets(snap_from, snap_to)
-    before = table.read(version=snap_from["version"], buckets=buckets)
-    after = table.read(version=snap_to["version"], buckets=buckets)
+    by_spec = _touched_buckets(snap_from, snap_to)
+    before = table.read(version=snap_from["version"], buckets_by_spec=by_spec)
+    after = table.read(version=snap_to["version"], buckets_by_spec=by_spec)
     # compare over the UNION of both schemas' non-key columns: a column
     # added by schema evolution between the versions reads as NULL on the
     # before side, so its arrival surfaces as updates, like Delta CDF

@@ -95,22 +95,39 @@ def merge_apply(
     target_cols = [f.name for f in target_schema.fields]
 
     part = table.partition
-    if batch_rows is None or (part and touched_buckets is None):
+    # during a bucket-spec migration (evolve_buckets) the table has >1 live
+    # spec: the touched set must then be computed under EVERY live spec so
+    # old-spec files prune exactly (the caller's observed set covers the
+    # default spec only). One fused aggregate computes all specs together —
+    # the migration's only per-batch surcharge, gone after a full compact.
+    live_specs = sorted(table.live_spec_ids()) if part else []
+    multi_spec = len(live_specs) > 1
+    touched_by_spec: dict[int, list[int]] | None = None
+    if batch_rows is None or (
+        part and (touched_buckets is None or multi_spec)
+    ):
         # one fused aggregate job supplies whatever the caller didn't:
-        # row count + touched-bucket set together (the engine path passes
-        # both, observed on the dedup job, and never reaches here)
+        # row count + per-spec touched-bucket sets together (the engine
+        # path passes both and, single-spec, never reaches here)
         aggs = [F.count(F.lit(1)).alias("n")]
         if part:
-            aggs.append(
+            aggs.extend(
                 F.collect_set(
-                    table.bucket_of(F.col(part["column"]))
-                ).alias("buckets")
+                    table.bucket_of(F.col(part["column"]), spec_id=s)
+                ).alias(f"buckets_{s}")
+                for s in live_specs
             )
         row = batch.agg(*aggs).first()
         if batch_rows is None:
             batch_rows = row["n"]
-        if part and touched_buckets is None:
-            touched_buckets = sorted(row["buckets"])
+        if part:
+            touched_by_spec = {
+                s: sorted(row[f"buckets_{s}"]) for s in live_specs
+            }
+            if touched_buckets is None:
+                touched_buckets = touched_by_spec[table.default_spec_id]
+    elif part and touched_buckets is not None:
+        touched_by_spec = {table.default_spec_id: sorted(touched_buckets)}
     if batch_rows == 0:
         return MergeResult(table.version, [], 0)
 
@@ -156,7 +173,7 @@ def merge_apply(
         # metric riding the dedup job — zero extra jobs) or from the fused
         # aggregate above; either way no standalone distinct().collect()
         touched = sorted(touched_buckets or [])
-        target_sub = table.read(buckets=touched)
+        target_sub = table.read(buckets_by_spec=touched_by_spec)
     else:
         touched = []
         target_sub = table.read()
@@ -207,7 +224,10 @@ def merge_apply(
 
     if part:
         version = table.overwrite_buckets(
-            post, touched, batch_id=batch_id, properties=properties
+            post,
+            buckets_by_spec=touched_by_spec,
+            batch_id=batch_id,
+            properties=properties,
         )
     else:
         version = table.replace(post, batch_id=batch_id, properties=properties)

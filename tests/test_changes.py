@@ -77,13 +77,20 @@ def test_touched_buckets_metadata_compare():
     f = lambda path, bucket: {"path": path, "bucket": bucket}
     s1 = _snap(1, [f("a", 0), f("b", 1), f("c", 2)])
     s2 = _snap(2, [f("a", 0), f("b2", 1), f("c", 2), f("d", 3)])
-    # bucket 0 and 2 identical file sets -> pruned away
-    assert _touched_buckets(s1, s2) == [1, 3]
+    # bucket 0 and 2 identical file sets -> pruned away (spec-keyed map
+    # since bucket-spec evolution; files without spec_id are spec 0)
+    assert _touched_buckets(s1, s2) == {0: [1, 3]}
     # identical snapshots -> nothing touched
-    assert _touched_buckets(s1, s1) == []
+    assert _touched_buckets(s1, s1) == {}
     # a changed file without a bucket id disables pruning
     s3 = _snap(3, [f("a", 0), f("x", None)])
     assert _touched_buckets(s1, s3) is None
+    # same bucket id under different specs never conflates
+    g = lambda path, bucket, spec: {"path": path, "bucket": bucket,
+                                    "spec_id": spec}
+    s4 = _snap(4, [f("a", 0), g("z", 0, 1)])
+    s5 = _snap(5, [f("a", 0), g("z2", 0, 1)])
+    assert _touched_buckets(s4, s5) == {1: [0]}
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,225 @@
+"""Bucket-spec evolution (lake/table.py::evolve_buckets) — Iceberg-style
+partition evolution: a metadata-only bucket-count change for future writes,
+per-spec planning for old files, lazy migration through COW merges, and a
+full compact() as the migration finisher.
+
+The scale claim under test: re-bucketing a 100 TB table must not rewrite
+100 TB. evolve_buckets moves zero bytes; correctness then rests on every
+pruning path treating a bucket id as (spec, bucket)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.config import IngestConfig
+from embulk_output_bigquery_java_spark.engine import CdcEngine
+from embulk_output_bigquery_java_spark.lake.table import LakeTable
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+
+def _engine(spark, root, strategy="cow", num_buckets=4):
+    cfg = IngestConfig(
+        table="repos", mode="merge", merge_keys=["repo", "path"],
+        num_buckets=num_buckets, merge_strategy=strategy,
+    )
+    eng = CdcEngine(spark, cfg, root)
+    eng.ensure_table(REPOS_SCHEMA)
+    return eng
+
+
+def _state(t: LakeTable):
+    return {
+        (r.repo, r.path): (r.commit, r.lang, r.content)
+        for r in t.read().collect()
+    }
+
+
+def test_evolve_is_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root)
+    ch = gen_changes(spark, 1500, n_repos=12, paths_per_repo=6)
+    eng.apply_batch(ch.where(F.col("seq") < 1500), "b1", seq_range=(0, 1500))
+
+    t = LakeTable(spark, root)
+    files_before = {f["path"]: f.get("spec_id", 0) for f in t.snapshot()["files"]}
+    mtimes = {
+        p: os.path.getmtime(os.path.join(root, p)) for p in files_before
+    }
+    v = t.evolve_buckets(16)
+    assert t.partition == {"column": "repo", "num_buckets": 16}
+    assert t.default_spec_id == 1
+    assert t.partition_specs == {
+        0: {"column": "repo", "num_buckets": 4},
+        1: {"column": "repo", "num_buckets": 16},
+    }
+    # zero bytes moved: identical file set, identical mtimes, old spec ids
+    after = {f["path"]: f.get("spec_id", 0) for f in t.snapshot(v)["files"]}
+    assert after == files_before
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(root, p)) == m
+    assert t.live_spec_ids() == {0, 1}
+
+
+def test_evolve_same_count_is_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _engine(spark, root)
+    t = LakeTable(spark, root)
+    v0 = t.version
+    assert t.evolve_buckets(4) == v0
+    assert t.version == v0
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_replay_across_evolution_matches_plain_replay(spark, tmp_path, strategy):
+    """Evolve mid-replay; the final state must equal an un-evolved replay —
+    merges prune/write correctly with two live specs."""
+    n = 3000
+    ch = gen_changes(spark, n, n_repos=15, paths_per_repo=8)
+
+    plain_root = str(tmp_path / "plain")
+    eng_p = _engine(spark, plain_root, strategy)
+    eng_p.replay(ch, n_events=n, batch_size=1000)
+
+    ev_root = str(tmp_path / "ev")
+    eng_e = _engine(spark, ev_root, strategy)
+    eng_e.replay(ch, n_events=1000, batch_size=1000)
+    LakeTable(spark, ev_root).evolve_buckets(16)
+    eng_e.replay(ch, n_events=n, batch_size=1000)
+
+    a, b = _state(LakeTable(spark, plain_root)), _state(LakeTable(spark, ev_root))
+    assert a == b and len(a) > 0
+
+
+def test_cow_merge_lazily_migrates_touched_old_spec_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, "cow")
+    ch = gen_changes(spark, 2000, n_repos=10, paths_per_repo=6)
+    eng.apply_batch(ch.where(F.col("seq") < 1000), "b1", seq_range=(0, 1000))
+    t = LakeTable(spark, root)
+    t.evolve_buckets(16)
+    expected_before = _state(t)
+    eng.apply_batch(
+        ch.where((F.col("seq") >= 1000) & (F.col("seq") < 2000)),
+        "b2", seq_range=(1000, 2000),
+    )
+    files = t.snapshot()["files"]
+    specs = {int(f.get("spec_id", 0)) for f in files}
+    # new-spec files exist; any old-spec file the batch touched is gone
+    assert 1 in specs
+    # state is the full merge of both batches (no rows lost to mispruning)
+    state = _state(t)
+    assert len(state) >= len(expected_before)
+    # every new file's bucket is valid under spec 1
+    for f in files:
+        if int(f.get("spec_id", 0)) == 1:
+            assert 0 <= f["bucket"] < 16
+
+
+def test_full_compact_finishes_migration(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, "mor")
+    ch = gen_changes(spark, 1500, n_repos=10, paths_per_repo=6)
+    eng.apply_batch(ch.where(F.col("seq") < 1500), "b1", seq_range=(0, 1500))
+    t = LakeTable(spark, root)
+    t.evolve_buckets(8)
+    before = _state(t)
+    t.compact()
+    assert t.live_spec_ids() == {1}
+    assert all(int(f.get("spec_id", 0)) == 1 for f in t.snapshot()["files"])
+    assert _state(t) == before
+
+
+def test_lookup_prunes_per_spec_and_answers_right(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, "cow")
+    ch = gen_changes(spark, 2000, n_repos=10, paths_per_repo=6)
+    eng.apply_batch(ch.where(F.col("seq") < 1000), "b1", seq_range=(0, 1000))
+    t = LakeTable(spark, root)
+    t.evolve_buckets(16)
+    eng.apply_batch(
+        ch.where((F.col("seq") >= 1000) & (F.col("seq") < 2000)),
+        "b2", seq_range=(1000, 2000),
+    )
+    full = _state(t)
+    repo, path = next(iter(full))
+    rows = t.lookup(repo=repo, path=path).collect()
+    assert len(rows) == 1
+    assert (rows[0].commit, rows[0].lang, rows[0].content) == full[(repo, path)]
+    # pruning is real: the lookup's pruned scan reads at most one bucket's
+    # files per live spec
+    by_spec = t.buckets_for_key(repo)
+    assert set(by_spec) <= t.live_spec_ids()
+    pruned = t.read(buckets_by_spec=by_spec)
+    all_files = t.snapshot()["files"]
+    admitted = [
+        f for f in all_files
+        if f["bucket"] in set(by_spec.get(int(f.get("spec_id", 0)), []))
+    ]
+    assert len(admitted) < len(all_files)
+    assert pruned.where(
+        (F.col("repo") == repo) & (F.col("path") == path)
+    ).count() == 1
+
+
+def test_ambiguous_bucket_ops_raise_during_migration(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, "mor")
+    ch = gen_changes(spark, 800, n_repos=8, paths_per_repo=5)
+    eng.apply_batch(ch.where(F.col("seq") < 800), "b1", seq_range=(0, 800))
+    t = LakeTable(spark, root)
+    t.evolve_buckets(8)
+    with pytest.raises(ValueError, match="buckets_by_spec|migration"):
+        t.read(buckets=[0, 1])
+    with pytest.raises(ValueError, match="migration"):
+        t.compact(buckets=[0])
+    with pytest.raises(ValueError, match="migration"):
+        t.delete_buckets([0])
+
+
+def test_table_changes_feed_survives_evolution(spark, tmp_path):
+    from embulk_output_bigquery_java_spark.operators.changes import (
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, "cow")
+    ch = gen_changes(spark, 2000, n_repos=10, paths_per_repo=6)
+    eng.apply_batch(ch.where(F.col("seq") < 1000), "b1", seq_range=(0, 1000))
+    t = LakeTable(spark, root)
+    v_mid = t.version
+    t.evolve_buckets(16)
+    eng.apply_batch(
+        ch.where((F.col("seq") >= 1000) & (F.col("seq") < 2000)),
+        "b2", seq_range=(1000, 2000),
+    )
+    feed = table_changes(t, v_mid)
+    # re-applying the feed onto the v_mid state reproduces the head state
+    before = {
+        (r.repo, r.path): (r.commit, r.lang, r.content)
+        for r in t.read(version=v_mid).collect()
+    }
+    after = dict(before)
+    for r in feed.collect():
+        k = (r.repo, r.path)
+        if r._change_type == "delete":
+            after.pop(k, None)
+        elif r._change_type in ("insert", "update_postimage"):
+            after[k] = (r.commit, r.lang, r.content)
+    assert after == _state(t)
+
+
+def test_rebucket_full_rewrite_registers_new_spec(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, "cow")
+    ch = gen_changes(spark, 1000, n_repos=8, paths_per_repo=5)
+    eng.apply_batch(ch.where(F.col("seq") < 1000), "b1", seq_range=(0, 1000))
+    t = LakeTable(spark, root)
+    before = _state(t)
+    t.rebucket(8)
+    assert t.partition["num_buckets"] == 8
+    assert t.live_spec_ids() == {t.default_spec_id}
+    assert _state(t) == before
+    # old snapshot still reads under its own spec (time travel)
+    assert t.read(version=1).count() == len(before)
