@@ -61,11 +61,14 @@ def cmd_replay(args: argparse.Namespace) -> int:
         ledger_path=args.ledger, checkpoint_path=args.checkpoint,
     )
     eng.ensure_table(REPOS_SCHEMA)
-    if args.changes_path and args.changes_format == "debezium":
+    if args.changes_path and args.changes_format.startswith("debezium"):
         from .sources.debezium import read_debezium_changes
         from .sources.readers import BadRecordsExceeded, LoadResult
 
-        parsed = read_debezium_changes(spark, args.changes_path)
+        parsed = read_debezium_changes(
+            spark, args.changes_path,
+            schemad=args.changes_format == "debezium-schemad",
+        )
         try:
             changes, n_bad = LoadResult(
                 parsed.events, parsed.quarantine
@@ -470,9 +473,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--batch-size", type=int, default=25_000)
     r.add_argument("--changes-path", default=None)
     r.add_argument("--changes-format", default="parquet",
-                   choices=["parquet", "debezium"],
+                   choices=["parquet", "debezium", "debezium-schemad"],
                    help="debezium = JSONL dir of Debezium envelopes "
-                        "(sources/debezium.py wire adapter)")
+                        "(sources/debezium.py wire adapter); -schemad = "
+                        "schemas.enable=true form with wire-drift "
+                        "autodetect driving schema evolution")
     r.add_argument("--max-bad-records", type=int, default=0)
     r.add_argument("--repos", type=int, default=100)
     r.add_argument("--paths-per-repo", type=int, default=50)

@@ -43,6 +43,7 @@ compacted topic.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import CHANGES_SCHEMA, REPOS_SCHEMA
+
+log = logging.getLogger(__name__)
 
 _CORRUPT = "_corrupt_record"
 
@@ -184,14 +187,19 @@ def parse_debezium(
     return ParsedEnvelopes(events=events, quarantine=quarantine, tombstones=tombstones)
 
 
-def changes_from_debezium(events: DataFrame) -> DataFrame:
+def changes_from_debezium(
+    events: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Flatten generic parsed envelopes (REPOS row schema) to CHANGES_SCHEMA.
 
     Keys come from whichever image the op guarantees (after for I/U,
     before for D); after-image fields stay null on deletes exactly as the
     generator emits them (`sources/generator.py`); ``commit`` prefers the
     after image and falls back to the source's transaction id (gtid) so
-    deletes keep their commit sha.
+    deletes keep their commit sha. ``extra_cols`` (wire-drift columns from
+    :func:`parse_debezium_schemad`) append after the canonical columns as
+    after-image values — the engine's schema evolution turns them into
+    table columns before the merge.
     """
     a, b = F.col("after"), F.col("before")
     return events.select(
@@ -206,6 +214,7 @@ def changes_from_debezium(events: DataFrame) -> DataFrame:
         a["content"].alias("content"),
         b["content"].alias("before_content"),
         F.col("ts"),
+        *[a[c].alias(c) for c in (extra_cols or [])],
     )
 
 
@@ -264,6 +273,147 @@ def encode_debezium(changes: DataFrame) -> DataFrame:
         tx.alias("transaction"),
     )
     return changes.select(F.to_json(envelope).alias("value"))
+
+
+#: Kafka Connect primitive type names → Spark types (the JSON converter's
+#: ``schemas.enable=true`` vocabulary). Logical/named types (Decimal, Date,
+#: Timestamp) are out of scope for drift — a source adding one of those
+#: should be an explicit migration, not silent autodetect.
+CONNECT_TYPES = {
+    "int8": T.IntegerType(),
+    "int16": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _row_schema_from_connect(schema_json: dict) -> T.StructType:
+    """The ``after`` image's row schema out of a Kafka Connect envelope
+    schema block (``{"type":"struct","fields":[{"field":"after", ...}]}``)."""
+    after = next(
+        (f for f in schema_json.get("fields", []) if f.get("field") == "after"),
+        None,
+    )
+    if after is None:
+        raise ValueError("envelope schema block has no 'after' field")
+    fields = []
+    for f in after.get("fields", []):
+        tname = f.get("type")
+        if tname not in CONNECT_TYPES:
+            raise ValueError(
+                f"unsupported Kafka Connect type {tname!r} for field "
+                f"{f.get('field')!r} (drift evolution covers primitives; "
+                "logical types need an explicit migration)"
+            )
+        fields.append(T.StructField(f["field"], CONNECT_TYPES[tname], True))
+    return T.StructType(fields)
+
+
+def merged_wire_schema(
+    df, base_row_schema: T.StructType, value_col: str = "value"
+) -> tuple[T.StructType, list[str]]:
+    """Detect wire-level schema drift from SCHEMA'D envelopes
+    (``{"schema": ..., "payload": ...}``, the JSON converter's
+    ``schemas.enable=true`` form) — the engine's autodetect channel.
+
+    One distinct-aggregate over the batch's schema strings (a batch
+    carries a handful of schema versions, so the shuffle is tiny and
+    partial-aggregated); each distinct block parses driver-side, new
+    primitive fields append to ``base_row_schema`` in wire order. Returns
+    (merged row schema, drift action strings). A plain fixed-schema
+    ``from_json`` would silently DROP unknown wire fields — this is the
+    loud path that instead widens the parse so the engine's per-batch
+    ``ensure_schema`` (operators/evolve.py) emits the matching DDL.
+    """
+    import json as _json
+
+    blocks = [
+        r.s
+        for r in df.select(
+            F.get_json_object(F.col(value_col), "$.schema").alias("s")
+        )
+        .where(F.col("s").isNotNull())
+        .distinct()
+        .collect()
+    ]
+    known = {f.name for f in base_row_schema.fields}
+    fields = list(base_row_schema.fields)
+    actions: list[str] = []
+    for raw in sorted(blocks):  # deterministic merge order
+        for f in _row_schema_from_connect(_json.loads(raw)).fields:
+            if f.name not in known:
+                known.add(f.name)
+                fields.append(f)
+                actions.append(
+                    f"ADD COLUMN {f.name} {f.dataType.simpleString()} "
+                    "(wire drift)"
+                )
+    return T.StructType(fields), actions
+
+
+def parse_debezium_schemad(
+    df: DataFrame,
+    base_row_schema: T.StructType,
+    value_col: str = "value",
+) -> tuple[ParsedEnvelopes, T.StructType, list[str]]:
+    """Parse SCHEMA'D envelopes, auto-widening for wire drift.
+
+    Returns (parsed, merged_row_schema, drift_actions): the payload is
+    parsed under the union of the declared schema and every schema block
+    seen in the batch, so a column the source added mid-stream arrives as
+    a real typed column instead of being silently dropped — feed the
+    events to the engine and its schema evolution emits the ADD COLUMN
+    before the merge (north-star autodetect parity).
+    """
+    merged, actions = merged_wire_schema(df, base_row_schema, value_col)
+    payload = df.select(
+        F.get_json_object(F.col(value_col), "$.payload").alias("value")
+    )
+    return parse_debezium(payload, merged, "value"), merged, actions
+
+
+def _connect_type_of(dt: T.DataType) -> str:
+    inv = {
+        T.IntegerType(): "int32", T.LongType(): "int64",
+        T.FloatType(): "float32", T.DoubleType(): "float64",
+        T.BooleanType(): "boolean", T.StringType(): "string",
+        T.BinaryType(): "bytes",
+    }
+    if dt not in inv:
+        raise ValueError(f"no Kafka Connect primitive for {dt.simpleString()}")
+    return inv[dt]
+
+
+def connect_schema_block(row_schema: T.StructType) -> str:
+    """The Kafka Connect envelope schema JSON for a row schema — what a
+    JSON converter with ``schemas.enable=true`` stamps on every record."""
+    import json as _json
+
+    image = [
+        {"field": f.name, "type": _connect_type_of(f.dataType),
+         "optional": True}
+        for f in row_schema.fields
+    ]
+    return _json.dumps(
+        {
+            "type": "struct",
+            "optional": False,
+            "name": "cdc.Envelope",
+            "fields": [
+                {"field": "before", "type": "struct", "optional": True,
+                 "fields": image},
+                {"field": "after", "type": "struct", "optional": True,
+                 "fields": image},
+                {"field": "op", "type": "string", "optional": False},
+            ],
+        },
+        sort_keys=True,
+    )
 
 
 def feed_to_debezium(
@@ -326,19 +476,42 @@ def feed_to_debezium(
 
 
 def read_debezium_changes(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, *, schemad: bool = False
 ) -> ParsedEnvelopes:
     """JSONL file(s)/dir of REPOS-row Debezium envelopes → CHANGES events.
 
     The engine-facing entry: ``replay(parsed.events, ...)`` after the
     caller applies the W4 bad-record budget to ``parsed.quarantine``
     (`sources/readers.py::LoadResult` semantics).
+
+    ``schemad=True`` reads the JSON converter's ``schemas.enable=true``
+    form and auto-widens for wire drift: columns the source added
+    mid-stream ride through as typed after-image columns, and the
+    engine's per-batch schema evolution (engine.py ``ensure_schema``)
+    emits the matching ADD COLUMN before the merge — the north-star
+    autodetect path, end to end.
     """
-    parsed = parse_debezium(spark.read.text(path), REPOS_SCHEMA, "value")
-    events = changes_from_debezium(parsed.events)
+    raw = spark.read.text(path)
+    if schemad:
+        parsed, merged, actions = parse_debezium_schemad(
+            raw, REPOS_SCHEMA, "value"
+        )
+        for a in actions:
+            log.info("debezium wire drift: %s", a)
+        extra = [
+            f.name for f in merged.fields
+            if f.name not in {x.name for x in REPOS_SCHEMA.fields}
+        ]
+        events = changes_from_debezium(parsed.events, extra_cols=extra)
+        extra_fields = [f for f in merged.fields if f.name in set(extra)]
+    else:
+        parsed = parse_debezium(raw, REPOS_SCHEMA, "value")
+        events = changes_from_debezium(parsed.events)
+        extra_fields = []
     # enforce the canonical column order + types once, here
     events = events.select(
-        *[F.col(f.name).cast(f.dataType) for f in CHANGES_SCHEMA.fields]
+        *[F.col(f.name).cast(f.dataType) for f in CHANGES_SCHEMA.fields],
+        *[F.col(f.name).cast(f.dataType) for f in extra_fields],
     )
     return ParsedEnvelopes(
         events=events, quarantine=parsed.quarantine, tombstones=parsed.tombstones

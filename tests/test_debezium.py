@@ -161,3 +161,161 @@ def test_feed_to_debezium_packs_updates_and_roundtrips_ops(spark):
     # and the standard parser accepts its own export
     p = parse_debezium(lines, REPOS_SCHEMA, "value")
     assert p.quarantine.count() == 0 and p.events.count() == 3
+
+
+# --------------------------------------------------------------------------
+# schema'd envelopes (schemas.enable=true) — wire-level drift autodetect
+# --------------------------------------------------------------------------
+def _schemad_lines(spark, n, extra=False):
+    """Generator stream as schema'd wire lines; with extra=True the last
+    half of the stream carries a new int64 column `stars` in both the
+    schema block and the after image."""
+    from pyspark.sql import types as T
+
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        connect_schema_block,
+    )
+
+    ch = gen_changes(spark, n, n_repos=10, paths_per_repo=5)
+    base_block = connect_schema_block(REPOS_SCHEMA)
+    if not extra:
+        enc = encode_debezium(ch)
+        return enc.select(
+            F.concat(
+                F.lit('{"schema":'), F.lit(base_block),
+                F.lit(',"payload":'), F.col("value"), F.lit("}"),
+            ).alias("value")
+        )
+    wide_schema = T.StructType(
+        list(REPOS_SCHEMA.fields)
+        + [T.StructField("stars", T.LongType(), True)]
+    )
+    wide_block = connect_schema_block(wide_schema)
+    old = encode_debezium(ch.where(F.col("seq") < n // 2)).select(
+        F.concat(
+            F.lit('{"schema":'), F.lit(base_block),
+            F.lit(',"payload":'), F.col("value"), F.lit("}"),
+        ).alias("value")
+    )
+    new_ch = ch.where(F.col("seq") >= n // 2).withColumn(
+        "stars", F.col("seq") % 100
+    )
+    # splice stars into the after image json (deterministic: rebuild via
+    # encode on the base cols, then inject the field before the close of
+    # "after" — simpler: build envelope with stars via a custom struct)
+    enc_new = encode_debezium(new_ch.drop("stars")).select(
+        F.col("value"),
+        (F.get_json_object(F.col("value"), "$.source.lsn") % 100)
+        .cast("long").alias("stars"),
+        F.get_json_object(F.col("value"), "$.op").alias("op"),
+    )
+    new = enc_new.select(
+        F.when(
+            F.col("op") != "d",
+            F.regexp_replace(
+                F.col("value"),
+                F.lit('"after":\\{'),
+                F.concat(F.lit('"after":{"stars":'),
+                         F.col("stars").cast("string"), F.lit(",")),
+            ),
+        ).otherwise(F.col("value")).alias("value")
+    ).select(
+        F.concat(
+            F.lit('{"schema":'), F.lit(wide_block),
+            F.lit(',"payload":'), F.col("value"), F.lit("}"),
+        ).alias("value")
+    )
+    return old.unionAll(new)
+
+
+def test_schemad_parse_without_drift_equals_plain(spark):
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        parse_debezium_schemad,
+    )
+
+    lines = _schemad_lines(spark, 600)
+    parsed, merged, actions = parse_debezium_schemad(
+        lines, REPOS_SCHEMA, "value"
+    )
+    assert actions == []
+    assert [f.name for f in merged.fields] == [
+        f.name for f in REPOS_SCHEMA.fields
+    ]
+    ch = gen_changes(spark, 600, n_repos=10, paths_per_repo=5)
+    out = _canon(changes_from_debezium(parsed.events))
+    assert out.exceptAll(ch).count() == 0 and ch.exceptAll(out).count() == 0
+
+
+def test_schemad_drift_detected_with_wire_types(spark):
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        parse_debezium_schemad,
+    )
+
+    lines = _schemad_lines(spark, 600, extra=True)
+    parsed, merged, actions = parse_debezium_schemad(
+        lines, REPOS_SCHEMA, "value"
+    )
+    assert actions == ["ADD COLUMN stars bigint (wire drift)"]
+    assert merged["stars"].dataType.simpleString() == "bigint"
+    ev = parsed.events
+    n_stars = ev.where(F.col("after")["stars"].isNotNull()).count()
+    assert n_stars > 0
+    # old-block rows parse with stars NULL, not dropped
+    assert ev.count() == 600
+
+
+def test_schemad_unknown_connect_type_raises(spark):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        parse_debezium_schemad,
+    )
+
+    block = _json.dumps({
+        "type": "struct",
+        "fields": [{"field": "after", "type": "struct", "fields": [
+            {"field": "price", "type": "org.apache.kafka.connect.data.Decimal"}
+        ]}],
+    })
+    df = spark.createDataFrame(
+        [Row(value='{"schema":' + block + ',"payload":{"op":"c"}}')]
+    )
+    with pytest.raises(ValueError, match="unsupported Kafka Connect type"):
+        parse_debezium_schemad(df, REPOS_SCHEMA, "value")
+
+
+def test_engine_replay_evolves_schema_from_wire_drift(spark, tmp_path):
+    """End to end: a column appearing mid-stream in the wire schema lands
+    as a real table column via the engine's per-batch evolution — rows
+    before the drift read NULL, rows after carry the wire value."""
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.lake.table import LakeTable
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        read_debezium_changes,
+    )
+
+    n = 1200
+    wire_dir = str(tmp_path / "wire")
+    _schemad_lines(spark, n, extra=True).write.text(wire_dir)
+    parsed = read_debezium_changes(spark, wire_dir, schemad=True)
+    assert parsed.quarantine.count() == 0
+    assert "stars" in parsed.events.columns
+
+    root = str(tmp_path / "t")
+    cfg = IngestConfig(table="repos", mode="merge",
+                       merge_keys=["repo", "path"], num_buckets=4)
+    eng = CdcEngine(spark, cfg, root)
+    eng.ensure_table(REPOS_SCHEMA)
+    eng.replay(parsed.events, n_events=n, batch_size=400)
+
+    t = LakeTable(spark, root)
+    assert "stars" in [f.name for f in t.schema().fields]
+    rows = t.read().collect()
+    assert len(rows) > 0
+    with_stars = [r for r in rows if r.stars is not None]
+    assert with_stars, "post-drift upserts must carry the wire value"
+    for r in with_stars:
+        assert 0 <= r.stars < 100
