@@ -19,7 +19,7 @@ import json
 import sys
 
 from .config import ConfigError, IngestConfig
-from .engine import CdcEngine
+from .engine import AuditFailed, CdcEngine
 from .lake import LakeTable
 from .schemas import REPOS_SCHEMA
 from .session import get_spark
@@ -52,8 +52,9 @@ def cmd_replay(args: argparse.Namespace) -> int:
                 if args.clustering else []
             ),
             pipeline=not args.no_pipeline,
+            audit=json.loads(args.audit) if args.audit else {},
         )
-    except ConfigError as exc:
+    except (ConfigError, json.JSONDecodeError) as exc:
         print(f"config error: {exc}", file=sys.stderr)
         return 2
     eng = CdcEngine(
@@ -85,7 +86,15 @@ def cmd_replay(args: argparse.Namespace) -> int:
             spark, args.events,
             n_repos=args.repos, paths_per_repo=args.paths_per_repo,
         )
-    stats = eng.replay(changes, n_events=args.events, batch_size=args.batch_size)
+    try:
+        stats = eng.replay(
+            changes, n_events=args.events, batch_size=args.batch_size
+        )
+    except AuditFailed as exc:
+        # nothing published; the checkpoint/manifest stop BEFORE this batch,
+        # so a re-run after the upstream fix resumes exactly here
+        print(f"audit failed: {exc}", file=sys.stderr)
+        return 4
     table = LakeTable(spark, args.table_root)
     print(json.dumps({
         "events": stats.events,
@@ -479,6 +488,11 @@ def main(argv: list[str] | None = None) -> int:
                         "schemas.enable=true form with wire-drift "
                         "autodetect driving schema evolution")
     r.add_argument("--max-bad-records", type=int, default=0)
+    r.add_argument("--audit", default=None,
+                   help='write-audit-publish gate as JSON, e.g. '
+                        '\'{"max_delete_frac": 0.3, '
+                        '"expect": ["length(content) > 0"]}\' — a failing '
+                        "batch aborts unpublished (exit 4)")
     r.add_argument("--repos", type=int, default=100)
     r.add_argument("--paths-per-repo", type=int, default=50)
     r.add_argument("--num-buckets", type=int, default=16)

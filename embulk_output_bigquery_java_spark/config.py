@@ -187,6 +187,23 @@ class IngestConfig:
     #: source-version watermark, so cadence is a freshness knob only).
     sync_views: list[str] = field(default_factory=list)
     sync_views_every_batches: int = 1
+    #: write-audit-publish gate: per-batch invariant checks that run on the
+    #: PREPARED (deduped) batch BEFORE the snapshot CAS publishes it — a
+    #: failing batch aborts uncommitted (the exactly-once manifest never
+    #: records it, so the same offset range replays after the upstream is
+    #: fixed; any pre-written MOR delta files are removed on the spot).
+    #: Keys:
+    #:   max_delete_frac  — reject when the batch's deletes exceed this
+    #:                      fraction of the table's live rows (mass-delete
+    #:                      guard: the classic upstream-TRUNCATE accident)
+    #:   max_null_frac    — {column: frac}: reject when the after-image
+    #:                      null rate among non-delete rows exceeds frac
+    #:   expect           — list of SQL predicates every non-delete row
+    #:                      must satisfy (violations counted, any → reject)
+    #: All checks ride ONE aggregate over the already-deduped batch (the
+    #: MOR fast path piggybacks them on the delta-write job's observe —
+    #: zero extra jobs).
+    audit: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if isinstance(self.mode, str):
@@ -272,6 +289,26 @@ class IngestConfig:
                     f"partition decorator {deco!r} does not match "
                     f"{self.time_partitioning.type} format ({want} digits)"
                 )
+        if self.audit:
+            known = {"max_delete_frac", "max_null_frac", "expect"}
+            bad = sorted(set(self.audit) - known)
+            if bad:
+                raise ConfigError(
+                    f"unknown audit key(s) {bad}; known: {sorted(known)}"
+                )
+            mdf = self.audit.get("max_delete_frac")
+            if mdf is not None and not (0.0 <= float(mdf) <= 1.0):
+                raise ConfigError("audit.max_delete_frac must be in [0, 1]")
+            for c, frac in (self.audit.get("max_null_frac") or {}).items():
+                if not (isinstance(c, str) and c):
+                    raise ConfigError("audit.max_null_frac keys are columns")
+                if not (0.0 <= float(frac) <= 1.0):
+                    raise ConfigError(
+                        f"audit.max_null_frac[{c!r}] must be in [0, 1]"
+                    )
+            for p in self.audit.get("expect") or []:
+                if not (isinstance(p, str) and p.strip()):
+                    raise ConfigError("audit.expect entries are SQL predicates")
 
     # -- partition decorator (BigqueryUtil.java:14, 71-73) -------------------
     @property

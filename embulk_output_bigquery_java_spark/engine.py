@@ -22,6 +22,7 @@ retryable class (R2) — here CommitConflict; validation errors are fatal.
 from __future__ import annotations
 
 import logging
+import os
 import re
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -48,6 +49,14 @@ from .schemas import CDC_META_COLS  # noqa: F401 — canonical home: schemas.py
 
 class RowCountMismatch(RuntimeError):
     """abort_on_error reconciliation failure (BigqueryJavaOutputPlugin.java:107-115)."""
+
+
+class AuditFailed(RuntimeError):
+    """A write-audit-publish check rejected the batch BEFORE the commit
+    (cfg.audit). Fatal by design, never retried: the batch is wrong, not
+    the infrastructure — nothing was published, the exactly-once manifest
+    never recorded the batch id, and the same offset range replays cleanly
+    once the upstream is fixed."""
 
 
 def retry(fn, *, retries: int, initial_s: float, max_s: float,
@@ -88,6 +97,9 @@ class PreparedMerge:
     data_schema: object
     deduped: DataFrame | None = None
     delta_files: list[dict] | None = field(default=None)
+    #: audit metrics observed during prepare (mor fast path rides the
+    #: delta-write job); None = compute at commit time (cow path)
+    audit_metrics: dict | None = None
 
     def release(self) -> None:
         if self.deduped is not None:
@@ -294,6 +306,68 @@ class CdcEngine:
         finally:
             batch.unpersist()
 
+    def _audit_aggs(self) -> list:
+        """The cfg.audit checks as aggregate expressions over a deduped
+        batch — ONE fused pass, designed to ride an existing job's
+        observe() so auditing adds zero Spark jobs on the mor fast path."""
+        a = self.cfg.audit
+        aggs = [
+            F.count(F.when(F.col("op") == "D", 1)).alias("_audit_deletes"),
+            F.count(F.lit(1)).alias("_audit_rows"),
+        ]
+        for c in (a.get("max_null_frac") or {}):
+            aggs.append(
+                F.count(
+                    F.when((F.col("op") != "D") & F.col(c).isNull(), 1)
+                ).alias(f"_audit_null__{c}")
+            )
+        for i, pred in enumerate(a.get("expect") or []):
+            aggs.append(
+                F.count(
+                    F.when((F.col("op") != "D") & ~F.expr(pred), 1)
+                ).alias(f"_audit_expect__{i}")
+            )
+        return aggs
+
+    def _audit_check(
+        self, metrics: dict, table_rows: int, batch_id: str
+    ) -> None:
+        """Raise AuditFailed listing EVERY violated gate (not just the
+        first — an operator fixing upstream wants the full picture)."""
+        a = self.cfg.audit
+        rows = metrics["_audit_rows"]
+        upserts = max(rows - metrics["_audit_deletes"], 1)
+        violations: list[str] = []
+        mdf = a.get("max_delete_frac")
+        # the guard protects EXISTING data; against an empty table a delete
+        # is a no-op (bootstrap batches carry the generator's normal delete
+        # mix and must not trip it)
+        if mdf is not None and table_rows > 0:
+            frac = metrics["_audit_deletes"] / max(table_rows, 1)
+            if frac > float(mdf):
+                violations.append(
+                    f"deletes {metrics['_audit_deletes']} = {frac:.3f} of "
+                    f"{table_rows} live rows > max_delete_frac={mdf}"
+                )
+        for c, lim in (a.get("max_null_frac") or {}).items():
+            frac = metrics[f"_audit_null__{c}"] / upserts
+            if frac > float(lim):
+                violations.append(
+                    f"null rate {frac:.3f} on {c!r} over {upserts} upserts "
+                    f"> max_null_frac[{c!r}]={lim}"
+                )
+        for i, pred in enumerate(a.get("expect") or []):
+            n = metrics[f"_audit_expect__{i}"]
+            if n:
+                violations.append(
+                    f"{n} upsert row(s) violate expect[{i}] {pred!r}"
+                )
+        if violations:
+            raise AuditFailed(
+                f"batch {batch_id} rejected by audit gate (nothing "
+                f"published): " + "; ".join(violations)
+            )
+
     def _prepare_merge(self, batch: DataFrame, batch_id: str) -> PreparedMerge:
         """Stage 1 of a merge batch — no table mutation, safe to run for
         batch N+1 while batch N commits.
@@ -356,13 +430,21 @@ class CdcEngine:
 
         if cfg.merge_strategy == "mor" and not cfg.merge_rule and not needs_evolution:
             cnt = Observation()
-            counted = deduped.observe(cnt, F.count(F.lit(1)).alias("n"))
+            counted = deduped.observe(
+                cnt,
+                F.count(F.lit(1)).alias("n"),
+                # WAP audit metrics ride the delta-write job — zero extra
+                # jobs; the verdict is enforced at commit (_commit_merge)
+                *(self._audit_aggs() if cfg.audit else []),
+            )
             files = table.write_delta_files(counted)
+            got = dict(cnt.get)
             return PreparedMerge(
                 batch_id, t0, keys,
-                int(obs.get["input_rows"]), int(cnt.get["n"]),
+                int(obs.get["input_rows"]), int(got["n"]),
                 sorted(bucket_obs.get["buckets"]) if bucket_obs else None,
                 data_schema, delta_files=files,
+                audit_metrics=got if cfg.audit else None,
             )
 
         deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -398,6 +480,26 @@ class CdcEngine:
                 )
 
             rows_before = table.total_rows()
+            if cfg.audit:
+                # WAP gate: enforce BEFORE anything publishes. mor metrics
+                # were observed on the delta-write job; cow runs one small
+                # aggregate over the persisted deduped batch.
+                metrics = prepared.audit_metrics
+                if metrics is None:
+                    metrics = prepared.deduped.agg(
+                        *self._audit_aggs()
+                    ).first().asDict()
+                try:
+                    self._audit_check(metrics, rows_before, batch_id)
+                except AuditFailed:
+                    if prepared.delta_files is not None:
+                        # pre-written (uncommitted, invisible) delta files
+                        # die with the batch — don't wait for orphan GC
+                        for f in prepared.delta_files:
+                            p = os.path.join(self.table_root, f["path"])
+                            if os.path.exists(p):
+                                os.remove(p)
+                    raise
             if prepared.delta_files is not None:
                 # mor fast path: files already on disk — publish them
                 version = do(lambda: table.commit_delta_files(

@@ -1,0 +1,142 @@
+"""Write-audit-publish gate (engine.py::AuditFailed, cfg.audit).
+
+The contract: a failing batch publishes NOTHING — no snapshot commit, no
+exactly-once manifest entry, no leftover delta files — so the same offset
+range replays cleanly after the upstream is fixed. Checks ride one fused
+aggregate (observed on the delta-write job on the mor fast path)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.config import ConfigError, IngestConfig
+from embulk_output_bigquery_java_spark.engine import AuditFailed, CdcEngine
+from embulk_output_bigquery_java_spark.lake.table import LakeTable
+from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+from embulk_output_bigquery_java_spark.sources.generator import gen_changes
+
+
+def _engine(spark, root, audit=None, strategy="mor"):
+    cfg = IngestConfig(
+        table="repos", mode="merge", merge_keys=["repo", "path"],
+        num_buckets=4, merge_strategy=strategy, audit=audit or {},
+    )
+    eng = CdcEngine(spark, cfg, root)
+    eng.ensure_table(REPOS_SCHEMA)
+    return eng
+
+
+def _seed(spark, eng, n=800):
+    ch = gen_changes(spark, n, n_repos=8, paths_per_repo=5)
+    eng.apply_batch(ch.where(F.col("seq") < n), "seed", seq_range=(0, n))
+    return ch
+
+
+@pytest.mark.parametrize("strategy", ["mor", "cow"])
+def test_mass_delete_rejected_and_nothing_published(spark, tmp_path, strategy):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, {"max_delete_frac": 0.5}, strategy)
+    ch = _seed(spark, eng)
+    t = LakeTable(spark, root)
+    v_before = t.version
+    files_before = sorted(glob.glob(os.path.join(root, "data/**/*.parquet"),
+                                    recursive=True))
+    # an upstream-truncate accident: every live key deleted
+    nuke = t.read().select(
+        F.lit(10_000).alias("seq"),
+        F.lit(1_000).alias("commit_seq"),
+        F.lit(0).alias("event_offset"),
+        F.lit("D").alias("op"),
+        "repo", "path",
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("string").alias("before_content"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    with pytest.raises(AuditFailed, match="max_delete_frac"):
+        eng.apply_batch(nuke, "nuke", seq_range=(10_000, 10_001))
+    assert t.version == v_before                      # no commit
+    assert not t.has_batch("nuke")                    # manifest unrecorded
+    files_after = sorted(glob.glob(os.path.join(root, "data/**/*.parquet"),
+                                   recursive=True))
+    assert files_after == files_before                # no stray delta files
+
+
+def test_rejected_batch_replays_after_fix(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, {"max_delete_frac": 0.01})
+    ch = _seed(spark, eng)
+    batch2 = gen_changes(spark, 1600, n_repos=8, paths_per_repo=5).where(
+        (F.col("seq") >= 800) & (F.col("seq") < 1600)
+    )
+    # ~5% deletes in the generator mix > 1% gate
+    with pytest.raises(AuditFailed):
+        eng.apply_batch(batch2, "b2", seq_range=(800, 1600))
+    # operator loosens the gate; the SAME batch id applies cleanly
+    eng2 = _engine(spark, root, {"max_delete_frac": 0.5})
+    row = eng2.apply_batch(batch2, "b2", seq_range=(800, 1600))
+    assert row is not None and row.input_rows == 800
+    assert LakeTable(spark, root).has_batch("b2")
+
+
+def test_null_rate_gate(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, {"max_null_frac": {"content": 0.2}})
+    ch = gen_changes(spark, 400, n_repos=8, paths_per_repo=5)
+    # strip content from every upsert: 100% null rate
+    broken = ch.withColumn(
+        "content", F.when(F.col("op") == "D", F.col("content"))
+    )
+    with pytest.raises(AuditFailed, match="null rate"):
+        eng.apply_batch(broken, "b1", seq_range=(0, 400))
+    # the intact batch passes the same gate
+    row = eng.apply_batch(ch, "b1", seq_range=(0, 400))
+    assert row is not None
+
+
+def test_expect_predicates_report_each_violation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    eng = _engine(
+        spark, root,
+        {"expect": ["length(content) > 10", "lang is not null"]},
+    )
+    ch = gen_changes(spark, 400, n_repos=8, paths_per_repo=5)
+    broken = ch.withColumn(
+        "content",
+        F.when(F.col("op") != "D", F.lit("x")).otherwise(F.col("content")),
+    ).withColumn(
+        "lang", F.when(F.col("op") != "D", F.lit(None).cast("string"))
+    )
+    with pytest.raises(AuditFailed) as exc:
+        eng.apply_batch(broken, "b1", seq_range=(0, 400))
+    msg = str(exc.value)
+    assert "expect[0]" in msg and "expect[1]" in msg  # ALL gates reported
+
+
+def test_passing_audit_is_invisible(spark, tmp_path):
+    plain_root, gated_root = str(tmp_path / "p"), str(tmp_path / "g")
+    audit = {
+        "max_delete_frac": 0.9,
+        "max_null_frac": {"content": 0.5},
+        "expect": ["length(content) > 10"],
+    }
+    ch = gen_changes(spark, 800, n_repos=8, paths_per_repo=5)
+    _engine(spark, plain_root).replay(ch, n_events=800, batch_size=400)
+    _engine(spark, gated_root, audit).replay(ch, n_events=800, batch_size=400)
+    a = LakeTable(spark, plain_root).read()
+    b = LakeTable(spark, gated_root).read()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_audit_config_validation():
+    with pytest.raises(ConfigError, match="unknown audit key"):
+        IngestConfig(table="t", audit={"max_deletes": 1})
+    with pytest.raises(ConfigError, match="max_delete_frac"):
+        IngestConfig(table="t", audit={"max_delete_frac": 1.5})
+    with pytest.raises(ConfigError, match="max_null_frac"):
+        IngestConfig(table="t", audit={"max_null_frac": {"c": -0.1}})
+    with pytest.raises(ConfigError, match="expect"):
+        IngestConfig(table="t", audit={"expect": [""]})
