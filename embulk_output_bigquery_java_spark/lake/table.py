@@ -1138,17 +1138,76 @@ class LakeTable:
             ]
             if stray:
                 raise ValueError(f"rows written outside declared buckets: {stray}")
-        kept = [
-            f for f in base["files"]
-            if int(f.get("spec_id", 0)) not in bmap
-            or f["bucket"] not in bmap[int(f.get("spec_id", 0))]
-        ]
-        return self._commit(
-            operation="merge",
-            files=kept + new_files,
-            expected_version=base["version"],
-            applied_batch=batch_id,
-            properties_update=properties,
+        return self._commit_overwrite(
+            base, bmap, new_files, batch_id=batch_id, properties=properties
+        )
+
+    def _commit_overwrite(
+        self,
+        base: dict,
+        bmap: dict[int, set[int]],
+        new_files: list[dict],
+        *,
+        batch_id: str | None,
+        properties: dict | None,
+        max_rebases: int = 5,
+    ) -> int:
+        """Publish a bucket overwrite with OPTIMISTIC rebase on conflict.
+
+        A lost CAS race does not mean the merge is stale — it means
+        SOMETHING committed first. If that commit is disjoint from this
+        overwrite's (spec, bucket) scope (and didn't evolve the schema or
+        partition spec), the already-written post-image files are still
+        exactly right: recompute the carried-over set against the new head
+        and re-CAS — a metadata-only rebase, like Iceberg's validation-
+        based retry. Only a genuine overlap (a concurrent commit touched
+        our buckets) escapes as CommitConflict for the caller's full
+        recompute-retry. This is what lets many COW writers on disjoint
+        key ranges share one table paying only CAS latency per extra
+        writer, not merge recomputes.
+        """
+        def in_scope(f: dict) -> bool:
+            sid = int(f.get("spec_id", 0))
+            return sid in bmap and f.get("bucket") in bmap[sid]
+
+        for _ in range(max_rebases + 1):
+            kept = [f for f in base["files"] if not in_scope(f)]
+            try:
+                return self._commit(
+                    operation="merge",
+                    files=kept + new_files,
+                    expected_version=base["version"],
+                    applied_batch=batch_id,
+                    properties_update=properties,
+                )
+            except CommitConflict:
+                head = self.snapshot()
+                same_layout = (
+                    head["current_schema_id"] == base["current_schema_id"]
+                    and head.get("partition") == base.get("partition")
+                    and head.get("default_spec_id", 0)
+                    == base.get("default_spec_id", 0)
+                    and head.get("merge_keys") == base.get("merge_keys")
+                )
+                ours_base = {f["path"] for f in base["files"] if in_scope(f)}
+                ours_head = {f["path"] for f in head["files"] if in_scope(f)}
+                if not same_layout or ours_base != ours_head:
+                    # the concurrent commit touched our scope (or evolved
+                    # the table) — the post-image is stale, full retry
+                    raise
+                log.info(
+                    "rebase: concurrent v%d disjoint from overwrite scope",
+                    head["version"],
+                )
+                # entries may carry a seq stamped by the lost attempt;
+                # clear so the winning version re-stamps
+                new_files = [
+                    {k: v for k, v in f.items() if k != "seq"}
+                    for f in new_files
+                ]
+                base = head
+        raise CommitConflict(
+            f"gave up after {max_rebases} rebases at {self.root}"
         )
 
     def write_delta_files(self, df: DataFrame) -> list[dict]:
