@@ -3,8 +3,8 @@
 entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 45 queries are
-                 value-checked. 41 against live ANSI-SQL re-derivations
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 46 queries are
+                 value-checked. 42 against live ANSI-SQL re-derivations
                  (incl. the media suite, the recursive-CTE components
                  oracle, the Debezium wire-format parse, and the MOR
                  merge_rule fold vs its closed-form suffix-sum); the four
@@ -218,6 +218,41 @@ SELECT
     CASE WHEN value >= 1 AND event_id % 3 = 0 THEN NULL
          ELSE ROUND(value + 100, 6) END                 AS before_value
 FROM events
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking (operators/chunking.py): 512-char
+    windows, 128 overlap — sequence + posexplode + substring in one
+    zero-shuffle projection; every doc yields >=1 chunk with provenance
+    (chunk_id, 1-based chunk_start, per-doc n_chunks riding along)."""
+    from embulk_output_bigquery_java_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, text_col="text", id_cols=["doc_id"],
+        chunk_chars=512, overlap=128,
+    )
+
+
+_CHUNK_DOCS_SQL = """
+WITH d AS (
+    SELECT doc_id, coalesce(text, '') AS text FROM documents
+)
+SELECT d.doc_id,
+       CAST(g.i AS INT)                                   AS chunk_id,
+       CAST(g.i * 384 + 1 AS BIGINT)                      AS chunk_start,
+       substr(d.text, CAST(g.i * 384 + 1 AS INT), 512)    AS chunk_text,
+       CAST(1 + greatest(
+           0, CAST(ceil((length(d.text) - 512) / 384.0) AS BIGINT)
+       ) AS INT)                                          AS n_chunks
+FROM d, LATERAL (
+    SELECT unnest(generate_series(
+        0, greatest(0, CAST(ceil((length(d.text) - 512) / 384.0) AS BIGINT))
+    )) AS i
+) g
 """
 
 
@@ -1759,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_repetition": q_doc_repetition,
+        "chunk_documents": q_chunk_documents,
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "asof_join_events": q_asof_join_events,
@@ -1809,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "doc_repetition": _rep_sql(),
+        "chunk_documents": _CHUNK_DOCS_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "strip_dup_spans": _STRIP_SPANS_SQL,
         "asof_join_events": _ASOF_SQL,

@@ -1,0 +1,83 @@
+"""Document chunking — fixed-size overlapping windows for RAG/embedding
+pipelines.
+
+The training-data suite's splitter: long documents become overlapping
+character windows (the standard retrieval-corpus preprocessing step before
+embedding), each chunk carrying its provenance (doc id, chunk index, char
+offset) so downstream near-dup/ANN results map back to source spans.
+
+Scale shape: pure Catalyst — ``sequence`` + ``posexplode`` + ``substring``
+in one projection, no UDFs, no shuffle (chunks stay co-partitioned with
+their document's scan split; the explode multiplies rows inside the task).
+Row growth is bounded by ``ceil(len/stride)`` per doc, so output size
+tracks corpus bytes × (chunk/stride) — the operator itself adds no
+skew beyond what document length skew already implies. The whole-stage
+codegen span covers scan → explode → project.
+
+The reference has no text-processing surface (it ships rows to BigQuery);
+this operator exists for the engine's 100-TB training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    chunk_chars: int = 512,
+    overlap: int = 128,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split ``text_col`` into overlapping windows of ``chunk_chars``.
+
+    Window ``i`` covers 1-based char range ``[i*stride + 1, i*stride +
+    chunk_chars]`` with ``stride = chunk_chars - overlap``; every document
+    yields at least one chunk (an empty/short doc is its own chunk), and
+    the last chunk may be shorter — no padding, no dropped tail.
+
+    Output columns: ``id_cols + keep_cols + (chunk_id, chunk_start,
+    chunk_text, n_chunks)``. ``chunk_start`` is the 1-based character
+    offset (substring convention, mirrors SQL), ``n_chunks`` rides along
+    so consumers can weight or cap per-doc fan-out without a groupBy.
+    """
+    if chunk_chars <= 0:
+        raise ValueError("chunk_chars must be positive")
+    if not (0 <= overlap < chunk_chars):
+        raise ValueError("overlap must be in [0, chunk_chars)")
+    stride = chunk_chars - overlap
+    id_cols = id_cols or ["doc_id"]
+    keep_cols = keep_cols or []
+
+    text = F.col(text_col)
+    length = F.length(F.coalesce(text, F.lit("")))
+    # chunks beyond the first cover the tail past the first window
+    n_chunks: Column = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.ceil((length - F.lit(chunk_chars)) / F.lit(float(stride))),
+        )
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    exploded = df.select(
+        *id_cols,
+        *keep_cols,
+        F.coalesce(text, F.lit("")).alias("_chunk_src"),
+        n_chunks.alias("n_chunks"),
+        F.posexplode(idx).alias("chunk_id", "_i"),
+    )
+    return exploded.select(
+        *id_cols,
+        *keep_cols,
+        F.col("chunk_id"),
+        (F.col("chunk_id").cast("long") * stride + 1).alias("chunk_start"),
+        F.expr(
+            f"substring(_chunk_src, chunk_id * {stride} + 1, {chunk_chars})"
+        ).alias("chunk_text"),
+        F.col("n_chunks"),
+    )

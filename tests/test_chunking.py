@@ -1,0 +1,83 @@
+"""Document chunking (operators/chunking.py) — window math pinned against
+a Python reference, plan shape pinned zero-shuffle."""
+
+import pytest
+from pyspark.sql import Row
+
+from embulk_output_bigquery_java_spark.operators.chunking import (
+    chunk_documents,
+)
+
+
+def _py_chunks(text, chunk, overlap):
+    text = text or ""
+    stride = chunk - overlap
+    import math
+
+    n = 1 + max(0, math.ceil((len(text) - chunk) / stride))
+    return [
+        (i, i * stride + 1, text[i * stride: i * stride + chunk], n)
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("chunk,overlap", [(8, 0), (8, 3), (512, 128)])
+def test_matches_python_reference(spark, chunk, overlap):
+    texts = [
+        "", "a", "x" * 7, "x" * 8, "x" * 9,
+        "abcdefghij" * 3, "q" * 1000, None,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_text, r.n_chunks)
+        for r in chunk_documents(
+            df, chunk_chars=chunk, overlap=overlap
+        ).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for cid, start, ctext, n in _py_chunks(t, chunk, overlap):
+            want[(i, cid)] = (start, ctext, n)
+    assert got == want
+
+
+def test_every_doc_yields_at_least_one_chunk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=""), Row(doc_id=2, text=None)])
+    out = chunk_documents(df).collect()
+    assert {(r.doc_id, r.chunk_id, r.chunk_text) for r in out} == {
+        (1, 0, ""), (2, 0, ""),
+    }
+
+
+def test_chunks_reassemble_to_document(spark):
+    text = "".join(chr(97 + i % 26) for i in range(2000))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    rows = sorted(
+        chunk_documents(df, chunk_chars=300, overlap=50).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    stride = 250
+    rebuilt = rows[0].chunk_text
+    for r in rows[1:]:
+        rebuilt += r.chunk_text[300 - stride:]
+    assert rebuilt == text
+    # overlap really overlaps
+    assert rows[0].chunk_text[-50:] == rows[1].chunk_text[:50]
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_chars=10, overlap=10)
+    with pytest.raises(ValueError, match="chunk_chars"):
+        chunk_documents(df, chunk_chars=0)
+
+
+def test_plan_is_zero_shuffle_zero_python(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 100)])
+    out = chunk_documents(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
