@@ -39,6 +39,36 @@ def stream_changes_from_dir(
     return reader.parquet(source_dir)
 
 
+def stream_debezium_from_dir(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming tail of a Debezium JSONL landing zone (the wire-format
+    twin of :func:`stream_changes_from_dir` — a Kafka topic with the same
+    envelopes swaps in by replacing the text source with a kafka source).
+
+    The parse is the SAME zero-exchange projection the batch path uses
+    (sources/debezium.py): tombstones drop, malformed lines drop here too
+    (a stream has no budget-abort transaction to fail — count them
+    downstream via the ledger's input-vs-applied delta if needed), and
+    the output is CHANGES_SCHEMA, so `start_cdc_stream` applies it with
+    the identical exactly-once epoch manifest."""
+    from ..sources.debezium import changes_from_debezium, parse_debezium
+    from ..schemas import REPOS_SCHEMA
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(source_dir)
+    parsed = parse_debezium(raw, REPOS_SCHEMA, "value")
+    events = changes_from_debezium(parsed.events)
+    return events.select(
+        *[F.col(f.name).cast(f.dataType) for f in CHANGES_SCHEMA.fields]
+    )
+
+
 def start_cdc_stream(
     engine: CdcEngine,
     changes: DataFrame,

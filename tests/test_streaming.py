@@ -167,3 +167,58 @@ def test_cli_stream_drains_landing_dir(spark, tmp_path, capsys):
     assert cli.main(args) == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["table_rows"] == first["table_rows"]
+
+
+def test_streaming_debezium_wire_tail_matches_batch_replay(
+    spark, tmp_table_root, tmp_path
+):
+    """A Debezium JSONL landing zone streamed through foreachBatch lands
+    the same final state as the batch replay of the same events — the
+    wire adapter and the exactly-once epoch manifest compose."""
+    import glob
+    import os
+
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        encode_debezium,
+    )
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stream_debezium_from_dir,
+    )
+
+    src = str(tmp_path / "wire")
+    os.makedirs(src)
+    changes = gen_changes(spark, 1200, n_repos=20, paths_per_repo=6)
+    for i in range(4):
+        part = encode_debezium(
+            changes.where(
+                (F.col("seq") >= i * 300) & (F.col("seq") < (i + 1) * 300)
+            )
+        ).coalesce(1)
+        tmp_out = str(tmp_path / f"wpart{i}")
+        part.write.text(tmp_out)
+        (txt,) = glob.glob(f"{tmp_out}/part-*.txt")
+        dst = f"{src}/chunk-{i:03d}.jsonl"
+        os.rename(txt, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    cfg = IngestConfig(table="repos", mode="merge",
+                       merge_keys=["repo", "path"], num_buckets=4)
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.ensure_table(REPOS_SCHEMA)
+    stream = stream_debezium_from_dir(spark, src, max_files_per_trigger=2)
+    q = start_cdc_stream(eng, stream, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = LakeTable(spark, tmp_table_root).read()
+
+    # batch oracle: replay the same canonical events directly
+    batch_root = str(tmp_path / "batch")
+    eng2 = CdcEngine(spark, IngestConfig(
+        table="repos", mode="merge", merge_keys=["repo", "path"],
+        num_buckets=4), batch_root)
+    eng2.ensure_table(REPOS_SCHEMA)
+    eng2.replay(changes, n_events=1200, batch_size=300)
+    want = LakeTable(spark, batch_root).read()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
