@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .config import ConfigError, IngestConfig
@@ -187,6 +188,93 @@ def cmd_changes(args: argparse.Namespace) -> int:
     agg = counts.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
     out["counts"] = {r["_change_type"]: r["n"] for r in agg.collect()}
     print(json.dumps(out))
+    return 0
+
+
+def cmd_doctor(args: argparse.Namespace) -> int:
+    """Table-health report from PURE MANIFEST ARITHMETIC — no Spark job,
+    no data read, safe on a 100 TB table. Reports, per concern, the
+    measurement and the maintenance command that fixes it:
+
+    - MOR delta debt (delta:base rows, retained scan groups vs the
+      read-plan guard) -> compact
+    - small-file debt (files under --small-file-mb per bucket)  -> compact
+    - bucket-spec migration in flight (live specs > 1)          -> compact
+    - bucket skew (p99:median bucket bytes)                     -> salting
+      / evolve-buckets
+    - snapshot debt (retained versions)                         -> expire
+    - bloom sidecar coverage when the table opted in            -> rewrite
+    """
+    spark = get_spark("cdc-doctor", cores=2)
+    table = LakeTable(spark, args.table_root)
+    snap = table.snapshot()
+    files = snap["files"]
+    base = [f for f in files if f.get("kind") != "delta"]
+    delta = [f for f in files if f.get("kind") == "delta"]
+    groups = {
+        (str(f.get("schema_id", 0)), int(f.get("seq", 0)), f.get("kind", "data"))
+        for f in files
+    }
+    by_bucket: dict = {}
+    for f in base:
+        by_bucket.setdefault(f.get("bucket"), []).append(f)
+    bucket_bytes = sorted(
+        sum(f["bytes"] for f in fs) for fs in by_bucket.values()
+    ) or [0]
+    p = lambda q: bucket_bytes[min(len(bucket_bytes) - 1,
+                                   int(q * (len(bucket_bytes) - 1)))]
+    small_cut = args.small_file_mb * 1024 * 1024
+    import re as _re
+    retained = len([
+        m for m in os.listdir(os.path.join(args.table_root, "meta"))
+        if _re.match(r"v\d+\.json$", m)
+    ])
+    live_specs = sorted(table.live_spec_ids())
+    delta_rows = sum(f["rows"] for f in delta)
+    base_rows = sum(f["rows"] for f in base)
+    spec = table.bloom_spec
+    report = {
+        "version": snap["version"],
+        "files": len(files),
+        "delta_debt": {
+            "delta_rows": delta_rows,
+            "base_rows": base_rows,
+            "ratio": round(delta_rows / max(base_rows, 1), 4),
+            "scan_groups": len(groups),
+            "scan_group_warn_at": table.warn_scan_groups,
+            "fix": "compact" if delta else None,
+        },
+        "small_files": {
+            "under_mb": args.small_file_mb,
+            "count": sum(1 for f in base if f["bytes"] < small_cut),
+            "fix": "compact --target-file-rows" if any(
+                f["bytes"] < small_cut for f in base) else None,
+        },
+        "spec_migration": {
+            "live_specs": live_specs,
+            "in_flight": len(live_specs) > 1,
+            "fix": "compact (finishes the bucket migration)"
+            if len(live_specs) > 1 else None,
+        },
+        "bucket_skew": {
+            "buckets": len(by_bucket),
+            "median_bytes": p(0.5),
+            "p99_bytes": p(0.99),
+            "p99_over_median": round(p(0.99) / max(p(0.5), 1), 2),
+        },
+        "snapshot_debt": {
+            "retained_versions": retained,
+            "fix": "expire --keep-last" if retained > args.keep_warn else None,
+        },
+        "bloom_coverage": (
+            {
+                "base_files_with_sidecar": sum(1 for f in base if f.get("bloom")),
+                "base_files": len(base),
+            }
+            if spec else None
+        ),
+    }
+    print(json.dumps(report, indent=2))
     return 0
 
 
@@ -552,6 +640,16 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="print table snapshot summary")
     s.add_argument("--table-root", required=True)
     s.set_defaults(fn=cmd_show)
+
+    dr = sub.add_parser(
+        "doctor",
+        help="manifest-only table health report with fix suggestions",
+    )
+    dr.add_argument("--table-root", required=True)
+    dr.add_argument("--small-file-mb", type=int, default=32)
+    dr.add_argument("--keep-warn", type=int, default=50,
+                    help="warn when more retained snapshots than this")
+    dr.set_defaults(fn=cmd_doctor)
 
     v = sub.add_parser(
         "verify", help="diff table state vs DuckDB oracle replay (test-scale)"

@@ -63,3 +63,25 @@ def test_changes_bad_version_is_exit_2(spark, tmp_path, capsys):
     ]
     assert cli.main(args) == 2
     assert "changes error" in capsys.readouterr().err
+
+
+def test_doctor_reports_health_and_fixes(spark, tmp_path, capsys):
+    _replay(tmp_path)
+    from embulk_output_bigquery_java_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.evolve_buckets(32)  # migration in flight
+    capsys.readouterr()
+    assert cli.main(["doctor", "--table-root", str(tmp_path / "t")]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["version"] == t.version
+    assert rep["spec_migration"]["in_flight"] is True
+    assert "compact" in rep["spec_migration"]["fix"]
+    assert rep["delta_debt"]["ratio"] >= 0
+    assert rep["bucket_skew"]["buckets"] > 0
+    # a full compact clears the migration flag
+    t.compact()
+    capsys.readouterr()
+    assert cli.main(["doctor", "--table-root", str(tmp_path / "t")]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["spec_migration"]["in_flight"] is False
