@@ -3,8 +3,8 @@
 entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 46 queries are
-                 value-checked. 42 against live ANSI-SQL re-derivations
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 47 queries are
+                 value-checked. 43 against live ANSI-SQL re-derivations
                  (incl. the media suite, the recursive-CTE components
                  oracle, the Debezium wire-format parse, and the MOR
                  merge_rule fold vs its closed-form suffix-sum); the four
@@ -1554,6 +1554,49 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-style symmetric quantization (operators/similarity.py::
+    quantize_vec — per-vector scale, scales cancel in cosine) + top-5
+    membership for the same 3 probes as cosine_topk; the oracle
+    re-derives the quantization with list_transform, so the half-up
+    rounding and the rank order are value-checked end to end."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(e, q, k=5).select("query_id", "vec_id", "rank")
+
+
+_QUANT_COSINE_SQL = """
+WITH qz AS (
+    SELECT vec_id,
+           CASE WHEN m = 0 THEN list_transform(embedding, x -> 0.0)
+                ELSE list_transform(
+                    embedding, x -> floor(x / (m / 127.0) + 0.5))
+           END AS q
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings
+    )
+)
+SELECT query_id, vec_id, rank FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.q, e.q), 6)
+                        DESC, e.vec_id ASC
+           ) AS rank
+    FROM qz q, qz e
+    WHERE q.vec_id < 3
+) WHERE rank <= 5
+"""
+
+
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPING: connected components (min-label propagation) over
     n-gram-Jaccard pairs — the stage that turns pairwise dedup output into
@@ -1814,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "near_dup_components": q_near_dup_components,
         "cosine_topk": q_cosine_topk,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1865,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "near_dup_components": _COMPONENTS_SQL,
         "cosine_topk": _COSINE_SQL,
+        "quantized_cosine_topk": _QUANT_COSINE_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "media_resize_plan": _MEDIA_RESIZE_SQL,

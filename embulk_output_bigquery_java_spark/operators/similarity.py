@@ -35,6 +35,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def quantize_vec(vec: Column, *, levels: int = 127) -> Column:
+    """Symmetric per-vector int quantization: q_i = round_half_up(x_i /
+    scale) with scale = max|x| / levels — the standard int8 embedding
+    compression (4× smaller than float32, dot products stay integer-exact
+    until the final rescale). Cosine over the quantized vectors needs NO
+    dequantization: the per-vector scales cancel. Zero vectors quantize
+    to zeros. Pure Catalyst HOFs (transform/aggregate), no UDF.
+
+    round-half-up is written explicitly as ``floor(v + 0.5)`` so the
+    DuckDB oracle can reproduce it bit-for-bit (engine ``round`` halfway
+    conventions differ).
+    """
+    max_abs = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = max_abs / F.lit(float(levels))
+    return F.when(max_abs == 0.0, F.transform(vec, lambda x: x * 0.0)).otherwise(
+        F.transform(vec, lambda x: F.floor(x / scale + F.lit(0.5)))
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    levels: int = 127,
+) -> DataFrame:
+    """:func:`brute_force_topk` over int-quantized vectors — the memory/
+    bandwidth-bound scale path (a 100 TB embedding corpus at int8 is 25 TB
+    of scans). Same plan shape: queries broadcast, corpus streams
+    map-side, one window over |Q|×|C| scored rows. Scores are cosine of
+    the quantized vectors (scales cancel), so recall degrades only by
+    quantization noise — test-pinned against the float top-k."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            quantize_vec(F.col(vec_col), levels=levels).alias("qv"),
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col), levels=levels).alias("cv"),
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "qcos", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -166,3 +166,49 @@ def test_ivf_assign_matches_bruteforce_argmax(spark, emb):
         ]
         want = -max(sims)[1]
         assert got[r.vec_id] == want, r.vec_id
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int-quantized cosine ranks ~match the float ranks (recall@5 high)
+    and the quantizer is exact: values are integers in [-127, 127] with
+    the max-|x| component hitting ±127."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_vec,
+        quantized_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.vec_id)
+        for r in quantized_topk(e, q, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall@5 {recall}"
+
+    row = e.select(quantize_vec(F.col("embedding")).alias("q")).first()
+    vals = row.q
+    assert all(v == int(v) and -127 <= v <= 127 for v in vals)
+    assert max(abs(v) for v in vals) == 127
+
+
+def test_quantize_zero_vector_is_zeros(spark):
+    from pyspark.sql import Row
+
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        quantize_vec,
+    )
+
+    df = spark.createDataFrame(
+        [Row(embedding=[0.0, 0.0, 0.0]), Row(embedding=[0.0, -2.0, 1.0])]
+    )
+    rows = df.select(quantize_vec(F.col("embedding")).alias("q")).collect()
+    assert rows[0].q == [0.0, 0.0, 0.0]
+    assert rows[1].q == [0.0, -127.0, 64.0]  # floor(1/(2/127)+0.5)=64
