@@ -1,0 +1,133 @@
+"""Property-based checks (hypothesis) for the engine's core semantics.
+
+Where the example-based suites pin known shapes, these pin INVARIANTS over
+randomized inputs: LWW dedup against a pandas idxmax oracle on arbitrary
+event streams (duplicate keys, shuffled order, ties), chunk reassembly for
+arbitrary text/window combinations, and quantization bounds for arbitrary
+vectors. One shared Spark session; examples kept small so each property
+runs in seconds, not minutes (deadline disabled — Spark job latency is not
+the property under test)."""
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.chunking import (
+    chunk_documents,
+)
+from embulk_output_bigquery_java_spark.operators.dedup import lww_dedup
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),        # key
+        st.integers(0, 9),        # commit_seq
+        st.integers(0, 9),        # event_offset
+        st.integers(-100, 100),   # payload
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy, strategy=st.sampled_from(["maxby", "window", "semi"]))
+def test_lww_dedup_matches_pandas_idxmax(spark, events, strategy):
+    """Every dedup strategy returns, per key, the row with the maximal
+    (commit_seq, event_offset, payload) — ties broken by the full order
+    columns, independent of input order."""
+    rows = [
+        Row(k=k, commit_seq=c, event_offset=o, payload=p)
+        for k, c, o, p in events
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.k: (r.commit_seq, r.event_offset, r.payload)
+        for r in lww_dedup(
+            df, ["k"], ["commit_seq", "event_offset", "payload"],
+            strategy=strategy,
+        ).collect()
+    }
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    want = {
+        k: tuple(g.sort_values(
+            ["commit_seq", "event_offset", "payload"]
+        ).iloc[-1][["commit_seq", "event_offset", "payload"]])
+        for k, g in pdf.groupby("k")
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=400,
+    ),
+    chunk=st.integers(2, 64),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunking_invariants(spark, text, chunk, overlap_frac):
+    """For ANY (text, chunk, overlap): stripping each chunk's leading
+    overlap and concatenating reproduces the document; starts advance by
+    stride; every chunk except possibly the last is full-size when the
+    text is long enough."""
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    rows = sorted(
+        chunk_documents(
+            spark.createDataFrame([Row(doc_id=1, text=text)]),
+            chunk_chars=chunk, overlap=overlap,
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert rows, "every doc yields at least one chunk"
+    rebuilt = rows[0].chunk_text + "".join(
+        r.chunk_text[overlap:] for r in rows[1:]
+    )
+    assert rebuilt == text
+    for i, r in enumerate(rows):
+        assert r.chunk_start == i * stride + 1
+        if i < len(rows) - 1:
+            assert len(r.chunk_text) == chunk
+    assert rows[0].n_chunks == len(rows) == (
+        1 + max(0, math.ceil((len(text) - chunk) / stride))
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, width=32),
+        min_size=1, max_size=16,
+    )
+)
+def test_quantization_bounds_and_scale_recovery(spark, vec):
+    """For ANY float vector: quantized values are integers in [-127, 127];
+    unless the vector is all-zero, some component reaches ±127 (the scale
+    is tight); dequantized values are within half a scale step."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        quantize_vec,
+    )
+
+    (q,) = spark.createDataFrame([Row(embedding=vec)]).select(
+        quantize_vec(F.col("embedding")).alias("q")
+    ).first()
+    assert all(v == int(v) and -127 <= v <= 127 for v in q)
+    m = max(abs(x) for x in vec)
+    if m == 0:
+        assert all(v == 0 for v in q)
+    else:
+        assert max(abs(v) for v in q) == 127
+        scale = m / 127.0
+        for x, v in zip(vec, q):
+            assert abs(v * scale - x) <= scale / 2 + 1e-9 * m
