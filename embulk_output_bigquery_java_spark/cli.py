@@ -278,6 +278,68 @@ def cmd_doctor(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Manifest↔filesystem consistency check (doctor's integrity twin).
+
+    Driver-side only — os.stat per manifest entry, no Spark job, no data
+    read: every referenced data file must exist with the manifest's exact
+    byte size; bloom sidecars referenced by entries must exist; unknown
+    files under data/ are reported as orphans (gc_orphans reclaims them —
+    uncommitted write dirs from crashes or lost CAS races are EXPECTED,
+    not corruption). Exit 1 on missing/size-mismatched files (real
+    corruption), 0 otherwise.
+    """
+    spark = get_spark("cdc-fsck", cores=2)
+    table = LakeTable(spark, args.table_root)
+    snap = table.snapshot()
+    root = args.table_root
+    missing, size_bad, bloom_missing = [], [], []
+    referenced = set()
+    for f in snap["files"]:
+        referenced.add(f["path"])
+        p = os.path.join(root, f["path"])
+        if not os.path.exists(p):
+            missing.append(f["path"])
+        elif os.path.getsize(p) != f["bytes"]:
+            size_bad.append(
+                {"path": f["path"], "manifest": f["bytes"],
+                 "disk": os.path.getsize(p)}
+            )
+        b = f.get("bloom")
+        if b:
+            referenced.add(b["path"])
+            if not os.path.exists(os.path.join(root, b["path"])):
+                bloom_missing.append(b["path"])
+    # older retained snapshots still own their files — not orphans
+    import re as _re
+    meta_dir = os.path.join(root, "meta")
+    for m in os.listdir(meta_dir):
+        mm = _re.match(r"v(\d+)\.json$", m)
+        if mm and int(mm.group(1)) != snap["version"]:
+            for f in table.snapshot(int(mm.group(1)))["files"]:
+                referenced.add(f["path"])
+                if f.get("bloom"):
+                    referenced.add(f["bloom"]["path"])
+    orphans = []
+    data_dir = os.path.join(root, "data")
+    for dirpath, _, names in os.walk(data_dir):
+        for n in names:
+            rel = os.path.relpath(os.path.join(dirpath, n), root)
+            if rel not in referenced:
+                orphans.append(rel)
+    report = {
+        "version": snap["version"],
+        "checked_files": len(snap["files"]),
+        "missing": missing,
+        "size_mismatch": size_bad,
+        "bloom_missing": bloom_missing,
+        "orphans": len(orphans),
+        "ok": not (missing or size_bad or bloom_missing),
+    }
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def cmd_show(args: argparse.Namespace) -> int:
     spark = get_spark("cdc-show", cores=2)
     table = LakeTable(spark, args.table_root)
@@ -650,6 +712,12 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--keep-warn", type=int, default=50,
                     help="warn when more retained snapshots than this")
     dr.set_defaults(fn=cmd_doctor)
+
+    fs = sub.add_parser(
+        "fsck", help="manifest<->filesystem consistency check (exit 1 on corruption)"
+    )
+    fs.add_argument("--table-root", required=True)
+    fs.set_defaults(fn=cmd_fsck)
 
     v = sub.add_parser(
         "verify", help="diff table state vs DuckDB oracle replay (test-scale)"

@@ -85,3 +85,23 @@ def test_doctor_reports_health_and_fixes(spark, tmp_path, capsys):
     assert cli.main(["doctor", "--table-root", str(tmp_path / "t")]) == 0
     rep2 = json.loads(capsys.readouterr().out)
     assert rep2["spec_migration"]["in_flight"] is False
+
+
+def test_fsck_detects_live_file_corruption(spark, tmp_path, capsys):
+    _replay(tmp_path, events=2000)
+    root = str(tmp_path / "t")
+    capsys.readouterr()
+    assert cli.main(["fsck", "--table-root", root]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] is True and rep["missing"] == []
+
+    from embulk_output_bigquery_java_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, root)
+    victim = os.path.join(root, t.snapshot()["files"][0]["path"])
+    with open(victim, "wb") as fh:
+        fh.write(b"corrupt")
+    capsys.readouterr()
+    assert cli.main(["fsck", "--table-root", root]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] is False and len(rep["size_mismatch"]) == 1
