@@ -382,7 +382,14 @@ def cmd_verify(args: argparse.Namespace) -> int:
 
     spark = get_spark("cdc-verify", cores=args.cores)
     table = LakeTable(spark, args.table_root)
-    if args.changes_path:
+    if args.changes_path and args.changes_format.startswith("debezium"):
+        from .sources.debezium import read_debezium_changes
+
+        changes = read_debezium_changes(
+            spark, args.changes_path,
+            schemad=args.changes_format == "debezium-schemad",
+        ).events
+    elif args.changes_path:
         changes = spark.read.parquet(args.changes_path)
     else:
         changes = gen_changes(
@@ -725,6 +732,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table-root", required=True)
     v.add_argument("--events", type=int, default=100_000)
     v.add_argument("--changes-path", default=None)
+    v.add_argument("--changes-format", default="parquet",
+                   choices=["parquet", "debezium", "debezium-schemad"])
     v.add_argument("--repos", type=int, default=100)
     v.add_argument("--paths-per-repo", type=int, default=50)
     v.add_argument("--sample", type=int, default=100_000,
