@@ -204,6 +204,12 @@ class IngestConfig:
     #: MOR fast path piggybacks them on the delta-write job's observe —
     #: zero extra jobs).
     audit: dict = field(default_factory=dict)
+    #: per-file merge-key bloom sidecars (lake/bloom.py) for point-lookup
+    #: file skipping: None/{} = off (default — the build costs one
+    #: keys-only scan per write, worth it for lookup-heavy serving
+    #: tables); a dict like {"bits_per_row": 10, "k": 7} opts the table
+    #: in at creation (becomes the `key_bloom` table property).
+    key_bloom: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if isinstance(self.mode, str):
@@ -309,6 +315,16 @@ class IngestConfig:
             for p in self.audit.get("expect") or []:
                 if not (isinstance(p, str) and p.strip()):
                     raise ConfigError("audit.expect entries are SQL predicates")
+        if self.key_bloom:
+            bad = sorted(set(self.key_bloom) - {"bits_per_row", "k"})
+            if bad:
+                raise ConfigError(
+                    f"unknown key_bloom key(s) {bad}; known: bits_per_row, k"
+                )
+            if int(self.key_bloom.get("bits_per_row", 10)) <= 0:
+                raise ConfigError("key_bloom.bits_per_row must be positive")
+            if not (1 <= int(self.key_bloom.get("k", 7)) <= 16):
+                raise ConfigError("key_bloom.k must be in [1, 16]")
 
     # -- partition decorator (BigqueryUtil.java:14, 71-73) -------------------
     @property

@@ -189,6 +189,10 @@ class CdcEngine:
                 merge_keys=keys,
                 time_partition=tp_spec,
                 clustering=self.cfg.clustering or None,
+                properties=(
+                    {"key_bloom": dict(self.cfg.key_bloom)}
+                    if self.cfg.key_bloom else None
+                ),
                 if_not_exists=True,
             )
         return LakeTable(self.spark, self.table_root)

@@ -192,3 +192,46 @@ def test_gc_orphans_keeps_live_sidecars(spark, tmp_path):
     ]
     t.gc_orphans(grace_s=0.0)
     assert all(os.path.exists(p) for p in sides)
+
+
+def test_engine_config_opts_table_into_blooms(spark, tmp_path):
+    """cfg.key_bloom flows to the table property at creation; a COW
+    replay then writes sidecars and lookup() prunes with them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from embulk_output_bigquery_java_spark.config import (
+        ConfigError,
+        IngestConfig,
+    )
+    from embulk_output_bigquery_java_spark.engine import CdcEngine
+    from embulk_output_bigquery_java_spark.lake.table import LakeTable
+    from embulk_output_bigquery_java_spark.schemas import REPOS_SCHEMA
+    from embulk_output_bigquery_java_spark.sources.generator import (
+        gen_changes,
+    )
+
+    root = str(tmp_path / "t")
+    cfg = IngestConfig(
+        table="repos", mode="merge", merge_keys=["repo", "path"],
+        num_buckets=4, merge_strategy="cow",
+        key_bloom={"bits_per_row": 12, "k": 7},
+    )
+    eng = CdcEngine(spark, cfg, root)
+    eng.ensure_table(REPOS_SCHEMA)
+    ch = gen_changes(spark, 800, n_repos=8, paths_per_repo=5)
+    eng.apply_batch(ch.where(F.col("seq") < 800), "b1", seq_range=(0, 800))
+
+    t = LakeTable(spark, root)
+    assert t.bloom_spec == {"bits_per_row": 12, "k": 7}
+    base = [f for f in t.snapshot()["files"] if f.get("kind") != "delta"]
+    assert base and all(f.get("bloom") for f in base)
+    for f in base:
+        assert os.path.exists(os.path.join(root, f["bloom"]["path"]))
+    row = t.read().select("repo", "path").first()
+    assert t.lookup(repo=row.repo, path=row.path).count() == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ConfigError, match="key_bloom"):
+        IngestConfig(table="t", key_bloom={"bits": 1})
