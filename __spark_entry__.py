@@ -322,7 +322,7 @@ lastd AS (
            max(CASE WHEN op = 'D' THEN rn ELSE 0 END) AS ld
     FROM ranked GROUP BY user_id, event_type
 )
-SELECT r.user_id, r.event_type, SUM(r.v) AS v_folded
+SELECT r.user_id, r.event_type, CAST(SUM(r.v) AS BIGINT) AS v_folded
 FROM ranked r JOIN lastd d USING (user_id, event_type)
 WHERE r.rn > d.ld
 GROUP BY r.user_id, r.event_type
@@ -983,10 +983,10 @@ SELECT doc_id, source, n_chars,
        (offset_total % 4096) + n_chars > 4096 AS straddles
 FROM (
     SELECT doc_id, source, n_chars,
-           SUM(n_chars) OVER (
+           CAST(SUM(n_chars) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING
-           ) - n_chars AS offset_total
+           ) AS BIGINT) - n_chars AS offset_total
     FROM documents
 )
 """

@@ -199,7 +199,12 @@ class IngestConfig:
     #:   max_null_frac    — {column: frac}: reject when the after-image
     #:                      null rate among non-delete rows exceeds frac
     #:   expect           — list of SQL predicates every non-delete row
-    #:                      must satisfy (violations counted, any → reject)
+    #:                      must satisfy (violations counted, any → reject).
+    #:                      NULL-strict: a predicate evaluating to NULL
+    #:                      (e.g. 'length(content) > 0' on NULL content)
+    #:                      counts as a violation — the opposite of SQL
+    #:                      CHECK-constraint semantics, because NULLed-out
+    #:                      rows are exactly what a WAP gate exists to catch
     #: All checks ride ONE aggregate over the already-deduped batch (the
     #: MOR fast path piggybacks them on the delta-write job's observe —
     #: zero extra jobs).

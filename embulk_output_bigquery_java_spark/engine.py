@@ -326,9 +326,19 @@ class CdcEngine:
                 ).alias(f"_audit_null__{c}")
             )
         for i, pred in enumerate(a.get("expect") or []):
+            # NULL-strict: a predicate that evaluates to NULL (e.g.
+            # 'length(content) > 0' on NULL content) counts as a VIOLATION
+            # — coalesce(pred, false) — because exactly the malformed rows
+            # a WAP gate exists to catch are the ones that NULL out the
+            # predicate. (SQL CHECK-constraint semantics would let NULL
+            # pass; an audit gate is the opposite contract.)
             aggs.append(
                 F.count(
-                    F.when((F.col("op") != "D") & ~F.expr(pred), 1)
+                    F.when(
+                        (F.col("op") != "D")
+                        & ~F.coalesce(F.expr(pred), F.lit(False)),
+                        1,
+                    )
                 ).alias(f"_audit_expect__{i}")
             )
         return aggs

@@ -113,6 +113,50 @@ def _stats_intersects(entry: dict, col: str, lo, hi) -> bool:
     if hi is not None and mn > hi:
         return False
     return True
+
+
+#: integral Spark types whose cast-to-string matches Python str(int)
+_BLOOM_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _bloom_probe_compatible(col_type: T.DataType | None, v: Any) -> bool:
+    """True iff probing value ``v`` against a merge-key column of Spark type
+    ``col_type`` builds the same canonical string the sidecar build hashed
+    (``cast(col as string)``). StringType<->str and integral<->int are the
+    only exact matches; everything else (double, timestamp, bool, decimal,
+    or a cross-typed probe like int against DoubleType) renders differently
+    on at least one side and would produce a false NEGATIVE — skip the
+    bloom and fall back to stats pruning + the equality predicate."""
+    if col_type is None or isinstance(v, bool):
+        return False
+    if isinstance(col_type, T.StringType):
+        return isinstance(v, str)
+    if isinstance(col_type, _BLOOM_INT_TYPES):
+        return isinstance(v, int)
+    return False
+
+
+#: numeric Spark types whose manifest min/max compare correctly against a
+#: Python int/float probe (cross numeric widening is order-preserving)
+_STATS_NUM_TYPES = _BLOOM_INT_TYPES + (T.FloatType, T.DoubleType)
+
+
+def _stats_probe_compatible(col_type: T.DataType | None, v: Any) -> bool:
+    """True iff a min/max stats range check for probe value ``v`` against a
+    column of Spark type ``col_type`` compares under the column's own order:
+    str probes against StringType (lexicographic both sides), int/float
+    probes against numeric types (numeric both sides). A cross-typed probe
+    (int vs a string column) would compare apples to lexicographic oranges
+    — skip stats pruning and let the equality predicate decide."""
+    if col_type is None or isinstance(v, bool):
+        return False
+    if isinstance(col_type, T.StringType):
+        return isinstance(v, str)
+    if isinstance(col_type, _STATS_NUM_TYPES):
+        return isinstance(v, (int, float))
+    return False
+
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 #: time-partition transforms (D3 — BigqueryClient.java:289-317): partition
@@ -486,12 +530,27 @@ class LakeTable:
         if not live:
             return {}
         specs = self.partition_specs
+        # hash the literal AS the partition column's Spark type: the writer
+        # hashed the column in its native type, so a cross-typed probe
+        # (int 3 vs a string column) must be cast first or it lands in the
+        # wrong bucket — a silent false negative. An uncastable probe hashes
+        # NULL's bucket, which is harmless: its equality predicate can
+        # never match a row either.
+        lit = F.lit(value)
+        part = self.partition
+        if part:
+            col_type = next(
+                (f.dataType for f in self.schema().fields
+                 if f.name == part["column"]), None,
+            )
+            if col_type is not None:
+                lit = lit.cast(col_type)
         row = (
             self.spark.range(1)
             .select(
                 *[
                     F.pmod(
-                        F.xxhash64(F.lit(value)),
+                        F.xxhash64(lit),
                         F.lit(specs[s]["num_buckets"]),
                     ).cast("int").alias(f"b{s}")
                     for s in live
@@ -1737,24 +1796,34 @@ class LakeTable:
             by_spec = self.buckets_for_key(key_values[part["column"]])
         # equality doubles as a degenerate range: manifest min/max stats
         # (merge keys are always tracked) prune files inside the bucket
-        # before Spark lists them
+        # before Spark lists them. Type-gated like the bloom probe: the
+        # stored stats are the COLUMN's Python values, so a cross-typed
+        # probe (int vs a string column's lexicographic min/max) would
+        # compare under the wrong order — or TypeError — and wrongly prune.
+        fields = {f.name: f.dataType for f in self.schema().fields}
         col_range = {
             k: (v, v) for k, v in key_values.items()
-            if isinstance(v, (int, float, str)) and not isinstance(v, bool)
+            if _stats_probe_compatible(fields.get(k), v)
         }
         # full merge-key assignment + bloom sidecars -> probe the per-file
         # filters too (identifier-shaped keys defeat min/max, blooms don't).
-        # str/int only: their Python str() matches Spark's cast-to-string,
-        # which the build side hashed (bool/float formatting differs).
+        # The build side hashed Spark's cast-to-string of the COLUMN, so the
+        # probe is only sound when the column's Spark type renders exactly
+        # like the Python value's str(): StringType probed with str, or an
+        # integral column probed with int. Anything else (double/timestamp/
+        # bool columns, or a value type that mismatches the column — e.g.
+        # int 1 vs DoubleType '1.0') must skip the bloom: a formatting
+        # mismatch would turn the false-positive-only filter into a silent
+        # false NEGATIVE (file wrongly skipped, row wrongly absent).
         bloom_key = None
         mk = self.merge_keys
-        if self.bloom_spec and mk and all(
-            k in key_values
-            and isinstance(key_values[k], (str, int))
-            and not isinstance(key_values[k], bool)
-            for k in mk
-        ):
-            bloom_key = _bloom.canonical_key([key_values[k] for k in mk])
+        if self.bloom_spec and mk:
+            if all(
+                k in key_values
+                and _bloom_probe_compatible(fields.get(k), key_values[k])
+                for k in mk
+            ):
+                bloom_key = _bloom.canonical_key([key_values[k] for k in mk])
         return self.read(
             buckets_by_spec=by_spec,
             col_range=col_range or None,

@@ -122,6 +122,7 @@ def parse_debezium(
     df: DataFrame,
     row_schema: T.StructType,
     value_col: str = "value",
+    raw_col: str | None = None,
 ) -> ParsedEnvelopes:
     """Parse a column of Debezium JSON envelopes into canonical CDC events.
 
@@ -133,14 +134,20 @@ def parse_debezium(
 
     Everything is a single PERMISSIVE ``from_json`` projection + filters:
     splittable, whole-stage-codegen'd, no exchange.
+
+    ``raw_col`` (optional) names a column carrying the ORIGINAL wire line
+    when ``value_col`` is an extracted fragment (the schemad path extracts
+    ``$.payload``); quarantine/tombstone rows then report that original
+    line, not the fragment.
     """
     env = envelope_schema(row_schema)
     env_c = T.StructType(
         list(env.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
     )
     raw = F.col(value_col)
+    keep = F.col(raw_col) if raw_col else raw
     parsed = df.select(
-        raw.alias("raw"),
+        keep.alias("raw"),
         F.from_json(raw, env_c, {"mode": "PERMISSIVE"}).alias("e"),
     )
     e = F.col("e")
@@ -154,7 +161,10 @@ def parse_debezium(
         & e["after"].isNull()
     )
     is_corrupt = ~is_tombstone & e[_CORRUPT].isNotNull()
-    known_op = e["op"].isin(*OP_MAP.keys())
+    # coalesce: a NULL op with a non-null image must evaluate known_op to
+    # FALSE (not NULL) so the row lands in quarantine instead of silently
+    # vanishing from every output (NULL & x / NULL & ~x both exclude).
+    known_op = F.coalesce(e["op"].isin(*OP_MAP.keys()), F.lit(False))
 
     tombstones = parsed.where(is_tombstone).select("raw")
     quarantine = parsed.where(is_corrupt).select(
@@ -369,12 +379,60 @@ def parse_debezium_schemad(
     a real typed column instead of being silently dropped — feed the
     events to the engine and its schema evolution emits the ADD COLUMN
     before the merge (north-star autodetect parity).
+
+    Wire-level garbage does NOT get to masquerade as a tombstone: a line
+    that is non-blank but is not valid JSON, or that carries a payload
+    without the mandatory ``schema`` block, goes to quarantine with the
+    ORIGINAL line in ``raw`` — so ``max_bad_records=0`` rejects corrupt
+    schemad input exactly like the plain-envelope path (W4 budget,
+    `sources/readers.py`). Genuine schemad tombstones — a blank/null line,
+    or the JSON converter's ``{"schema":null,"payload":null}`` null-record
+    form — still count as tombstones, never against the budget.
     """
     merged, actions = merged_wire_schema(df, base_row_schema, value_col)
-    payload = df.select(
-        F.get_json_object(F.col(value_col), "$.payload").alias("value")
+    v = F.col(value_col)
+    # probe: PERMISSIVE from_json into a corrupt-only struct — non-null
+    # corrupt field <=> the line is not valid JSON at all.
+    probe = F.from_json(
+        v,
+        T.StructType([T.StructField(_CORRUPT, T.StringType(), True)]),
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
     )
-    return parse_debezium(payload, merged, "value"), merged, actions
+    wire = df.select(
+        v.alias("_wire_raw"),
+        F.get_json_object(v, "$.payload").alias("value"),
+        F.get_json_object(v, "$.schema").alias("_schema_block"),
+        probe[_CORRUPT].alias("_bad_json"),
+    )
+    blank = (
+        F.col("_wire_raw").isNull()
+        | (F.trim(F.col("_wire_raw")) == "")
+        | (F.trim(F.col("_wire_raw")) == "null")
+    )
+    bad_wire = ~blank & (
+        F.col("_bad_json").isNotNull()
+        | (F.col("value").isNotNull() & F.col("_schema_block").isNull())
+    )
+    wire_quarantine = wire.where(bad_wire).select(
+        F.col("_wire_raw").alias("raw"),
+        F.when(
+            F.col("_bad_json").isNotNull(), F.lit("malformed schemad envelope")
+        )
+        .otherwise(F.lit("schemad envelope missing schema block"))
+        .alias("reason"),
+    )
+    parsed = parse_debezium(
+        wire.where(~bad_wire), merged, "value", raw_col="_wire_raw"
+    )
+    return (
+        ParsedEnvelopes(
+            events=parsed.events,
+            quarantine=parsed.quarantine.unionByName(wire_quarantine),
+            tombstones=parsed.tombstones,
+        ),
+        merged,
+        actions,
+    )
 
 
 def _connect_type_of(dt: T.DataType) -> str:

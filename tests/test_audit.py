@@ -140,3 +140,20 @@ def test_audit_config_validation():
         IngestConfig(table="t", audit={"max_null_frac": {"c": -0.1}})
     with pytest.raises(ConfigError, match="expect"):
         IngestConfig(table="t", audit={"expect": [""]})
+
+
+def test_expect_null_predicate_counts_as_violation(spark, tmp_path):
+    """r3 ADVICE (low): a NULL-evaluating expect predicate (NULL content
+    under 'length(content) > 0') must COUNT as a violation — pre-fix
+    ~NULL = NULL slipped exactly the malformed rows past the gate."""
+    root = str(tmp_path / "t")
+    eng = _engine(spark, root, {"expect": ["length(content) > 0"]})
+    ch = gen_changes(spark, 400, n_repos=8, paths_per_repo=5)
+    broken = ch.withColumn(
+        "content", F.when(F.col("op") == "D", F.col("content"))
+    )  # every upsert's content NULL -> predicate NULL, not false
+    with pytest.raises(AuditFailed, match="expect"):
+        eng.apply_batch(broken, "b1", seq_range=(0, 400))
+    # and the intact batch still passes the same gate
+    row = eng.apply_batch(ch, "b1", seq_range=(0, 400))
+    assert row is not None

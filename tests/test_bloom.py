@@ -235,3 +235,53 @@ def test_engine_config_opts_table_into_blooms(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ConfigError, match="key_bloom"):
         IngestConfig(table="t", key_bloom={"bits": 1})
+
+
+# ------------------------------------------------- round-4 ADVICE regression
+
+def test_lookup_probe_type_mismatch_skips_bloom_not_rows(spark, tmp_path):
+    """r3 ADVICE (medium): the bloom probe must be gated on the COLUMN's
+    Spark type, not the probe value's Python type. A DoubleType merge key
+    probed with int 1 builds canonical '1' while the sidecar hashed the
+    cast '1.0' — pre-fix the filter reported provably-absent and lookup
+    silently returned nothing. Post-fix the bloom is skipped (stats + the
+    equality predicate still apply) and the row comes back."""
+    schema = T.StructType([
+        T.StructField("id", T.DoubleType(), False),
+        T.StructField("content", T.StringType(), True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "d"), schema,
+        bucket_column="id", num_buckets=2,
+        merge_keys=["id"], properties=SPEC,
+    )
+    t.append(spark.createDataFrame(
+        [(float(i), f"body-{i}") for i in range(50)], schema))
+    # int probe against a double column: equality predicate matches
+    # (Spark widens 1 == 1.0), so lookup MUST return the row
+    got = t.lookup(id=1).collect()
+    assert len(got) == 1 and got[0].content == "body-1"
+    # float probe likewise must not go through the bloom path
+    got = t.lookup(id=2.0).collect()
+    assert len(got) == 1 and got[0].content == "body-2"
+
+
+def test_lookup_string_int_cross_probe_skips_bloom(spark, tmp_path):
+    """Int probe against a StringType merge key: equality semantics are
+    Spark's (cast comparison), and the bloom must not veto the scan."""
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "s"), schema,
+        bucket_column="key", num_buckets=2,
+        merge_keys=["key"], properties=SPEC,
+    )
+    t.append(spark.createDataFrame(
+        [(str(i), f"body-{i}") for i in range(20)], schema))
+    got = t.lookup(key=3).collect()  # int probe, string column
+    assert len(got) == 1 and got[0].content == "body-3"
+    # the well-typed probe still uses the bloom fast path and agrees
+    got = t.lookup(key="3").collect()
+    assert len(got) == 1 and got[0].content == "body-3"

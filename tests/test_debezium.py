@@ -319,3 +319,73 @@ def test_engine_replay_evolves_schema_from_wire_drift(spark, tmp_path):
     assert with_stars, "post-drift upserts must carry the wire value"
     for r in with_stars:
         assert 0 <= r.stars < 100
+
+
+# --------------------------------------------------------------------------
+# round-4 ADVICE regressions: NULL-op silent drop, schemad budget bypass
+# --------------------------------------------------------------------------
+def test_null_op_with_image_quarantined_not_dropped(spark):
+    """r3 ADVICE (medium): an envelope with a NULL/missing op but a non-null
+    image must land in quarantine (and count against the W4 budget) — the
+    pre-fix NULL-propagating isin() excluded it from ALL outputs."""
+    lines = [
+        Row(value=json.dumps({"after": {"repo": "r", "path": "p",
+                                        "commit": "c", "lang": "py",
+                                        "content": "x"}})),
+        Row(value=json.dumps({"before": {"repo": "r", "path": "q",
+                                         "commit": "c", "lang": "py",
+                                         "content": "y"}})),
+    ]
+    p = parse_debezium(spark.createDataFrame(lines), REPOS_SCHEMA, "value")
+    assert p.events.count() == 0
+    assert p.tombstones.count() == 0
+    q = p.quarantine.collect()
+    assert len(q) == 2
+    assert {r.reason for r in q} == {"unknown op: null"}
+
+
+def test_schemad_garbage_quarantined_not_tombstoned(spark):
+    """r3 ADVICE (medium): in schemad mode, wire-level garbage must hit the
+    quarantine budget, not be misread as a blank tombstone; genuine null
+    records ({"schema":null,"payload":null}) and blank lines stay
+    tombstones."""
+    from embulk_output_bigquery_java_spark.sources.debezium import (
+        connect_schema_block,
+        parse_debezium_schemad,
+    )
+
+    block = connect_schema_block(REPOS_SCHEMA)
+    good_payload = json.dumps(
+        {
+            "after": {"repo": "r", "path": "p", "commit": "c",
+                      "lang": "py", "content": "x"},
+            "source": {"ts_ms": 1, "txId": 1, "lsn": 1},
+            "op": "c",
+            "transaction": {"id": "1", "total_order": 1},
+        }
+    )
+    bad_payload = json.dumps({"op": "x", "after": {"repo": "r", "path": "p"}})
+    lines = [
+        Row(value='{"schema":' + block + ',"payload":' + good_payload + "}"),
+        Row(value="{definitely not json"),                      # -> quarantine
+        Row(value='{"payload":' + good_payload + "}"),          # no schema block
+        Row(value=""),                                          # -> tombstone
+        Row(value="null"),                                      # -> tombstone
+        Row(value='{"schema":null,"payload":null}'),            # null record
+        Row(value='{"schema":' + block + ',"payload":' + bad_payload + "}"),
+    ]
+    df = spark.createDataFrame(lines)
+    parsed, merged, actions = parse_debezium_schemad(df, REPOS_SCHEMA, "value")
+    assert parsed.events.count() == 1
+    assert parsed.tombstones.count() == 3
+    q = sorted(parsed.quarantine.collect(), key=lambda r: r.reason)
+    assert [r.reason for r in q] == [
+        "malformed schemad envelope",
+        "schemad envelope missing schema block",
+        "unknown op: x",
+    ]
+    # the ORIGINAL wire line is preserved in raw, even for payload-level
+    # quarantine (the inner parser sees only the extracted payload)
+    assert q[0].raw == "{definitely not json"
+    assert q[1].raw.startswith('{"payload":')
+    assert q[2].raw.startswith('{"schema":')

@@ -47,6 +47,17 @@ def test_query_matches_oracle(spark, ddb, name):
     exp = normalize(ddb.execute(entry_mod.oracle_sql()[name]).df())
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     assert list(got.columns) == list(exp.columns), name
+    # The driver hashes raw values, so an int64-vs-float64 representation
+    # split (e.g. DuckDB SUM(BIGINT)->HUGEINT->float64) is a red even when
+    # values are numerically equal. Catch it here instead of in the driver.
+    _KIND = {"i": "i", "u": "i", "f": "f", "b": "b", "O": "O", "M": "M"}
+    for c in got.columns:
+        gk = _KIND.get(got[c].dtype.kind, got[c].dtype.kind)
+        ek = _KIND.get(exp[c].dtype.kind, exp[c].dtype.kind)
+        assert gk == ek, (
+            f"{name}.{c}: dtype kind {got[c].dtype} vs {exp[c].dtype} — "
+            "driver value-hash would mismatch; add a CAST in the oracle SQL"
+        )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
 
 
