@@ -1148,9 +1148,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1_000_000
     )
     corpus = e.unionByName(dups)
-    kept = semantic_dedup_keep(
-        corpus, threshold=0.92, centroid_stride=50
-    )
+    # default sqrt sizing: k = ceil(sqrt(n)) centroids, stride = ceil(n/k)
+    # — centroid count decoupled from corpus size (r3 scale fix); the
+    # oracle mirrors the arithmetic exactly (CEIL(SQRT(n)), integer //)
+    kept = semantic_dedup_keep(corpus, threshold=0.92)
     return kept.select("vec_id")
 
 
@@ -1161,8 +1162,15 @@ corpus AS (
     UNION ALL
     SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
 ),
+sizing AS (
+    SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k,
+           (COUNT(*) + CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) - 1)
+               // CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS stride
+    FROM corpus
+),
 cent AS (
-    SELECT vec_id AS cid, embedding AS cv FROM corpus WHERE vec_id % 50 = 0
+    SELECT vec_id AS cid, embedding AS cv
+    FROM corpus, sizing WHERE vec_id % stride = 0
 ),
 assign AS (
     SELECT vec_id, embedding, cid FROM (
@@ -1198,21 +1206,30 @@ WHERE c.vec_id NOT IN (SELECT id FROM comp WHERE id <> comp)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic centroid subset (vec_id % 50 == 0), nprobe=2."""
+    """IVF ANN: deterministic centroid subset at the sqrt sizing default
+    (k = ceil(sqrt(n)) centroids, stride = ceil(n/k) — count bounded by
+    config, not corpus; r3 scale fix), nprobe=2."""
     from embulk_output_bigquery_java_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, q, k=5, centroid_stride=50, nprobe=2).select(
+    return ivf_topk(e, q, k=5, nprobe=2).select(
         "query_id", "vec_id", "rank"
     )
 
 
 _IVF_SQL = """
-WITH cent AS (
-    SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0
+WITH sizing AS (
+    SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k,
+           (COUNT(*) + CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) - 1)
+               // CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS stride
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings, sizing WHERE vec_id % stride = 0
 ),
 assign AS (
     SELECT vec_id, embedding, cid FROM (
@@ -1682,7 +1699,11 @@ _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 
 def _golden_sql(name: str) -> str:
-    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
+    # goldens are pinned at sf0.01 (the driver's correctness scale) AND
+    # sf0.001 (a second value-check point, r3 VERDICT item 4); the driver
+    # always compares at sf0.01, a local harness can flip the env var
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.{sf}.parquet')"
 
 
 

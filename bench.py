@@ -193,26 +193,41 @@ def main() -> None:
         else:
             queries, queries_cold = run_queries(spark, sf_dir)
         total = round(time.monotonic() - t0, 3)
-        print(
-            json.dumps(
-                {
-                    "metric": "cdc_merge_apply_replay",
-                    "value": replay["elapsed_s"],
-                    "unit": "sec",
-                    "events_per_s": replay["events_per_s"],
-                    "events": replay["events"],
-                    "batches": replay["batches"],
-                    "final_rows": replay["final_rows"],
-                    "replay_samples_sec": replay_all,
-                    "host_calib_mh_s": calib,
-                    "cores": cpus,
-                    "queries": queries,
-                    "queries_cold": queries_cold,
-                    "total_sec": total,
-                    "sf": sf,
-                }
-            )
+        result = json.dumps(
+            {
+                "metric": "cdc_merge_apply_replay",
+                "value": replay["elapsed_s"],
+                "unit": "sec",
+                "events_per_s": replay["events_per_s"],
+                "events": replay["events"],
+                "batches": replay["batches"],
+                "final_rows": replay["final_rows"],
+                "replay_samples_sec": replay_all,
+                "host_calib_mh_s": calib,
+                "cores": cpus,
+                "queries": queries,
+                "queries_cold": queries_cold,
+                "total_sec": total,
+                "sf": sf,
+            }
         )
+        # r3 artifact defect: the driver captures a bounded TAIL of stdout,
+        # and the (long) result line was truncated -> BENCH_r03.json had
+        # parsed:null. Persist the JSON to a file first (survives any
+        # stdout truncation), then print it as the final line, and make
+        # sure nothing else prints after it.
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"),
+        )
+        try:
+            with open(out_path, "w") as f:
+                f.write(result + "\n")
+        except OSError as exc:  # non-fatal: stdout line still emitted
+            print(f"bench: could not write {out_path}: {exc}",
+                  file=sys.stderr)
+        print(result, flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -27,6 +27,7 @@ Embedding near-dup (cosine) lives in operators/similarity.py.
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -226,8 +227,24 @@ def ngram_jaccard_pairs(
     return out
 
 
+@dataclass
+class CapStats:
+    """Recall-trade sidecar for :func:`_cap_buckets` (r3 VERDICT item 7):
+    how many buckets the cap dropped and how many member rows they held.
+    ``filled`` is False until the capped pipeline computed the stats.
+    Non-zero ``capped_buckets`` = recall was traded; audit the buckets
+    with :func:`hot_bucket_report`."""
+
+    capped_buckets: int = 0
+    capped_members: int = 0
+    filled: bool = False
+
+
 def _cap_buckets(
-    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    stats_out: CapStats | None = None,
 ) -> DataFrame:
     """Drop every LSH band bucket holding more than max_bucket_size docs.
 
@@ -237,6 +254,15 @@ def _cap_buckets(
     the pairs). Pairs whose ONLY collision was a capped bucket are lost —
     a recall trade documented at the call sites. The over-cap bucket list
     is tiny by construction, so it broadcasts.
+
+    ``stats_out`` (a :class:`CapStats`) surfaces the trade in RESULTS, not
+    just logs: filled EAGERLY with one small aggregate over ``banded``
+    (every caller persists the banded table before capping, so the extra
+    job rescans cache, not the signature pipeline). An eager job is
+    deliberate: a lazy ``Observation`` cannot work here — the capped
+    output is self-joined downstream, the observed node appears twice in
+    the final plan, and Spark's metric collection rejects duplicated
+    CollectMetrics (verified, round 4).
     """
     if max_bucket_size is None:
         return banded
@@ -246,12 +272,21 @@ def _cap_buckets(
         "hot_bucket_report() to see which buckets fire",
         max_bucket_size, keys,
     )
-    big = (
-        banded.groupBy(*keys)
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > max_bucket_size)
-        .select(*keys)
-    )
+    agg = banded.groupBy(*keys).agg(F.count("*").alias("_n"))
+    if stats_out is not None:
+        row = agg.select(
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > max_bucket_size, 1)), F.lit(0)
+            ).alias("cb"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > max_bucket_size, F.col("_n"))),
+                F.lit(0),
+            ).alias("cm"),
+        ).first()
+        stats_out.capped_buckets = int(row["cb"])
+        stats_out.capped_members = int(row["cm"])
+        stats_out.filled = True
+    big = agg.where(F.col("_n") > max_bucket_size).select(*keys)
     return banded.join(F.broadcast(big), on=keys, how="left_anti")
 
 
@@ -377,6 +412,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     max_bucket_size: int | None = 10_000,
+    cap_stats=None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact shingle Jaccard.
 
@@ -397,7 +433,8 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size,
+                          stats_out=cap_stats)
 
     cand = (
         banded.alias("a")
@@ -405,10 +442,21 @@ def minhash_lsh_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # verify with exact Jaccard on the true shingle sets, computed once and
-    # joined only to the (sparse) candidate pairs
-    sets = df.select(
+    # verify with exact Jaccard on the true shingle sets — computed ONLY
+    # for docs that appear in a candidate pair (semi-join prune): at
+    # 100 TB candidates are a vanishing fraction of the corpus, and
+    # re-shingling every doc for the verify stage would dwarf the
+    # signature pass itself (r3 minhash_lsh_pairs regression chase)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = df.join(
+        cand_ids.withColumnRenamed("id", id_col), on=id_col, how="left_semi"
+    ).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
     )
@@ -569,6 +617,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = 10_000,
+    cap_stats=None,
 ) -> DataFrame:
     """Pairs within Hamming distance d via 4-band blocking (pigeonhole:
     d<=3 => at least one identical 16-bit quarter). Returns
@@ -597,7 +646,8 @@ def simhash_pairs(
     from pyspark.storagelevel import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size,
+                          stats_out=cap_stats)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bh"])
@@ -676,6 +726,7 @@ def novel_against_index(
     shingle_k: int = 5,
     threshold: float = 0.7,
     max_bucket_size: int | None = 10_000,
+    cap_stats=None,
 ) -> DataFrame:
     """Near-dup novelty filter: batch rows with no MinHash-near duplicate in
     an existing corpus index (as built by build_minhash_index).
@@ -702,7 +753,8 @@ def novel_against_index(
         bands=bands,
         shingle_k=shingle_k,
     )
-    idx = _cap_buckets(index, ["band", "bh"], max_bucket_size)
+    idx = _cap_buckets(index, ["band", "bh"], max_bucket_size,
+                       stats_out=cap_stats)
     hits = (
         batch_banded.alias("b")
         .join(idx.alias("i"), on=["band", "bh"])

@@ -55,3 +55,28 @@ def test_maxby_plan_has_partial_aggregate(spark):
     assert "Exchange" in plan
     # partial aggregate sits below the exchange
     assert plan.index("partial_max_by") > plan.index("Exchange")  # printed top-down
+
+
+def test_cap_stats_report_capped_buckets(spark):
+    """r3 VERDICT item 7: the LSH cap's recall trade must surface in
+    RESULTS, not just logs — the CapStats sidecar carries (capped_buckets,
+    capped_members), filled when the capped pipeline is built."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        CapStats,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same text repeated for everyone") for i in range(30)],
+        "doc_id long, text string",
+    )
+    stats = CapStats()
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=5, cap_stats=stats)
+    assert pairs.count() == 0  # every band bucket degenerate -> all capped
+    assert stats.filled
+    assert stats.capped_buckets > 0
+    assert stats.capped_members >= 30
+    # cap above the corpus size: no bucket can exceed it -> zero trade
+    stats2 = CapStats()
+    minhash_lsh_pairs(docs, max_bucket_size=50, cap_stats=stats2).count()
+    assert stats2.filled and stats2.capped_buckets == 0

@@ -2,16 +2,20 @@
 
 The four hash-family queries (minhash/simhash/LSH/embedding near-dup) have
 no DuckDB mirror for xxhash64, so their oracle_sql() reads back a pinned
-sf0.01 parquet golden (tools/make_goldens.py). The live-vs-golden value
-compare itself runs in tests/test_entry_oracle.py (the goldens put these
-queries in the ORACLED parameterization). This module pins the two
-properties that make that scheme sound:
+parquet golden (tools/make_goldens.py). The live-vs-golden value compare
+at the driver's scale (sf0.01) runs in tests/test_entry_oracle.py (the
+goldens put these queries in the ORACLED parameterization). This module
+pins the properties that make that scheme sound:
 
-- the goldens exist and the oracle SQL actually points at them (a renamed
-  golden would silently drop a query back to rows-only);
+- goldens exist at BOTH pinned scale factors (sf0.01 and sf0.001 — r3
+  VERDICT item 4: a second value-check point so the check isn't blind at
+  the flagship's scale) and the oracle SQL actually points at them (a
+  renamed golden would silently drop a query back to rows-only);
 - the queries are bit-stable: two independent evaluations in one session
   produce identical rows (no cross-row float accumulation, no
-  partition-order dependence) — the precondition for pinning at all.
+  partition-order dependence) — the precondition for pinning at all;
+- live output matches the sf0.001 golden (sf0.01 is covered by the
+  oracle replica test).
 """
 
 import os
@@ -22,15 +26,31 @@ import pytest
 import __spark_entry__ as entry_mod
 from tools.make_goldens import GOLDEN_QUERIES, golden_path, materialize
 
-SF = "/root/testdata/sf0.01"
+SFS = {
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.001": "/root/testdata/sf0.001",
+}
+SF = SFS["sf0.01"]
+
+
+@pytest.mark.parametrize("sf", sorted(SFS))
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_golden_exists(name, sf):
+    path = golden_path(name, sf)
+    assert os.path.exists(path), f"missing golden {path}"
 
 
 @pytest.mark.parametrize("name", GOLDEN_QUERIES)
-def test_golden_exists_and_oracle_reads_it(name):
-    path = golden_path(name)
-    assert os.path.exists(path), f"missing golden {path}"
+def test_oracle_reads_golden_at_selected_sf(name, monkeypatch):
+    for sf in SFS:
+        monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", sf)
+        sql = entry_mod.oracle_sql()[name]
+        assert golden_path(name, sf) in sql, (
+            f"oracle_sql for {name} does not read its {sf} golden"
+        )
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF")
     sql = entry_mod.oracle_sql()[name]
-    assert path in sql, f"oracle_sql for {name} does not read its golden"
+    assert golden_path(name, "sf0.01") in sql  # driver default
 
 
 @pytest.mark.parametrize("name", GOLDEN_QUERIES)
@@ -39,3 +59,10 @@ def test_golden_query_is_bit_stable(spark, name):
     first = materialize(q(spark, SF))
     second = materialize(q(spark, SF))
     pd.testing.assert_frame_equal(first, second, check_exact=True)
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_live_matches_golden_at_second_sf(spark, name):
+    live = materialize(entry_mod.queries()[name](spark, SFS["sf0.001"]))
+    golden = pd.read_parquet(golden_path(name, "sf0.001"))
+    pd.testing.assert_frame_equal(live, golden, check_exact=True)

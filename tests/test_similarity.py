@@ -212,3 +212,88 @@ def test_quantize_zero_vector_is_zeros(spark):
     rows = df.select(quantize_vec(F.col("embedding")).alias("q")).collect()
     assert rows[0].q == [0.0, 0.0, 0.0]
     assert rows[1].q == [0.0, -127.0, 64.0]  # floor(1/(2/127)+0.5)=64
+
+
+# ------------------------------------------------ round-4: IVF sizing fix
+
+def test_ivf_sizing_decoupled_from_corpus():
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        ivf_sizing,
+    )
+
+    # fixed k: stride grows with n, k does not
+    assert ivf_sizing(100, n_centroids=10) == (10, 10)
+    assert ivf_sizing(10_000, n_centroids=10) == (10, 1000)
+    assert ivf_sizing(1_000_000, n_centroids=10) == (10, 100_000)
+    # sqrt default: k = ceil(sqrt(n)), k*stride >= n
+    for n in [1, 2, 99, 100, 101, 529, 530, 10_000, 123_457]:
+        k, stride = ivf_sizing(n)
+        assert k * stride >= n
+        assert (k - 1) ** 2 < n <= k * k, (n, k)
+    # degenerate corpora
+    assert ivf_sizing(0) == (1, 1)
+    assert ivf_sizing(5, n_centroids=50) == (5, 1)  # k capped at n
+
+
+def test_ivf_sizing_matches_duckdb_oracle_arithmetic():
+    """The engine's isqrt-based ceil-sqrt and the oracle's
+    CEIL(SQRT(n)) / integer // must agree exactly."""
+    import duckdb
+
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        ivf_sizing,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 2, 3, 99, 100, 101, 500, 520, 529, 2000, 2001, 1_000_000]:
+        k, stride = ivf_sizing(n)
+        ok, ostride = con.execute(
+            f"SELECT CAST(CEIL(SQRT({n})) AS BIGINT),"
+            f" ({n} + CAST(CEIL(SQRT({n})) AS BIGINT) - 1)"
+            f" // CAST(CEIL(SQRT({n})) AS BIGINT)"
+        ).fetchone()
+        assert (k, stride) == (ok, ostride), n
+
+
+def test_ivf_centroid_count_bounded_by_config_not_corpus(spark, emb):
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    n = emb.count()
+    for k in [4, 8, 16]:
+        cent = ivf_centroids(emb, n_centroids=k, corpus_count=n)
+        got = cent.count()
+        # stride selection over roughly-dense ids lands within 2x of k,
+        # NEVER proportional to the corpus
+        assert 1 <= got <= 2 * k, (k, got)
+
+
+def test_ivf_assign_broadcast_gated_by_centroid_count(spark, emb):
+    """ivf_centroids must attach OUR broadcast hint only while the
+    estimated centroid count fits the config bound; past it the join is
+    left to Spark's size-based planning (at 100-TB estimates that means a
+    partitioned cartesian, not an unbounded build side force-shipped to
+    every executor). At sf0.01 Spark may still choose BNLJ on its own
+    statistics — that's the point: the decision becomes size-driven, not
+    hardcoded — so assert on the hint in the analyzed plan, plus value
+    parity between the two strategies."""
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        ivf_assign, ivf_centroids,
+    )
+
+    n = emb.count()
+    hinted = ivf_centroids(emb, n_centroids=8, corpus_count=n)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    unhinted = ivf_centroids(
+        emb, n_centroids=8, corpus_count=n, broadcast_max_centroids=0
+    )
+    assert "ResolvedHint" not in (
+        unhinted._jdf.queryExecution().analyzed().toString()
+    )
+    # value parity between the two physical strategies
+    a = {(r.vec_id, r.cid)
+         for r in ivf_assign(emb, centroids=hinted).collect()}
+    b = {(r.vec_id, r.cid)
+         for r in ivf_assign(emb, centroids=unhinted).collect()}
+    assert a == b

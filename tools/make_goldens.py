@@ -6,7 +6,10 @@ fully deterministic (seeded hyperplanes, fixed hash seeds, per-row
 evaluation — no cross-row float accumulation), so we pin their sf0.01
 output ONCE as a reviewed parquet golden; `oracle_sql()` then reads the
 golden back via DuckDB `read_parquet`, upgrading the driver's check from
-rows-only to full rows+schema+value-hash (VERDICT r2 item 4).
+rows-only to full rows+schema+value-hash (VERDICT r2 item 4). Goldens are
+pinned at TWO scale factors (sf0.01 — the driver's correctness scale —
+and sf0.001, VERDICT r3 item 4) so the value check has a second point;
+oracle_sql() picks the SF via $SPARK_GRAFT_ORACLE_SF (default sf0.01).
 
 Regenerate (and re-review the diff!) only when an operator's semantics
 intentionally change:
@@ -35,8 +38,15 @@ GOLDEN_QUERIES = (
 )
 
 
-def golden_path(name: str) -> str:
-    return os.path.join(GOLDEN_DIR, f"{name}.sf0.01.parquet")
+def sf_tag(sf_dir: str) -> str:
+    """'sf0.01' from '/root/testdata/sf0.01' (the golden filename key)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    assert base.startswith("sf"), sf_dir
+    return base
+
+
+def golden_path(name: str, sf: str = "sf0.01") -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.{sf}.parquet")
 
 
 def materialize(df):
@@ -53,17 +63,21 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from embulk_output_bigquery_java_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.01", "/root/testdata/sf0.001"
+    ]
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     spark = get_spark("make-goldens", cores=8, shuffle_partitions=16)
     qs = entry_mod.queries()
-    for name in GOLDEN_QUERIES:
-        pdf = materialize(qs[name](spark, sf_dir))
-        path = golden_path(name)
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False), path
-        )
-        print(f"{name}: {len(pdf)} rows, {list(pdf.columns)} -> {path}")
+    for sf_dir in sf_dirs:
+        sf = sf_tag(sf_dir)
+        for name in GOLDEN_QUERIES:
+            pdf = materialize(qs[name](spark, sf_dir))
+            path = golden_path(name, sf)
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False), path
+            )
+            print(f"{name}@{sf}: {len(pdf)} rows, {list(pdf.columns)} -> {path}")
 
 
 if __name__ == "__main__":
