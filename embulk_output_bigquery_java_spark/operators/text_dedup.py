@@ -442,23 +442,32 @@ def minhash_lsh_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # verify with exact Jaccard on the true shingle sets — computed ONLY
-    # for docs that appear in a candidate pair (semi-join prune): at
-    # 100 TB candidates are a vanishing fraction of the corpus, and
-    # re-shingling every doc for the verify stage would dwarf the
-    # signature pass itself (r3 minhash_lsh_pairs regression chase)
+    # for docs that sit in a colliding band bucket (semi-join prune).
+    # Why pruning matters at 100 TB: the verify joins shuffle full
+    # shingle ARRAYS (~5x the text itself), so an unpruned `sets` ships
+    # the whole corpus, shingled, through TWO exchanges; pruned, only
+    # candidate docs pay that. The candidate ids come straight from the
+    # persisted banded table's >=2-member buckets (every member of such
+    # a bucket appears in some pair, and vice versa) — one small
+    # aggregate over cache, no second evaluation of the pair self-join.
+    # `sets` is the DF consumed twice (id_a and id_b sides), so IT is
+    # what gets persisted — candidates only, tiny by construction.
     cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
+        banded.groupBy("band", "bh")
+        .agg(F.collect_set("id").alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .select(F.explode("_ids").alias(id_col))
         .distinct()
     )
-    sets = df.join(
-        cand_ids.withColumnRenamed("id", id_col), on=id_col, how="left_semi"
-    ).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
+    sets = (
+        df.join(cand_ids, on=id_col, how="left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     withsets = cand.join(
         sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
