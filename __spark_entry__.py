@@ -3,8 +3,8 @@
 entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 47 queries are
-                 value-checked. 43 against live ANSI-SQL re-derivations
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query; all 51 queries are
+                 value-checked. 47 against live ANSI-SQL re-derivations
                  (incl. the media suite, the recursive-CTE components
                  oracle, the Debezium wire-format parse, and the MOR
                  merge_rule fold vs its closed-form suffix-sum); the four
@@ -1830,6 +1830,149 @@ def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CDC history / event analytics (round-4 additions)
+# --------------------------------------------------------------------------
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the CDC event stream: one row per
+    version per (user_id, event_type) key with validity interval, tombstone
+    op, and the single open current version (operators/scd2.py — the
+    history-table companion to the merge path's latest-state semantics;
+    delete rule mirrors cdc_merge_apply's value<1 convention)."""
+    from embulk_output_bigquery_java_spark.operators.scd2 import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = scd2_history(
+        ev,
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+        ts_col="ts",
+        delete_when=F.col("value") < 1,
+        open_end_ts="2200-01-01 00:00:00",
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", "version",
+        "valid_from", "valid_to", "op", "is_current",
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id, event_type, event_id,
+       CAST(row_number() OVER w AS INTEGER) AS version,
+       ts AS valid_from,
+       coalesce(lead(ts) OVER w, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+       CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+       (lead(ts) OVER w IS NULL AND value >= 1) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h cut) rolled up to one row per session
+    (operators/sessionize.py). Aggregates are count/min/max only — order-
+    independent, so exact cross-engine."""
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        session_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return session_rollup(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        gap_ms=21_600_000,
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) <= 21600000
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed query-term bag (operators/text_rank.py);
+    outputs are integers only, ordering by round(score,6) + doc_id."""
+    from embulk_output_bigquery_java_spark.operators.text_rank import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["join", "merge", "scan"], k=10
+    )
+
+
+_BM25_SQL = """
+WITH dl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN ('join', 'merge', 'scan')
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         SUM( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) ) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_hits, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT doc_id, n_hits,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word bigrams (operators/text_rank.py)."""
+    from embulk_output_bigquery_java_spark.operators.text_rank import (
+        top_ngrams,
+    )
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=100)
+
+
+_TOP_NGRAMS_SQL = r"""
+WITH w AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM w
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1886,6 +2029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
         "media_resize_plan": q_media_resize_plan,
+        "scd2_history": q_scd2_history,
+        "sessionize_events": q_sessionize_events,
+        "bm25_topk": q_bm25_topk,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -1934,6 +2081,10 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _MEDIA_FEATURES_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "media_resize_plan": _MEDIA_RESIZE_SQL,
+        "scd2_history": _SCD2_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "bm25_topk": _BM25_SQL,
+        "top_ngrams": _TOP_NGRAMS_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

@@ -1,0 +1,73 @@
+"""SCD type-2 history builder — CDC event stream → versioned dimension rows.
+
+The reference plugin materializes only the LATEST state per key (its MERGE
+modes, ``BigqueryJavaOutputPlugin.java`` mode dispatch); warehouses built on
+CDC feeds almost always also want the full *history* — one row per version
+with a validity interval — so downstream point-in-time joins (see
+``operators/asof.py``) have something to join against. This operator derives
+that history relationally from the same keyed/ordered event stream the merge
+path consumes (operators/dedup.py ordering contract: ``order_cols`` is the
+total per-key order, e.g. ``(ts, event_id)`` / ``(commit, event_offset)``).
+
+Semantics (Kimball type-2):
+- every change event opens a version valid from its own order timestamp;
+- the version closes when the NEXT event for the same key arrives
+  (``valid_to`` = next event's timestamp, NULL while open);
+- a delete event closes the previous version and contributes a tombstone
+  version row (``op='D'``) that is never current — keeping deletes in the
+  history is what makes "was this key live at time T?" answerable;
+- ``is_current`` marks the single open, non-deleted version per key.
+
+100-TB shape: ONE hash shuffle (window partitioned by key), no joins, no
+self-reads — ``lead``/``row_number`` over the same window spec collapse to a
+single sort within the exchange. Hot keys are ordinary window skew (AQE /
+salting territory). Contrast with the naive formulation — a self-join of
+events to next-events — which is a second full shuffle plus a range
+predicate Spark can't optimize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    *,
+    ts_col: str | None = None,
+    delete_when: Column | None = None,
+    open_end_ts: str | None = None,
+) -> DataFrame:
+    """Return ``df`` plus SCD2 columns ``version``, ``valid_from``,
+    ``valid_to``, ``op``, ``is_current``.
+
+    ``ts_col`` is the validity clock (defaults to the first order column);
+    ``delete_when`` is a boolean Column marking delete events (defaults to
+    never). ``open_end_ts`` (e.g. ``"2200-01-01 00:00:00"``; keep it inside
+    pandas' datetime64[ns] range when results cross Arrow) replaces the
+    NULL ``valid_to`` of open versions with the classic SCD2 high-date
+    sentinel, keeping the column non-nullable so point-in-time lookups are a
+    sargable ``BETWEEN`` instead of ``<= OR IS NULL``. Output carries every
+    input column, so the caller prunes payload columns *before* calling when
+    the history table should be narrow — column pruning then reaches the
+    scan (PushedFilters/ReadSchema).
+    """
+    clock = ts_col or order_cols[0]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    is_del = delete_when if delete_when is not None else F.lit(False)
+    nxt = F.lead(F.col(clock)).over(w)
+    valid_to = nxt
+    if open_end_ts is not None:
+        clock_type = df.schema[clock].dataType
+        valid_to = F.coalesce(nxt, F.lit(open_end_ts).cast(clock_type))
+    return df.select(
+        *df.columns,
+        F.row_number().over(w).alias("version"),
+        F.col(clock).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (nxt.isNull() & ~is_del).alias("is_current"),
+    )

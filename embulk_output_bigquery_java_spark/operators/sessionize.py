@@ -1,0 +1,87 @@
+"""Gap-based sessionization — event stream → per-key session rollups.
+
+The classic web-scale log transform: order each key's events in time and cut
+a new session wherever the inter-event gap exceeds a threshold. Not in the
+reference (no query engine); built brief-first because any CDC/event
+pipeline at 10^10 events feeds exactly this downstream.
+
+100-TB shape:
+- gap flag + running session index: ONE hash shuffle (window partitioned by
+  key, ``lag`` and the running ``sum`` share the window sort);
+- session rollup: a ``groupBy(key, session_idx)`` whose input is already
+  hash-partitioned by key — the second exchange moves only partial
+  aggregates (map-side combine emits one row per session per task), so it is
+  O(#sessions), not O(#events);
+- all integer/epoch-millis arithmetic — exact, engine-portable, no interval
+  types, no float accumulation (aggregates are count/min/max only, which are
+  order-independent; a float SUM would be nondeterministic across partial
+  aggregation orders and is deliberately not offered here).
+
+Hot keys are ordinary window skew; a key's events must be sortable within
+one partition, which holds whenever one *key* fits a partition — the same
+contract as every window operator in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_GAP_FLAG = "__sess_new"
+_IDX = "session_idx"
+
+
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Tag every event with a per-key ``session_idx`` (1-based, increasing in
+    time order). A new session starts when the gap to the previous event
+    exceeds ``gap_ms`` milliseconds. ``order_cols`` breaks timestamp ties
+    deterministically (defaults to ``[ts_col]`` — pass a unique column when
+    timestamps can collide).
+    """
+    order = order_cols or [ts_col]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    # interval arithmetic (not unix_millis) so TIMESTAMP and TIMESTAMP_NTZ
+    # both work and no session-timezone conversion enters the comparison —
+    # exact integer microsecond math on both engines
+    prev = F.lag(F.col(ts_col)).over(w)
+    within = F.col(ts_col) <= prev + F.expr(
+        f"INTERVAL '{int(gap_ms)}' MILLISECOND"
+    )
+    flag = F.when(within, F.lit(0)).otherwise(F.lit(1))
+    run = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        *df.columns, F.sum(flag).over(run).cast("long").alias(_IDX)
+    )
+
+
+def session_rollup(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Sessionize then collapse to one row per session: start/end timestamps,
+    event count, and max ``value`` when a ``value`` column exists (max, not
+    sum — order-independent, exact across engines)."""
+    tagged = sessionize(
+        df, keys, ts_col=ts_col, order_cols=order_cols, gap_ms=gap_ms
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if "value" in df.columns:
+        aggs.append(F.max("value").alias("max_value"))
+    return tagged.groupBy(*keys, _IDX).agg(*aggs)

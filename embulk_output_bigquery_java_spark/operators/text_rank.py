@@ -1,0 +1,131 @@
+"""Corpus ranking / frequency operators: BM25 scoring and top-n-grams.
+
+Training-data curation needs relevance scoring (filter a 100-TB crawl to
+documents that match a topic seed) and corpus-frequency statistics (boiler-
+plate n-gram mining, vocabulary builds). Neither exists in the reference
+(no query engine); both are built brief-first as pure-Catalyst plans — no
+UDFs, everything whole-stage codegen'd.
+
+100-TB shapes:
+- ``bm25_topk``: the exploded term stream is filtered to the QUERY TERMS
+  *before* any aggregate, so both shuffles (per-doc tf, per-term df) move
+  O(matching terms), not O(corpus tokens). The per-term stats (|query|
+  rows) and the two corpus scalars (N, avgdl) come back as broadcasts; the
+  final top-k is ``orderBy().limit(k)`` — Spark's distributed
+  TakeOrderedAndProject, never a single-partition global window over the
+  corpus. Rank numbers are assigned on the k-row result only.
+- ``top_ngrams``: gram explode → hash-aggregate with map-side combine →
+  TakeOrderedAndProject. One shuffle, partial aggregation bounds what moves
+  to ~|distinct grams per task|.
+
+Float discipline: BM25 scores are doubles; ordering uses ``round(score, 6)``
+with an id tie-break (the engine-wide cross-engine convention, see
+``__spark_entry__`` module docstring) and the score itself is not emitted —
+outputs are integers/strings only, so value hashes are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: lowercase word/number tokenizer — ASCII class keeps Java/RE2 regex
+#: engines byte-identical (same convention as operators/text_stats.py)
+WORD_RE = "[a-z0-9]+"
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 (idf = ln(1 + (N - df + ½)/(df + ½))) of every document
+    against a bag of query terms; returns the top-``k`` as
+    ``(doc_id, n_hits, rank)`` — ``n_hits`` = #distinct query terms present.
+    """
+    base = docs.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).select(id_col, "__toks", F.size("__toks").alias("__dl"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    tf = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
+        .where(F.col("__term").isin(*query_terms))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                )
+                * F.col("__tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__score"),
+        )
+    )
+    top = scored.orderBy(
+        F.round("__score", 6).desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.round("__score", 6).desc(), F.col(id_col).asc())
+    return top.select(
+        id_col, "n_hits", F.row_number().over(w).alias("rank")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most frequent word ``n``-grams across the corpus as
+    ``(gram, cnt)``, ties broken by gram ascending (a deterministic set at
+    the limit boundary)."""
+    toks = _tokens(text_col).alias("__toks")
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - n),
+            lambda i: F.array_join(
+                F.slice("__toks", i + 1, n), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(toks)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

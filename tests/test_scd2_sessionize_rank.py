@@ -1,0 +1,222 @@
+"""Round-4 operator suite: SCD2 history, gap sessionization, BM25, n-grams.
+
+Semantics pinned on tiny hand-computed fixtures; plan shapes asserted the
+same way test_plans_physical.py does (one Exchange for the window operators,
+partial aggregation + TakeOrderedAndProject for the rank operators).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.scd2 import scd2_history
+from embulk_output_bigquery_java_spark.operators.sessionize import (
+    session_rollup,
+    sessionize,
+)
+from embulk_output_bigquery_java_spark.operators.text_rank import (
+    bm25_topk,
+    top_ngrams,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes via the formatted plan's detail
+    headers — each node appears once as '(N) Exchange' (the tree line would
+    double-count)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+# --------------------------------------------------------------------------
+# SCD2
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def cdc_events(spark):
+    rows = [
+        # key A: two updates then a delete — nothing current
+        (1, _ts("2024-01-01T00:00:00"), "A", 10.0),
+        (2, _ts("2024-01-02T00:00:00"), "A", 20.0),
+        (3, _ts("2024-01-03T00:00:00"), "A", 0.0),
+        # key B: single update — current
+        (4, _ts("2024-01-01T12:00:00"), "B", 5.0),
+        # key C: delete resurrected by a later update — current again
+        (5, _ts("2024-01-01T00:00:00"), "C", 0.0),
+        (6, _ts("2024-01-05T00:00:00"), "C", 7.0),
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, k string, value double")
+
+
+def test_scd2_versions_and_intervals(cdc_events):
+    out = scd2_history(
+        cdc_events, ["k"], ["ts", "event_id"],
+        ts_col="ts", delete_when=F.col("value") < 1,
+    )
+    got = {
+        (r.k, r.version): r
+        for r in out.collect()
+    }
+    assert got[("A", 1)].valid_to == _ts("2024-01-02T00:00:00")
+    assert got[("A", 2)].valid_to == _ts("2024-01-03T00:00:00")
+    assert got[("A", 3)].valid_to is None
+    assert got[("A", 3)].op == "D"
+    assert not any(r.is_current for (k, _), r in got.items() if k == "A")
+    assert got[("B", 1)].is_current and got[("B", 1)].op == "U"
+    # resurrection: the delete's interval closes at the re-insert
+    assert got[("C", 1)].op == "D"
+    assert got[("C", 1)].valid_to == _ts("2024-01-05T00:00:00")
+    assert got[("C", 2)].is_current
+
+
+def test_scd2_open_end_sentinel(cdc_events):
+    out = scd2_history(
+        cdc_events, ["k"], ["ts", "event_id"],
+        ts_col="ts", open_end_ts="2200-01-01 00:00:00",
+    )
+    rows = out.where(F.col("k") == "B").collect()
+    assert rows[0].valid_to == _ts("2200-01-01T00:00:00")
+    assert out.where(F.col("valid_to").isNull()).count() == 0
+
+
+def test_scd2_single_exchange(cdc_events):
+    from tests.test_plans_physical import plan_of
+
+    out = scd2_history(cdc_events, ["k"], ["ts", "event_id"], ts_col="ts")
+    plan = plan_of(out)
+    assert _n_exchanges(plan) == 1, plan
+
+
+# --------------------------------------------------------------------------
+# sessionize
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def clicks(spark):
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        # user 1: gap exactly == threshold stays; +1ms over splits
+        (1, base, 100, 1.0),
+        (1, base + dt.timedelta(milliseconds=60_000), 101, 2.0),
+        (1, base + dt.timedelta(milliseconds=120_000), 102, 3.0),
+        (1, base + dt.timedelta(milliseconds=180_001), 103, 4.0),
+        # user 2: one event
+        (2, base, 200, 9.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+
+
+def test_sessionize_gap_boundary_inclusive(clicks):
+    tagged = sessionize(
+        clicks, ["user_id"], ts_col="ts",
+        order_cols=["ts", "event_id"], gap_ms=60_000,
+    )
+    idx = {r.event_id: r.session_idx for r in tagged.collect()}
+    # 60,000 ms gaps are <= threshold (same session); 60,001 ms splits
+    assert idx[100] == idx[101] == idx[102] == 1
+    assert idx[103] == 2
+    assert idx[200] == 1
+
+
+def test_session_rollup_counts(clicks):
+    out = session_rollup(
+        clicks, ["user_id"], ts_col="ts",
+        order_cols=["ts", "event_id"], gap_ms=60_000,
+    )
+    rows = {(r.user_id, r.session_idx): r for r in out.collect()}
+    assert rows[(1, 1)].n_events == 3
+    assert rows[(1, 1)].max_value == 3.0
+    assert rows[(1, 2)].n_events == 1
+    assert rows[(2, 1)].session_start == rows[(2, 1)].session_end
+
+
+def test_sessionize_single_exchange(clicks):
+    from tests.test_plans_physical import plan_of
+
+    tagged = sessionize(clicks, ["user_id"], ts_col="ts", gap_ms=60_000)
+    plan = plan_of(tagged)
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_session_rollup_has_partial_aggregation(clicks):
+    from tests.test_plans_physical import plan_of
+
+    out = session_rollup(clicks, ["user_id"], ts_col="ts", gap_ms=60_000)
+    plan = plan_of(out)
+    # map-side combine: a partial HashAggregate before the rollup exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+# --------------------------------------------------------------------------
+# BM25 / n-grams
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def mini_corpus(spark):
+    rows = [
+        (1, "merge merge merge join"),      # heavy on query terms
+        (2, "join scan"),                   # short, two hits
+        (3, "filter window sort order"),    # zero hits
+        (4, "merge and a very long tail of filler words that dilute " * 3),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_and_hits(mini_corpus):
+    out = bm25_topk(mini_corpus, ["merge", "join", "scan"], k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 3 not in rows  # zero-hit docs never score
+    assert rows[1].n_hits == 2
+    assert rows[2].n_hits == 2
+    assert rows[4].n_hits == 1
+    # doc 2 is short (high length norm) with two distinct rare-ish terms;
+    # doc 4 is long and diluted — it must rank last of the scored docs
+    ranks = {r.doc_id: r.rank for r in out.collect()}
+    assert ranks[4] == max(ranks.values())
+    assert sorted(ranks.values()) == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_k_bound(mini_corpus):
+    assert bm25_topk(mini_corpus, ["merge", "join", "scan"], k=2).count() == 2
+
+
+def test_bm25_plan_broadcasts_stats_and_takeordered(mini_corpus):
+    from tests.test_plans_physical import plan_of
+
+    out = bm25_topk(mini_corpus, ["merge"], k=5)
+    plan = plan_of(out)
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_top_ngrams_counts_and_short_doc_guard(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.gram: r.cnt for r in top_ngrams(docs, n=2, k=10).collect()}
+    # doc 1 grams: "a b", "b a", "a b"; docs 2/3 contribute nothing
+    assert out == {"a b": 2, "b a": 1}
+
+
+def test_top_ngrams_tiebreak_at_limit(spark):
+    docs = spark.createDataFrame(
+        [(1, "z y x w v u")], "doc_id long, text string"
+    )
+    out = top_ngrams(docs, n=2, k=3).collect()
+    # grams: "z y","y x","x w","w v","v u", all count 1 — the limit
+    # boundary must be gram-ascending, a deterministic set
+    assert sorted(r.gram for r in out) == ["v u", "w v", "x w"]
+
+
+def test_top_ngrams_plan_partial_agg(spark, mini_corpus):
+    from tests.test_plans_physical import plan_of
+
+    plan = plan_of(top_ngrams(mini_corpus, n=2, k=5))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
