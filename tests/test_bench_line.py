@@ -1,0 +1,77 @@
+"""The driver parses only a bounded tail (~2000 chars) of bench.py stdout.
+
+r3 regression: the result line carried 47 warm + 47 cold query timings,
+overflowed the tail window, was truncated from the FRONT, and the driver
+recorded ``parsed: null``. ``compact_result_line`` must keep the stdout
+line inside the budget for any realistic query count while preserving the
+fields the artifact contract names (events_per_s, replay_samples_sec,
+host_calib_mh_s).
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load("bench_mod", os.path.join(_ROOT, "bench.py"))
+
+
+def _full(queries):
+    return {
+        "metric": "cdc_merge_apply_replay",
+        "value": 8.623,
+        "unit": "sec",
+        "events_per_s": 927654.3,
+        "events": 8_000_000,
+        "batches": 16,
+        "final_rows": 600_572,
+        "replay_samples_sec": [8.623, 8.915, 9.024],
+        "host_calib_mh_s": 123.456,
+        "cores": 32,
+        "queries": queries,
+        "queries_cold": queries,
+        "total_sec": 379.24,
+        "sf": 0.1,
+    }
+
+
+def test_real_query_names_fit_budget_with_timings_kept():
+    entry = _load("entry_mod", os.path.join(_ROOT, "__spark_entry__.py"))
+    names = list(entry.queries().keys())
+    assert len(names) >= 45
+    line = bench.compact_result_line(_full({n: 12.345 for n in names}))
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    d = json.loads(line)
+    # contract fields survive shrinking
+    for key in ("metric", "value", "unit", "events_per_s",
+                "replay_samples_sec", "host_calib_mh_s", "sf"):
+        assert key in d, key
+    # per-query timings survive at the real query count
+    assert set(d["queries"]) == set(names)
+
+
+@pytest.mark.parametrize("n_queries", [0, 10, 51, 120, 400])
+def test_line_always_within_budget(n_queries):
+    qs = {f"some_rather_long_query_name_{i:03d}": 1.0 + i / 7 for i in
+          range(n_queries)}
+    line = bench.compact_result_line(_full(qs))
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    d = json.loads(line)  # always valid JSON
+    assert d["events_per_s"] == 927654.3
+
+
+def test_small_result_passes_through_unmodified():
+    full = _full({"q1": 1.234, "q2: odd name": 0.5})
+    line = bench.compact_result_line(full)
+    assert json.loads(line) == full
