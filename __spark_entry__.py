@@ -1972,6 +1972,223 @@ FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 100
 """
 
 
+def q_compact_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect changelog compaction (operators/changes.py
+    compact_changes): the events table re-read as a CDC batch (same op
+    derivation as debezium_parse: value<1 -> D, event_id%3==0 -> I, else U),
+    collapsed to at most one net change per (user_id, event_type) key —
+    I+...+D vanishes, I+...+U stays I, ...+D stays D — with the last image
+    and the per-key churn count riding along. One min_by/max_by hash
+    aggregate (map-side combined), strictly cheaper than the window
+    formulation the oracle uses."""
+    from embulk_output_bigquery_java_spark.operators.changes import (
+        compact_changes,
+    )
+
+    op = (
+        F.when(F.col("value") < 1, F.lit("D"))
+        .when(F.col("event_id") % 3 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value", op.alias("op")
+    )
+    out = compact_changes(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        "user_id", "event_type", "event_id", "value", "net_op",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_COMPACT_CHANGES_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CASE WHEN value < 1 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'I'
+              ELSE 'U' END AS op
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER wa AS rn_first,
+         row_number() OVER wd AS rn_last
+  FROM e
+  WINDOW wa AS (PARTITION BY user_id, event_type
+                ORDER BY ts ASC, event_id ASC),
+         wd AS (PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC)
+), fl AS (
+  SELECT user_id, event_type,
+         max(CASE WHEN rn_first = 1 THEN op END) AS first_op,
+         max(CASE WHEN rn_last = 1 THEN op END)  AS last_op,
+         max(CASE WHEN rn_last = 1 THEN event_id END) AS event_id,
+         max(CASE WHEN rn_last = 1 THEN value END)    AS value,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, event_id, value,
+       CASE WHEN first_op = 'I' THEN 'I'
+            WHEN last_op = 'D' THEN 'D'
+            ELSE 'U' END AS net_op,
+       n_events
+FROM fl
+WHERE NOT (first_op = 'I' AND last_op = 'D')
+"""
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof revenue join (operators/skew.py salted_join): lineitem
+    (big, salted 8 ways on a uniform per-row id) x orders (replicated to
+    every salt), aggregated to revenue per order priority. Same result as
+    the plain join — the oracle IS the unsalted formulation — proving the
+    salt is pure partitioning. This is the explicit-salting leg of the
+    north rule's skew handling (AQE skew-join is the runtime leg)."""
+    from embulk_output_bigquery_java_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, od, ["l_orderkey"], n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (operators/sessionize.py
+    tumbling_agg — the batch twin of the streaming windowed aggregate):
+    hourly event counts + exact integerized value sums per event type.
+    Zero-shuffle bucketing, one map-side-combined aggregate."""
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        tumbling_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return tumbling_agg(ev, ["event_type"], ts_col="ts", window="1 hour")
+
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+           AS value_milli_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_pit_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators/scd2.py
+    point_in_time_lookup over scd2_history): the 'click' stream builds a
+    per-user SCD2 dimension (value<1 = delete), then every 'purchase' fact
+    joins the version valid at its own timestamp — half-open intervals,
+    tombstone intervals yield NULLs like a not-yet-existing key. Equality
+    join on the key with the interval as residual condition: one shuffle,
+    no range explosion."""
+    from embulk_output_bigquery_java_spark.operators.scd2 import (
+        point_in_time_lookup,
+        scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dim = scd2_history(
+        ev.where(F.col("event_type") == "click").drop("event_type"),
+        ["user_id"],
+        ["ts", "event_id"],
+        ts_col="ts",
+        delete_when=F.col("value") < 1,
+        open_end_ts="2200-01-01 00:00:00",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("dim_event_id"),
+        F.col("value").alias("dim_value"),
+        "version", "valid_from", "valid_to", "op",
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("fact_event_id"),
+        F.col("ts").alias("fact_ts"),
+    )
+    out = point_in_time_lookup(
+        facts, dim, ["user_id"], fact_ts="fact_ts"
+    )
+    return out.select(
+        "user_id", "fact_event_id", "fact_ts",
+        "dim_event_id", "dim_value", "version",
+    )
+
+
+_PIT_SQL = """
+WITH dim AS (
+  SELECT user_id, event_id AS dim_event_id, value AS dim_value,
+         CAST(row_number() OVER w AS INTEGER) AS version,
+         ts AS valid_from,
+         coalesce(lead(ts) OVER w,
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+         (value < 1) AS is_del
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), facts AS (
+  SELECT user_id, event_id AS fact_event_id, ts AS fact_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.fact_event_id, f.fact_ts,
+       d.dim_event_id, d.dim_value, d.version
+FROM facts f
+LEFT JOIN (SELECT * FROM dim WHERE NOT is_del) d
+  ON f.user_id = d.user_id
+ AND f.fact_ts >= d.valid_from AND f.fact_ts < d.valid_to
+"""
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles (operators/profile.py
+    column_quantiles, exact mode for the oracle; the approx sketch is the
+    100-TB default). Long-format output, one row per (lang, q)."""
+    from embulk_output_bigquery_java_spark.operators.profile import (
+        column_quantiles,
+    )
+
+    return column_quantiles(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        group_cols=["lang"],
+        exact=True,
+    )
+
+
+_DOC_QUANTILES_SQL = """
+WITH q AS (
+  SELECT lang,
+         quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS vs
+  FROM documents GROUP BY lang
+)
+SELECT lang,
+       unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+               CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS quantile,
+       round(unnest(vs), 6) AS value
+FROM q
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2031,6 +2248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": q_media_resize_plan,
         "scd2_history": q_scd2_history,
         "sessionize_events": q_sessionize_events,
+        "compact_changes_net": q_compact_changes,
+        "salted_join_revenue": q_salted_join_revenue,
+        "tumbling_hourly": q_tumbling_hourly,
+        "pit_dim_lookup": q_pit_dim_lookup,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "bm25_topk": q_bm25_topk,
         "top_ngrams": q_top_ngrams,
     }
@@ -2083,6 +2305,11 @@ def oracle_sql() -> dict[str, str]:
         "media_resize_plan": _MEDIA_RESIZE_SQL,
         "scd2_history": _SCD2_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "compact_changes_net": _COMPACT_CHANGES_SQL,
+        "salted_join_revenue": _SALTED_JOIN_SQL,
+        "tumbling_hourly": _TUMBLING_SQL,
+        "pit_dim_lookup": _PIT_SQL,
+        "doc_length_quantiles": _DOC_QUANTILES_SQL,
         "bm25_topk": _BM25_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific

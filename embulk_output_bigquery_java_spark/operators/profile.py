@@ -92,3 +92,53 @@ def profile_table(
         F.col("s.min_value").alias("min_value"),
         F.col("s.max_value").alias("max_value"),
     )
+
+
+def column_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = False,
+    accuracy: int = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column — the distribution companion
+    to :func:`profile_table`'s min/max (document-length percentiles per
+    language, merge-latency p95 per partition from the lineage ledger,
+    repo-size skew diagnostics before choosing salt counts).
+
+    ``exact=False`` (the 100-TB default) uses ``approx_percentile``
+    (Greenwald-Khanna sketch): one map-side-combined aggregation pass,
+    bounded memory per partition, mergeable partials — the only shape that
+    survives a 10^10-row column. ``exact=True`` uses ``percentile`` (exact,
+    linear interpolation — same definition as DuckDB/Postgres
+    ``quantile_cont``), which buffers each group's values and exists for
+    small tables and oracle checks; the docstring IS the guidance, same
+    policy as profile_table's exact-cardinality switch.
+
+    Output is long-format: ``group_cols + [quantile, value]`` — one row per
+    (group, q), diffable across loads like the profiler. Values rounded to
+    ``round_to`` decimals so the exact mode is hash-stable cross-engine
+    (interpolation arithmetic agrees to well past 6 places).
+    """
+    gcols = group_cols or []
+    qarr = "array(" + ", ".join(repr(q) for q in quantiles) + ")"
+    fn = (
+        f"percentile({value_col}, {qarr})"
+        if exact
+        else f"approx_percentile({value_col}, {qarr}, {int(accuracy)})"
+    )
+    agg = df.groupBy(*gcols).agg(F.expr(fn).alias("_qs"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in quantiles]).alias("quantile"),
+        F.col("_qs").cast("array<double>").alias("value"),
+    )
+    return agg.select(
+        *gcols, F.explode(pairs).alias("_p")
+    ).select(
+        *gcols,
+        F.col("_p.quantile").alias("quantile"),
+        F.round(F.col("_p.value"), round_to).alias("value"),
+    )

@@ -71,3 +71,64 @@ def scd2_history(
         F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
         (nxt.isNull() & ~is_del).alias("is_current"),
     )
+
+
+def point_in_time_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    *,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    include_deleted: bool = False,
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the SCD2 dimension version that was valid when
+    the fact happened: ``valid_from <= fact_ts < valid_to`` (half-open, the
+    interval convention :func:`scd2_history` emits — an event at exactly the
+    next version's start belongs to the next version).
+
+    Deleted-version rows (``op='D'``) represent "key was absent": by default
+    facts landing inside a tombstone interval get NULL dimension columns,
+    exactly like facts before the key ever existed (``include_deleted=True``
+    keeps them for audit joins). ``how='left'`` preserves unmatched facts;
+    ``'inner'`` drops them.
+
+    100-TB shape: an equality join on ``keys`` with the interval predicate
+    as a residual join condition — ONE shuffle, sort-merge on the key, and
+    the residual filters inside the merge, so there is no range explosion:
+    each fact meets only its own key's versions (bounded by per-key version
+    count, not corpus size). Contrast with a pure range join (no equality
+    key), which Spark would execute as a broadcast-nested-loop. When the
+    dimension history is small, Catalyst/AQE broadcasts it and the shuffle
+    disappears. The union-window as-of join (operators/asof.py) is the
+    alternative when the history has no materialized valid_to; against a
+    *materialized* SCD2 table the interval join wins because the history is
+    usually orders of magnitude smaller than the fact stream and
+    broadcast-able.
+
+    Dimension columns that collide with fact columns come back suffixed
+    ``_dim`` (so history's ``valid_from`` stays ``valid_from`` unless the
+    fact side also has one).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"point_in_time_lookup supports left/inner, got {how!r}")
+    dim = history
+    if not include_deleted and "op" in dim.columns:
+        dim = dim.where(F.col("op") != "D")
+    renames = {
+        c: (f"{c}_dim" if c in facts.columns and c not in keys else c)
+        for c in dim.columns
+    }
+    dim = dim.select(
+        *[F.col(c).alias(n) for c, n in renames.items()]
+    )
+    vf, vt = renames[valid_from], renames[valid_to]
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (facts[k] == dim[k])
+    cond = cond & (facts[fact_ts] >= dim[vf]) & (facts[fact_ts] < dim[vt])
+    out = facts.join(dim, cond, how)
+    # drop the dimension's duplicate key columns; facts' survive
+    return out.drop(*[dim[k] for k in keys])

@@ -1,0 +1,87 @@
+"""Explicit skew-handling join — salting when AQE isn't enough.
+
+The north rule calls for "explicit salting/AQE skew handling for hot
+repos": a CDC feed over source-code repositories is Zipf-skewed (a few
+monorepos dominate the event stream), so the (repo, path)-keyed joins and
+the repo-grain enrichment joins hit reducers that hold the whole hot key.
+AQE's skew-join split (``spark.sql.adaptive.skewJoin``) fixes this at
+runtime *when the join is sort-merge and statistics surface the skew*; this
+module is the deterministic, planner-independent fallback the pipeline can
+force per-join:
+
+- :func:`salted_join` — replicate-and-salt: the BIG side gets a salt
+  ``pmod(xxhash64(entire row key id), n)``; the SMALL side is replicated
+  ``n`` times (explode of a literal range — n small-side copies, NOT a
+  cross join of the big side). The join key becomes ``(key, salt)``, so a
+  hot key's rows spread over ``n`` reducers instead of one. Replication
+  multiplies the small side by ``n`` — use when the small side is too big
+  to broadcast outright but |small| * n still fits a shuffle comfortably.
+
+Correctness: salting is pure partitioning — every (big row, small row) key
+match still meets exactly once, because each big row carries ONE salt and
+the small side exists at EVERY salt. Equality with the plain join is pinned
+in tests/test_skew.py and the salted driver query shares its oracle SQL
+with the unsalted formulation.
+
+100-TB shape: one shuffle either way; the salt bounds the largest reducer
+partition at |hottest key| / n. The explode is a zero-shuffle projection on
+the small side. Salt from xxhash64 of a per-row unique column when one
+exists (uniform), else ``monotonically_increasing_id`` (uniform across
+partitions by construction) — never ``rand()``, which would break retry
+determinism (engine rule: deterministic lineage everywhere, engine.py
+retry loop replays stages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+_SALT = "__skew_salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Join ``big`` to ``small`` on ``on`` with the big side salted across
+    ``n_salts`` sub-keys and the small side replicated to every salt.
+
+    ``how`` supports ``inner`` and ``left`` (left = big side preserved;
+    right/full would need salt-aware null handling on the replicated side
+    and are out of scope — AQE covers those shapes). ``salt_from`` names a
+    big-side column to derive the salt from; default uses
+    ``monotonically_increasing_id()`` so the salt is uniform even when
+    every non-key column is itself skewed.
+
+    Output columns: ``big.columns`` + small's non-key columns, same as a
+    plain ``big.join(small, on, how)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    overlap = [c for c in small.columns if c not in on and c in big.columns]
+    if overlap:
+        raise ValueError(
+            f"small side columns {overlap} collide with big side; rename "
+            "before joining"
+        )
+    salt_src = (
+        F.xxhash64(F.col(salt_from))
+        if salt_from is not None
+        else F.monotonically_increasing_id()
+    )
+    b = big.withColumn(_SALT, F.pmod(salt_src, F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, on=on + [_SALT], how=how)
+    return out.drop(_SALT)

@@ -1,0 +1,303 @@
+"""Round-4 operator semantics + plan-shape tests: net-effect changelog
+compaction, salted skew join, tumbling event-time aggregation, SCD2
+point-in-time lookup, and quantile profiling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.changes import compact_changes
+from embulk_output_bigquery_java_spark.operators.profile import column_quantiles
+from embulk_output_bigquery_java_spark.operators.scd2 import (
+    point_in_time_lookup,
+    scd2_history,
+)
+from embulk_output_bigquery_java_spark.operators.sessionize import tumbling_agg
+from embulk_output_bigquery_java_spark.operators.skew import salted_join
+
+from tests.test_plans_physical import plan_of
+
+
+def n_exchanges(df) -> int:
+    # "simple" mode prints each operator exactly once ("formatted" repeats
+    # every node in the detail section, double-counting)
+    return plan_of(df, "simple").count("Exchange")
+
+
+# ---------------------------------------------------------------- compact
+@pytest.fixture(scope="module")
+def cdc_batch(spark):
+    rows = [
+        # key 1: I then U  -> net I with last image
+        (1, 1, "I", 10.0),
+        (1, 2, "U", 11.0),
+        # key 2: U then D  -> net D (key pre-existed)
+        (2, 1, "U", 20.0),
+        (2, 2, "D", None),
+        # key 3: I then D  -> vanishes
+        (3, 1, "I", 30.0),
+        (3, 2, "D", None),
+        # key 4: lone U    -> net U
+        (4, 1, "U", 40.0),
+        # key 5: D then I (delete + re-insert in one batch) -> net U?
+        # first op D means key pre-existed; last op I is a write -> net U
+        (5, 1, "D", None),
+        (5, 2, "I", 50.0),
+    ]
+    return spark.createDataFrame(rows, "k long, seq long, op string, v double")
+
+
+def test_compact_changes_algebra(cdc_batch):
+    out = {
+        r["k"]: r
+        for r in compact_changes(cdc_batch, ["k"], ["seq"]).collect()
+    }
+    assert set(out) == {1, 2, 4, 5}  # key 3 vanished
+    assert out[1]["net_op"] == "I" and out[1]["v"] == 11.0
+    assert out[2]["net_op"] == "D" and out[2]["n_events"] == 2
+    assert out[4]["net_op"] == "U" and out[4]["n_events"] == 1
+    # delete-then-reinsert: first op isn't an insert, last isn't a delete
+    assert out[5]["net_op"] == "U" and out[5]["v"] == 50.0
+    # last image rides along (seq of the last event)
+    assert out[1]["seq"] == 2
+
+
+def test_compact_changes_order_not_arrival(spark):
+    """Net op follows order_cols, not input row order."""
+    rows = [(1, 2, "D", None), (1, 1, "I", 1.0)]  # arrival: D first
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+    assert compact_changes(df, ["k"], ["seq"]).count() == 0  # I..D vanishes
+
+
+def test_compact_changes_collision_guard(cdc_batch):
+    with pytest.raises(ValueError, match="collides"):
+        compact_changes(
+            cdc_batch, ["k"], ["seq"], count_col="v"
+        )
+    with pytest.raises(ValueError, match="keys and order_cols"):
+        compact_changes(cdc_batch, [], ["seq"])
+
+
+def test_compact_changes_plan_partial_agg(cdc_batch):
+    """ONE exchange, map-side partial aggregation, no Window sort."""
+    out = compact_changes(cdc_batch, ["k"], ["seq"])
+    assert n_exchanges(out) == 1
+    plan = plan_of(out)
+    assert "Window" not in plan, plan
+    # partial + final agg pair = map-side combine before the shuffle
+    assert "partial_min_by" in plan and "partial_max_by" in plan, plan
+
+
+# ------------------------------------------------------------------ skew
+@pytest.fixture(scope="module")
+def skew_sides(spark):
+    big = spark.createDataFrame(
+        [((i * 7) % 5, i) for i in range(500)], "k long, x long"
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, name string"
+    )
+    return big, small
+
+
+def test_salted_join_equals_plain(skew_sides):
+    big, small = skew_sides
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(big, small, ["k"], n_salts=4, how=how).collect())
+        )
+        exp = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert got == exp, how
+
+
+def test_salted_join_salt_from_column(skew_sides):
+    big, small = skew_sides
+    got = sorted(
+        map(
+            tuple,
+            salted_join(
+                big, small, ["k"], n_salts=3, salt_from="x"
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == exp
+
+
+def test_salted_join_validation(skew_sides):
+    big, small = skew_sides
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(big, small, ["k"], n_salts=0)
+    with pytest.raises(ValueError, match="collide"):
+        salted_join(big, small.withColumnRenamed("name", "x"), ["k"])
+
+
+def test_salted_join_plan_replicates_small_side(skew_sides):
+    """The salt explode lands on the SMALL side subtree; the join key is
+    (k, salt) so hot keys split across reducers."""
+    big, small = skew_sides
+    plan = plan_of(salted_join(big, small, ["k"], n_salts=4))
+    assert "Generate explode" in plan or "explode" in plan, plan
+    assert "__skew_salt" in plan, plan
+
+
+# ------------------------------------------------------------- tumbling
+def test_tumbling_agg_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:10:00", 1.5),
+            ("u1", "2024-01-01 00:59:59", 2.5),
+            ("u1", "2024-01-01 01:00:00", 3.0),  # boundary -> next bucket
+            ("u2", "2024-01-01 00:20:00", 4.25),
+        ],
+        "u string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["u"], str(r["window_start"])): r
+        for r in tumbling_agg(ev, ["u"], ts_col="ts", window="1 hour").collect()
+    }
+    h0 = out[("u1", "2024-01-01 00:00:00")]
+    assert h0["n_events"] == 2 and h0["value_milli_sum"] == 4000
+    h1 = out[("u1", "2024-01-01 01:00:00")]
+    assert h1["n_events"] == 1 and h1["value_milli_sum"] == 3000
+    assert out[("u2", "2024-01-01 00:00:00")]["value_milli_sum"] == 4250
+    assert str(h0["window_end"]) == "2024-01-01 01:00:00"
+
+
+def test_tumbling_agg_custom_aggs_require_alias(spark):
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:01", 1.0)], "u string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = tumbling_agg(
+        ev, ["u"], ts_col="ts", aggs=[F.max("value").alias("mx")]
+    )
+    assert out.columns == ["window_start", "window_end", "u", "mx"]
+
+
+def test_tumbling_agg_plan_single_exchange(spark):
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:01", 1.0)], "u string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = tumbling_agg(ev, ["u"], ts_col="ts")
+    assert n_exchanges(out) == 1
+    assert "Window" not in plan_of(out), plan_of(out)
+
+
+# ------------------------------------------------------------------ PIT
+@pytest.fixture(scope="module")
+def scd_dim(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "gold"),
+            (2, "2024-01-02 00:00:00", 1, "silver"),
+            (3, "2024-01-03 00:00:00", 1, "DEL"),
+            (4, "2024-01-04 00:00:00", 1, "bronze"),  # resurrection
+        ],
+        "eid long, ts string, uid long, tier string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return scd2_history(
+        ev,
+        ["uid"],
+        ["ts", "eid"],
+        ts_col="ts",
+        delete_when=F.col("tier") == "DEL",
+        open_end_ts="2200-01-01 00:00:00",
+    ).select("uid", "tier", "valid_from", "valid_to", "op")
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(
+        rows, "fid long, uid long, fts string"
+    ).withColumn("fts", F.col("fts").cast("timestamp"))
+
+
+def test_pit_lookup_versions_and_tombstones(spark, scd_dim):
+    facts = _facts(
+        spark,
+        [
+            (100, 1, "2024-01-01 12:00:00"),  # gold interval
+            (101, 1, "2024-01-02 00:00:00"),  # half-open: EXACT start -> silver
+            (102, 1, "2024-01-03 12:00:00"),  # tombstone interval -> NULL
+            (103, 1, "2024-01-05 00:00:00"),  # resurrected open version
+            (104, 9, "2024-01-01 00:00:00"),  # unknown key -> NULL (left)
+        ],
+    )
+    out = {
+        r["fid"]: r["tier"]
+        for r in point_in_time_lookup(facts, scd_dim, ["uid"], fact_ts="fts").collect()
+    }
+    assert out == {
+        100: "gold",
+        101: "silver",
+        102: None,
+        103: "bronze",
+        104: None,
+    }
+
+
+def test_pit_lookup_inner_and_include_deleted(spark, scd_dim):
+    facts = _facts(spark, [(102, 1, "2024-01-03 12:00:00")])
+    inner = point_in_time_lookup(
+        facts, scd_dim, ["uid"], fact_ts="fts", how="inner"
+    )
+    assert inner.count() == 0  # tombstone filtered, inner drops the fact
+    audit = point_in_time_lookup(
+        facts, scd_dim, ["uid"], fact_ts="fts", include_deleted=True
+    ).collect()
+    assert len(audit) == 1 and audit[0]["op"] == "D"
+    with pytest.raises(ValueError, match="left/inner"):
+        point_in_time_lookup(facts, scd_dim, ["uid"], fact_ts="fts", how="right")
+
+
+def test_pit_lookup_renames_colliding_dim_columns(spark, scd_dim):
+    facts = _facts(spark, [(1, 1, "2024-01-01 12:00:00")]).withColumn(
+        "tier", F.lit("fact-side")
+    )
+    out = point_in_time_lookup(facts, scd_dim, ["uid"], fact_ts="fts")
+    assert "tier_dim" in out.columns and "tier" in out.columns
+    row = out.collect()[0]
+    assert row["tier"] == "fact-side" and row["tier_dim"] == "gold"
+
+
+def test_pit_lookup_plan_equality_join_not_nested_loop(spark, scd_dim):
+    """The key equality must drive the join: no BroadcastNestedLoopJoin /
+    CartesianProduct (the range-explosion shapes)."""
+    facts = _facts(spark, [(1, 1, "2024-01-01 12:00:00")])
+    plan = plan_of(point_in_time_lookup(facts, scd_dim, ["uid"], fact_ts="fts"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+# -------------------------------------------------------------- quantiles
+def test_column_quantiles_exact_matches_numpy(spark):
+    vals = [float((i * 13) % 101) for i in range(101)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {
+        r["quantile"]: r["value"]
+        for r in column_quantiles(df, "v", exact=True).collect()
+    }
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert out[q] == pytest.approx(
+            np.percentile(vals, q * 100, method="linear"), abs=1e-6
+        )
+
+
+def test_column_quantiles_grouped_long_format(spark):
+    df = spark.createDataFrame(
+        [(i % 2, float(i)) for i in range(100)], "g long, v double"
+    )
+    out = column_quantiles(df, "v", group_cols=["g"], exact=True)
+    assert out.columns == ["g", "quantile", "value"]
+    assert out.count() == 8  # 2 groups x 4 quantiles
+
+
+def test_column_quantiles_approx_mode_is_partial_agg(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    out = column_quantiles(df, "v", exact=False, accuracy=10000)
+    # plan check BEFORE execution: post-collect AQE explain prints the
+    # Initial plan alongside the Final one, double-counting operators
+    assert n_exchanges(out) == 1
+    vals = {r["quantile"]: r["value"] for r in out.collect()}
+    # GK sketch at this accuracy on 1k rows is exact to the rank
+    assert vals[0.5] == pytest.approx(np.percentile(range(1000), 50), abs=1.0)
