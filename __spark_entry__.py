@@ -2189,6 +2189,198 @@ FROM q
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column top-5 hot values over documents(lang, source)
+    (operators/profile.py heavy_hitters): the skew diagnostic that sizes
+    salted_join's n_salts. ONE stacked scan + one map-side-combined hash
+    aggregate; rank/share run over the aggregated frequency table only."""
+    from embulk_output_bigquery_java_spark.operators.profile import (
+        heavy_hitters,
+    )
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents").select("lang", "source"),
+        ["lang", "source"],
+        k=5,
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH stacked AS (
+  SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
+  FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents
+  WHERE source IS NOT NULL
+), freq AS (
+  SELECT "column", value, CAST(count(*) AS BIGINT) AS cnt
+  FROM stacked GROUP BY 1, 2
+), ranked AS (
+  SELECT "column", value, cnt,
+         CAST(row_number() OVER (PARTITION BY "column"
+              ORDER BY cnt DESC, value ASC) AS INTEGER) AS rank,
+         sum(cnt) OVER (PARTITION BY "column") AS total
+  FROM freq
+)
+SELECT "column", value, cnt, rank, round(cnt * 1.0 / total, 6) AS share
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_quantile_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier gate (operators/profile.py
+    filter_by_quantile, exact mode for the oracle): keep documents whose
+    n_chars sits inside the per-lang [p5, p95] band. The bounds aggregate
+    reads two columns, broadcasts one row per lang back, and the band
+    filter runs map-side — no window over the corpus."""
+    from embulk_output_bigquery_java_spark.operators.profile import (
+        filter_by_quantile,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = filter_by_quantile(
+        docs, "n_chars", lo=0.05, hi=0.95, group_cols=["lang"], exact=True
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_QUANTILE_BAND_SQL = """
+WITH b AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN b USING (lang)
+WHERE CAST(d.n_chars AS DOUBLE) >= b.lo AND CAST(d.n_chars AS DOUBLE) <= b.hi
+"""
+
+
+def q_offset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ordering audit (operators/changes.py offset_audit): flag events
+    whose event_id regresses along (ts, event_id) order within each user's
+    stream — the monotone-offset invariant a binlog tail promises and LWW
+    dedup would otherwise silently mask. One window shuffle + filter."""
+    from embulk_output_bigquery_java_spark.operators.changes import (
+        offset_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = offset_audit(ev, ["user_id"], ["ts", "event_id"], "event_id")
+    return out.select(
+        "user_id", "ts", "event_id", "prev_event_id", "violation"
+    )
+
+
+_OFFSET_AUDIT_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(event_id) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)
+             AS prev_event_id
+  FROM events
+)
+SELECT user_id, ts, event_id, prev_event_id,
+       CASE WHEN event_id < prev_event_id THEN 'regression'
+            WHEN event_id = prev_event_id THEN 'duplicate'
+       END AS violation
+FROM o
+WHERE prev_event_id IS NOT NULL
+  AND (event_id < prev_event_id OR event_id = prev_event_id)
+"""
+
+
+def q_session_outage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (operators/interval.py overlap_join): user
+    click sessions (6 h gap) x hot hours (hourly event count >= 12), via
+    the binning decomposition — equality join on the covering bin + the
+    first-shared-bin emit-once rule, never a nested loop. Intervals are
+    integer epoch seconds; session end is padded +1 s so single-event
+    sessions stay non-empty half-open intervals."""
+    from embulk_output_bigquery_java_spark.operators.interval import (
+        overlap_join,
+    )
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        session_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    sess = session_rollup(
+        clicks,
+        ["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        gap_ms=21_600_000,
+    )
+    left = sess.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.unix_timestamp("session_start").alias("start"),
+        (F.unix_timestamp("session_end") + 1).alias("end"),
+        F.col("n_events").cast("long").alias("session_events"),
+    )
+    hot = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("hour_events"))
+        .where(F.col("hour_events") >= 12)
+        .select(
+            F.unix_timestamp("h").alias("start"),
+            (F.unix_timestamp("h") + 3600).alias("end"),
+            F.col("hour_events").cast("long").alias("hour_events"),
+        )
+    )
+    out = overlap_join(left, hot, bin_width=3600)
+    return out.select(
+        "user_id",
+        "session_idx",
+        F.col("start").alias("session_start_s"),
+        F.col("end").alias("session_end_s"),
+        F.col("start_r").alias("hour_start_s"),
+        "session_events",
+        "hour_events",
+    )
+
+
+_SESSION_OVERLAP_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) <= 21600000
+              THEN 0 ELSE 1 END AS new_s
+  FROM clicks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1 AS session_end_s,
+         CAST(count(*) AS BIGINT) AS session_events
+  FROM s GROUP BY user_id, session_idx
+), hot AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start_s,
+         CAST(count(*) AS BIGINT) AS hour_events
+  FROM events GROUP BY 1 HAVING count(*) >= 12
+)
+SELECT sess.user_id, sess.session_idx, sess.session_start_s,
+       sess.session_end_s, hot.hour_start_s,
+       sess.session_events, hot.hour_events
+FROM sess JOIN hot
+  ON sess.session_start_s < hot.hour_start_s + 3600
+ AND hot.hour_start_s < sess.session_end_s
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2255,6 +2447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "bm25_topk": q_bm25_topk,
         "top_ngrams": q_top_ngrams,
+        "heavy_hitters": q_heavy_hitters,
+        "quantile_band_filter": q_quantile_band_filter,
+        "offset_audit": q_offset_audit,
+        "session_outage_overlap": q_session_outage_overlap,
     }
 
 
@@ -2312,6 +2508,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": _DOC_QUANTILES_SQL,
         "bm25_topk": _BM25_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "quantile_band_filter": _QUANTILE_BAND_SQL,
+        "offset_audit": _OFFSET_AUDIT_SQL,
+        "session_outage_overlap": _SESSION_OVERLAP_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 
 def sha256_col(col: Column) -> Column:
@@ -28,7 +29,12 @@ def sha256_col(col: Column) -> Column:
     return F.sha2(col, 256)
 
 
-@pandas_udf("string")
+# DataType instance, not the DDL string "string": pyspark parses a DDL
+# return type through the ACTIVE SparkContext at decoration time, so a
+# string here makes `import functions.hashing` crash with
+# SESSION_OR_CONTEXT_NOT_EXISTS when no session exists yet (library users
+# import before building their session; tests hide this behind fixtures).
+@pandas_udf(StringType())
 def sha256_pandas(s: pd.Series) -> pd.Series:
     """Arrow-batched sha256 hex digest; bit-identical to sha256_col."""
     return s.map(

@@ -25,7 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["snapshot_diff", "table_changes", "compact_changes", "CHANGE_TYPES"]
+__all__ = [
+    "snapshot_diff",
+    "table_changes",
+    "compact_changes",
+    "offset_audit",
+    "CHANGE_TYPES",
+]
 
 CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
 
@@ -251,3 +257,69 @@ def compact_changes(
             count_col,
         )
     )
+
+
+def offset_audit(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    watch_col: str,
+    *,
+    kind_col: str = "violation",
+) -> DataFrame:
+    """Flag ordering violations in a change stream: rows where ``watch_col``
+    does not strictly increase along ``order_cols`` within each
+    ``part_cols`` partition.
+
+    The CDC trust-but-verify probe: a binlog/WAL tail promises that within
+    a source partition, commit position is monotone in arrival order. When
+    a connector re-delivers, a topic is compacted mid-read, or two tails
+    are accidentally merged, that invariant breaks — and the engine's LWW
+    dedup (operators/dedup.py) silently *masks* the breakage (it picks a
+    deterministic winner either way). This audit makes the breakage
+    visible before it is masked, the way the reference counts and budgets
+    rejected rows around each load (W4 bad-record budget,
+    ``BigqueryClient.java`` load-job error handling) rather than silently
+    absorbing them.
+
+    Output: the violating rows only — ``part_cols + order_cols +
+    [watch_col, prev_<watch_col>, kind_col]`` with ``kind_col`` in
+    ``{'regression', 'duplicate'}`` (strictly-smaller vs equal to the
+    previous value). The first row of each partition has no predecessor
+    and cannot violate. NULL ``watch_col`` is reported as ``regression``
+    (an unknown position cannot be shown monotone; NULL-strict, same
+    policy as the engine's audit predicates in engine.py).
+
+    100-TB shape: ONE window shuffle (hash by ``part_cols``, sort by
+    ``order_cols``), a single ``lag``, then a filter — the violations
+    relation is tiny (ideally empty), so everything after the window is
+    negligible. Skewed partitions are ordinary window skew: pre-split by
+    offset range before auditing a pathological single-partition stream.
+    """
+    if not part_cols or not order_cols:
+        raise ValueError("offset_audit requires part_cols and order_cols")
+    prev_col = f"prev_{watch_col}"
+    for c in (prev_col, kind_col):
+        if c in df.columns:
+            raise ValueError(f"{c!r} collides with an input column")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    cur = F.col(watch_col)
+    prev = F.lag(watch_col).over(w)
+    kind = (
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(cur.isNull() | (cur < prev), F.lit("regression"))
+        .when(cur == prev, F.lit("duplicate"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = df.select(
+        *part_cols,
+        *[c for c in order_cols if c not in part_cols and c != watch_col],
+        watch_col,
+        prev.alias(prev_col),
+        kind.alias(kind_col),
+    )
+    return out.where(F.col(kind_col).isNotNull())

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,6 +91,136 @@ def profile_table(
         F.col("s.n_distinct").cast("long").alias("n_distinct"),
         F.col("s.min_value").alias("min_value"),
         F.col("s.max_value").alias("max_value"),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 10,
+    stringify: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Top-``k`` most frequent values per column, long format:
+    ``(column, value, cnt, share)`` — the skew diagnostic that feeds salt
+    sizing (operators/skew.py) and partition-spec choices: a key whose
+    ``share`` approaches 1/shuffle-partitions is a reducer hot spot.
+
+    100-TB shape: ONE scan — the columns are stacked with
+    ``explode(array(struct(name, value)...))`` (a zero-shuffle projection),
+    then ONE map-side-combined hash aggregate over (column, value). The
+    rank/share pass runs a window over the *aggregated* frequency table,
+    whose size is the sum of column cardinalities, not the row count.
+    That makes this operator intended for hot-KEY discovery over
+    bounded-cardinality columns (repo, lang, event_type, domain);
+    for an unbounded-cardinality column the aggregate state itself is the
+    bottleneck — sample first or use a sketch, and the profiler's
+    ``n_distinct`` (HLL) tells you which regime you are in before you pay
+    for this pass.
+
+    ``share`` is cnt / column's non-null total (computed inside the same
+    window pass — no second scan). NULLs are excluded: a null hot spot is
+    a data-quality finding (profile_table's ``n_nulls``), not a join-skew
+    one. Ties at the cut rank resolve by value ascending — deterministic
+    across engines. Values come back stringified (``stringify`` hook, same
+    contract as :func:`profile_table`) so mixed-type columns stack.
+    """
+    if not cols:
+        raise ValueError("heavy_hitters requires at least one column")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fmt = stringify or _default_stringify
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        fmt(F.col(c)).alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.value").where(F.col("value").isNotNull())
+    freq = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("column")
+    ranked = freq.select(
+        "column",
+        "value",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number()
+        .over(w.orderBy(F.col("cnt").desc(), F.col("value").asc()))
+        .alias("rank"),
+        F.sum("cnt").over(w).alias("_total"),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        "column",
+        "value",
+        "cnt",
+        "rank",
+        F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+    )
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    group_cols: list[str] | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` falls inside the per-group
+    [``lo``, ``hi``] quantile band (inclusive) — the standard
+    training-data quality gate (drop per-language length outliers, clip
+    merge-latency tails before alerting) expressed as one plan.
+
+    Two passes over the column but ONE scan of the full table: the bounds
+    aggregate reads only ``group_cols + [value_col]`` (column pruning
+    reaches the parquet scan) and produces one row per group; that tiny
+    bounds table is broadcast back onto the full rows (size-based planning
+    — groups are bounded, so Catalyst broadcasts without a hint), and the
+    band filter runs map-side. No window over the data, no sort.
+
+    ``exact=False`` (default) sizes bounds with ``approx_percentile`` —
+    the 100-TB path; ``exact=True`` uses ``percentile`` (quantile_cont
+    interpolation) for oracle parity, same policy as
+    :func:`column_quantiles`. Rows with NULL ``value_col`` or a group
+    absent from the bounds table are dropped (inner join + band predicate).
+    Output: the input columns unchanged.
+    """
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    gcols = group_cols or []
+    qarr = f"array({lo!r}, {hi!r})"
+    fn = (
+        f"percentile({value_col}, {qarr})"
+        if exact
+        else f"approx_percentile({value_col}, {qarr}, {int(accuracy)})"
+    )
+    bounds = (
+        df.select(*gcols, value_col)
+        .groupBy(*gcols)
+        .agg(F.expr(fn).alias("_b"))
+        .select(
+            *gcols,
+            F.col("_b")[0].cast("double").alias("_lo"),
+            F.col("_b")[1].cast("double").alias("_hi"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=gcols, how="inner")
+        if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col).cast("double")
+    return joined.where((v >= F.col("_lo")) & (v <= F.col("_hi"))).drop(
+        "_lo", "_hi"
     )
 
 

@@ -27,6 +27,18 @@ def get_spark(
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Python workers are separate processes that resolve imports via
+    # PYTHONPATH, not the driver's sys.path — a bench/CLI run from outside
+    # the repo root dies with ModuleNotFoundError inside cloudpickle the
+    # first time a UDF references the package. Export the package's parent
+    # dir before the JVM (and its worker daemon) launches: the local-mode
+    # analog of `spark-submit --py-files pkg.zip` on a real cluster.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = cores
     mem = os.environ.get("SPARK_DRIVER_MEM", "16g")

@@ -1,0 +1,257 @@
+"""Round-4 batch 2: heavy hitters, quantile band filter, CDC offset audit,
+and the bucketized interval overlap join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.changes import offset_audit
+from embulk_output_bigquery_java_spark.operators.interval import overlap_join
+from embulk_output_bigquery_java_spark.operators.profile import (
+    filter_by_quantile,
+    heavy_hitters,
+)
+
+from tests.test_plans_physical import plan_of
+
+
+def n_exchanges(df) -> int:
+    return plan_of(df, "simple").count("Exchange")
+
+
+# ------------------------------------------------------------ heavy hitters
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rows = (
+        [("linux", "c")] * 50
+        + [("chromium", "cpp")] * 30
+        + [("rails", "ruby")] * 15
+        + [("tiny", "ml")] * 4
+        + [(None, "nulllang")]
+    )
+    return spark.createDataFrame(rows, "repo string, lang string")
+
+
+def test_heavy_hitters_counts_and_share(skewed):
+    out = heavy_hitters(skewed, ["repo", "lang"], k=2)
+    rows = {(r["column"], r["value"]): r for r in out.collect()}
+    # k=2 per column, ranked by cnt desc
+    assert set(rows) == {
+        ("repo", "linux"),
+        ("repo", "chromium"),
+        ("lang", "c"),
+        ("lang", "cpp"),
+    }
+    assert rows[("repo", "linux")]["cnt"] == 50
+    assert rows[("repo", "linux")]["rank"] == 1
+    # share over NON-NULL totals: repo has 99 non-null (one NULL excluded)
+    assert rows[("repo", "linux")]["share"] == pytest.approx(50 / 99, abs=1e-6)
+    # lang has 100 non-null
+    assert rows[("lang", "c")]["share"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_heavy_hitters_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "x string"
+    )
+    out = heavy_hitters(df, ["x"], k=2).collect()
+    # a and b tie at 2; ascending value breaks the tie -> a is rank 1
+    assert [(r["value"], r["rank"]) for r in out] == [("a", 1), ("b", 2)]
+
+
+def test_heavy_hitters_single_scan_plan(skewed):
+    # one scan stacked via explode: exactly 2 Exchanges (hash agg + the
+    # per-column rank window over the aggregated frequency table)
+    plan = plan_of(heavy_hitters(skewed, ["repo", "lang"], k=3), "simple")
+    assert plan.count("Scan ") <= 1
+    assert n_exchanges(heavy_hitters(skewed, ["repo", "lang"], k=3)) == 2
+
+
+def test_heavy_hitters_validation(skewed):
+    with pytest.raises(ValueError):
+        heavy_hitters(skewed, [])
+    with pytest.raises(ValueError):
+        heavy_hitters(skewed, ["repo"], k=0)
+
+
+# ------------------------------------------------------- quantile band gate
+@pytest.fixture(scope="module")
+def lengths(spark):
+    rows = [("en", float(v)) for v in range(1, 101)] + [
+        ("de", float(v)) for v in (1, 2, 3, 4, 1000)
+    ]
+    return spark.createDataFrame(rows, "lang string, n double")
+
+
+def test_filter_by_quantile_exact_bounds(lengths):
+    out = filter_by_quantile(
+        lengths, "n", lo=0.05, hi=0.95, group_cols=["lang"], exact=True
+    )
+    en = sorted(
+        r["n"] for r in out.where(F.col("lang") == "en").collect()
+    )
+    # exact percentile, linear interpolation: p5 of 1..100 = 5.95,
+    # p95 = 95.05 -> keep 6..95 inclusive
+    assert en[0] == 6.0 and en[-1] == 95.0 and len(en) == 90
+    de = sorted(r["n"] for r in out.where(F.col("lang") == "de").collect())
+    # de: p5 of (1,2,3,4,1000)=1.2, p95=800.8 -> 1000 dropped, 1 dropped
+    assert de == [2.0, 3.0, 4.0]
+
+
+def test_filter_by_quantile_preserves_columns_and_ungrouped(lengths):
+    out = filter_by_quantile(lengths, "n", lo=0.0, hi=1.0, exact=True)
+    assert out.columns == lengths.columns
+    assert out.count() == lengths.count()
+
+
+def test_filter_by_quantile_broadcast_plan(lengths):
+    plan = plan_of(
+        filter_by_quantile(
+            lengths, "n", group_cols=["lang"], exact=False
+        ),
+        "simple",
+    )
+    # bounds side joins back via broadcast: no SortMergeJoin anywhere
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_by_quantile_validation(lengths):
+    with pytest.raises(ValueError):
+        filter_by_quantile(lengths, "n", lo=0.9, hi=0.1)
+
+
+# ------------------------------------------------------------- offset audit
+@pytest.fixture(scope="module")
+def stream(spark):
+    rows = [
+        # partition A: monotone except one regression and one duplicate
+        ("a", 1, 100),
+        ("a", 2, 200),
+        ("a", 3, 150),   # regression (150 < 200)
+        ("a", 4, 150),   # duplicate
+        ("a", 5, 300),
+        # partition B: clean
+        ("b", 1, 10),
+        ("b", 2, 20),
+        # partition C: null watch value after a real one
+        ("c", 1, 5),
+        ("c", 2, None),  # regression (unknown position)
+    ]
+    return spark.createDataFrame(rows, "part string, seq long, off long")
+
+
+def test_offset_audit_flags(stream):
+    out = offset_audit(stream, ["part"], ["seq"], "off")
+    got = {(r["part"], r["seq"]): (r["violation"], r["prev_off"]) for r in out.collect()}
+    assert got == {
+        ("a", 3): ("regression", 200),
+        ("a", 4): ("duplicate", 150),
+        ("c", 2): ("regression", 5),
+    }
+
+
+def test_offset_audit_clean_stream_empty(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 1), ("x", 2, 2)], "part string, seq long, off long"
+    )
+    assert offset_audit(df, ["part"], ["seq"], "off").count() == 0
+
+
+def test_offset_audit_single_window_shuffle(stream):
+    assert n_exchanges(offset_audit(stream, ["part"], ["seq"], "off")) == 1
+
+
+def test_offset_audit_validation(stream):
+    with pytest.raises(ValueError):
+        offset_audit(stream, [], ["seq"], "off")
+    bad = stream.withColumn("violation", F.lit("x"))
+    with pytest.raises(ValueError):
+        offset_audit(bad, ["part"], ["seq"], "off")
+
+
+# ------------------------------------------------------------- overlap join
+@pytest.fixture(scope="module")
+def intervals(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 0, 10),
+            (2, 5, 15),
+            (3, 100, 200),   # long interval spanning many bins
+            (4, 20, 20),     # empty interval -> never joins
+        ],
+        "lid long, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 8, 12),     # overlaps 1 and 2
+            (11, 14, 30),    # overlaps 2 only ([14,15) ∩ [5,15))
+            (12, 150, 160),  # inside 3
+            (13, 10, 11),    # touches 1 at the boundary ([0,10) vs [10,11)
+                             # -> NO match with 1; inside 2 -> match
+            (14, 300, 400),  # overlaps nothing
+        ],
+        "rid long, start long, end long",
+    )
+    return left, right
+
+
+def _pairs(df):
+    return sorted((r["lid"], r["rid"]) for r in df.collect())
+
+
+def test_overlap_join_matches_naive(intervals):
+    left, right = intervals
+    expected = sorted(
+        (lr["lid"], rr["rid"])
+        for lr in left.collect()
+        for rr in right.collect()
+        # the naive predicate alone mis-handles EMPTY intervals (an empty
+        # [x, x) satisfies it when x lies inside the other side) — a
+        # half-open empty interval overlaps nothing
+        if lr["start"] < rr["end"]
+        and rr["start"] < lr["end"]
+        and lr["end"] > lr["start"]
+        and rr["end"] > rr["start"]
+    )
+    assert expected == [(1, 10), (2, 10), (2, 11), (2, 13), (3, 12)]
+    for w in (1, 4, 64, 1000):
+        got = _pairs(
+            overlap_join(left, right, bin_width=w)
+        )
+        assert got == expected, f"bin_width={w}"
+
+
+def test_overlap_join_emits_each_pair_once(intervals):
+    left, right = intervals
+    # bin_width=4: pair (3,12) shares bins 37..39 — must appear exactly once
+    out = overlap_join(left, right, bin_width=4)
+    pairs = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_overlap_join_keyed_and_rename(spark):
+    left = spark.createDataFrame(
+        [("k1", 0, 10), ("k2", 0, 10)], "key string, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [("k1", 5, 6), ("k2", 50, 60)], "key string, start long, end long"
+    )
+    out = overlap_join(left, right, on=["key"], bin_width=8)
+    rows = out.collect()
+    # only k1 overlaps within its key; k2's right interval is disjoint
+    assert [(r["key"], r["start_r"], r["end_r"]) for r in rows] == [
+        ("k1", 5, 6)
+    ]
+    assert "start_r" in out.columns and "end_r" in out.columns
+
+
+def test_overlap_join_no_nested_loop(intervals):
+    left, right = intervals
+    plan = plan_of(overlap_join(left, right, bin_width=8), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_overlap_join_validation(intervals):
+    left, right = intervals
+    with pytest.raises(ValueError):
+        overlap_join(left, right, bin_width=0)
