@@ -2381,6 +2381,148 @@ FROM sess JOIN hot
 """
 
 
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel per user
+    (operators/analytics.py funnel): every stage's qualification flag comes
+    out of ONE window pass over (user, ts, event_id) — no per-step
+    self-join — and the closing per-user aggregate reuses the window's hash
+    partitioning, so the whole funnel costs one shuffle."""
+    from embulk_output_bigquery_java_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return funnel(
+        ev, ["view", "click", "purchase"], order_cols=["ts", "event_id"]
+    )
+
+
+_FUNNEL_SQL = """
+WITH q0c AS (
+  SELECT user_id, ts, event_id, event_type,
+         (event_type = 'view') AS q0
+  FROM events
+), q1c AS (
+  SELECT *, (event_type = 'click'
+             AND coalesce(max(CASE WHEN q0 THEN 1 ELSE 0 END) OVER w, 0) = 1)
+            AS q1
+  FROM q0c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), q2c AS (
+  SELECT *, (event_type = 'purchase'
+             AND coalesce(max(CASE WHEN q1 THEN 1 ELSE 0 END) OVER w, 0) = 1)
+            AS q2
+  FROM q1c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       MIN(CASE WHEN q0 THEN ts END) AS step1_ts,
+       MIN(CASE WHEN q1 THEN ts END) AS step2_ts,
+       MIN(CASE WHEN q2 THEN ts END) AS step3_ts,
+       CAST(CASE WHEN MIN(CASE WHEN q2 THEN ts END) IS NOT NULL THEN 3
+                 WHEN MIN(CASE WHEN q1 THEN ts END) IS NOT NULL THEN 2
+                 WHEN MIN(CASE WHEN q0 THEN ts END) IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage
+FROM q2c GROUP BY user_id
+HAVING MIN(CASE WHEN q0 THEN ts END) IS NOT NULL
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/analytics.py cohort_retention):
+    cohort = ISO week of each user's first event. The corpus collapses to
+    distinct (user, week) BEFORE the cohort window, so the window input is
+    O(users × active-weeks) — never a count-distinct over raw events."""
+    from embulk_output_bigquery_java_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(ev, period="week")
+
+
+_COHORT_SQL = """
+WITH per AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+  FROM events
+), tagged AS (
+  SELECT u, p, min(p) OVER (PARTITION BY u) AS cohort_period FROM per
+)
+SELECT cohort_period,
+       CAST(date_diff('day', CAST(cohort_period AS DATE), CAST(p AS DATE))
+            // 7 AS INTEGER) AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM tagged GROUP BY 1, 2
+"""
+
+
+def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume-anomaly gate per event_type (operators/analytics.py
+    anomaly_hours): raw events reduce to the tumbling-hour series in one
+    map-side-combined aggregate; mean/stddev_pop run as a window over that
+    tiny series (≤ hours-in-retention rows per type), never over events."""
+    from embulk_output_bigquery_java_spark.operators.analytics import (
+        anomaly_hours,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    return anomaly_hours(ev, z_threshold=2.0)
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hour, cnt,
+         avg(cnt) OVER (PARTITION BY event_type) AS mean_cnt,
+         stddev_pop(cnt) OVER (PARTITION BY event_type) AS sd
+  FROM hourly
+)
+SELECT event_type, hour, cnt, round(mean_cnt, 6) AS mean_cnt,
+       round((cnt - mean_cnt) / sd, 6) AS zscore
+FROM stats
+WHERE sd > 0 AND abs((cnt - mean_cnt) / sd) >= 2.0
+"""
+
+
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness quarantine (operators/analytics.py late_events):
+    replay each user's stream in arrival order (event_id) and flag events
+    whose event-time lags the running high-water mark by > 30 min — the
+    rows a streaming watermark would drop and a backfill must quarantine.
+    One window shuffle; exact integer microsecond arithmetic."""
+    from embulk_output_bigquery_java_spark.operators.analytics import (
+        late_events,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = late_events(
+        ev, ["user_id"], arrival_col="event_id", max_delay_ms=1_800_000
+    )
+    return out.select("user_id", "event_id", "ts", "hwm_ts", "lateness_ms")
+
+
+_LATE_EVENTS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS hwm_ts
+  FROM events
+)
+SELECT user_id, event_id, ts, hwm_ts,
+       CAST(floor((epoch_us(hwm_ts) - epoch_us(ts)) / 1000) AS BIGINT)
+           AS lateness_ms
+FROM o
+WHERE floor((epoch_us(hwm_ts) - epoch_us(ts)) / 1000) > 1800000
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2451,6 +2593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_band_filter": q_quantile_band_filter,
         "offset_audit": q_offset_audit,
         "session_outage_overlap": q_session_outage_overlap,
+        "funnel_stages": q_funnel_stages,
+        "cohort_retention": q_cohort_retention,
+        "anomaly_hours": q_anomaly_hours,
+        "late_events": q_late_events,
     }
 
 
@@ -2512,6 +2658,10 @@ def oracle_sql() -> dict[str, str]:
         "quantile_band_filter": _QUANTILE_BAND_SQL,
         "offset_audit": _OFFSET_AUDIT_SQL,
         "session_outage_overlap": _SESSION_OVERLAP_SQL,
+        "funnel_stages": _FUNNEL_SQL,
+        "cohort_retention": _COHORT_SQL,
+        "anomaly_hours": _ANOMALY_SQL,
+        "late_events": _LATE_EVENTS_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

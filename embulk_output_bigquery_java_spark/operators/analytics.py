@@ -1,0 +1,208 @@
+"""Event-stream analytics — funnel, cohort retention, anomaly gate, lateness.
+
+Not in the reference (no query engine; it ships rows to a warehouse —
+`embulk-output-bigquery_java` delegates all analytics to BigQuery). Built
+brief-first: these are the four queries every CDC/event pipeline runs on the
+table the engine maintains, and each is shaped so the 100-TB plan is the
+same plan that passes the sf0.01 oracle.
+
+100-TB shape, per operator:
+- ``funnel``: ONE window shuffle (partition by user) computes every stage's
+  qualification flag in a single sort pass — no per-step self-join, no
+  k-way shuffle chain. The closing ``groupBy(user)`` reuses the window's
+  hash partitioning, so Catalyst plans it without a second exchange.
+- ``cohort_retention``: pre-aggregate to (user, period) BEFORE the window —
+  the window input is O(users × active-periods), not O(events) — then one
+  tiny final aggregate.
+- ``anomaly_hours``: two hash aggregates, both map-side combined; the
+  per-type stats window runs over the *hourly* series (≤ 24×365 rows per
+  type per year), never over raw events.
+- ``late_events``: running max over each key's arrival order — one window
+  shuffle, then a map-side filter. The lateness predicate is exact integer
+  microsecond arithmetic (no interval/float).
+
+Hot keys are ordinary window skew (same contract as sessionize.py): one
+*key's* events must fit a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Strictly-ordered funnel: one row per user who entered step 1, with
+    the first timestamp at which each step was reached *after* the previous
+    step, and ``stage`` = number of steps completed.
+
+    A step-``i`` event qualifies only if some qualified step-``i-1`` event
+    sits strictly earlier in ``(ts, order_cols)`` order. All flags are
+    computed in ONE window pass: ``seen_i`` is a running max of the
+    qualified-step-``i`` indicator over strictly-preceding rows, and
+    ``qual_{i+1}`` conditions on it — no self-joins, no O(k) shuffles.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    order = order_cols or [ts_col]
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = df
+    qual_cols = []
+    for i, step in enumerate(steps):
+        qual = f"__q{i}"
+        if i == 0:
+            cond = F.col(type_col) == step
+        else:
+            # seen_{i-1}: a qualified previous-step event strictly earlier
+            seen_prev = (
+                F.coalesce(
+                    F.max(F.col(qual_cols[-1]).cast("int")).over(w_prev),
+                    F.lit(0),
+                )
+                == 1
+            )
+            cond = (F.col(type_col) == step) & seen_prev
+        cur = cur.withColumn(qual, cond)
+        qual_cols.append(qual)
+    aggs = [
+        F.min(F.when(F.col(q), F.col(ts_col))).alias(f"step{i + 1}_ts")
+        for i, q in enumerate(qual_cols)
+    ]
+    out = cur.groupBy(user_col).agg(*aggs)
+    # later steps imply earlier ones, so the first non-null from the end wins
+    stage = F.lit(0)
+    for i in range(len(steps)):
+        stage = F.when(
+            F.col(f"step{i + 1}_ts").isNotNull(), F.lit(i + 1)
+        ).otherwise(stage)
+    return out.where(F.col("step1_ts").isNotNull()).select(
+        user_col,
+        *[f"step{i + 1}_ts" for i in range(len(steps))],
+        stage.cast("int").alias("stage"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Classic retention triangle: cohort users by the truncated period of
+    their first event, count distinct active users per (cohort, offset).
+
+    Pre-aggregates to one row per (user, period) before the cohort window,
+    so the window input is tiny; the final aggregate is a count over that
+    deduplicated set — no ``count distinct`` over raw events anywhere.
+    """
+    per = df.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(ts_col)).alias("p"),
+    ).distinct()
+    w = Window.partitionBy("u")
+    tagged = per.select(
+        "u", "p", F.min("p").over(w).alias("cohort_period")
+    )
+    unit = {"week": 7, "day": 1}[period]
+    offset = (
+        F.datediff(F.to_date("p"), F.to_date("cohort_period")) / unit
+    ).cast("int")
+    return (
+        tagged.groupBy(
+            F.col("cohort_period"), offset.alias("period_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select("cohort_period", "period_offset", "n_users")
+    )
+
+
+def anomaly_hours(
+    df: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly gate on the tumbling-hour series: flag hours whose
+    event count deviates from the type's mean hourly count by at least
+    ``z_threshold`` population standard deviations.
+
+    Stage 1 is a map-side-combined hash aggregate to the hourly series;
+    stage 2 computes mean/stddev_pop per type over that series with an
+    unbounded window (the series is ≤ hours-in-retention rows per type —
+    driver-safe at any corpus size). Stddev-zero types flag nothing.
+    """
+    hourly = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.avg("cnt").over(w).alias("mean_cnt"),
+        F.stddev_pop("cnt").over(w).alias("sd"),
+    )
+    z = (F.col("cnt") - F.col("mean_cnt")) / F.col("sd")
+    return (
+        stats.where(
+            (F.col("sd") > 0) & (F.abs(z) >= F.lit(z_threshold))
+        )
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.round("mean_cnt", 6).alias("mean_cnt"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+def late_events(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    max_delay_ms: int = 1_800_000,
+) -> DataFrame:
+    """Watermark-lateness quarantine: replaying each key's stream in
+    arrival order (``arrival_col``), flag events whose event-time sits more
+    than ``max_delay_ms`` behind the running event-time high-water mark —
+    the rows a streaming watermark would drop and a batch backfill must
+    instead route to a quarantine/upsert path.
+
+    One window shuffle (running max over strictly-preceding arrivals per
+    key), then a map-side filter; lateness is exact integer microsecond
+    arithmetic via ``timestamp_diff`` (works for both TIMESTAMP and
+    TIMESTAMP_NTZ columns — no session-timezone conversion enters it).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(arrival_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max(F.col(ts_col)).over(w)
+    lateness_us = F.timestamp_diff("MICROSECOND", F.col(ts_col), hwm)
+    return (
+        df.select(
+            *df.columns,
+            hwm.alias("hwm_ts"),
+            F.floor(lateness_us / 1000).cast("long").alias("lateness_ms"),
+        )
+        .where(F.col("lateness_ms") > F.lit(int(max_delay_ms)))
+    )

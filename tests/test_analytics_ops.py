@@ -1,0 +1,177 @@
+"""Round-4 batch 3: funnel, cohort retention, anomaly gate, lateness
+quarantine (operators/analytics.py) — semantics on hand-built streams plus
+the plan-shape guarantees the module docstring promises."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.analytics import (
+    anomaly_hours,
+    cohort_retention,
+    funnel,
+    late_events,
+)
+
+from tests.test_plans_physical import plan_of
+
+
+def n_exchanges(df) -> int:
+    return plan_of(df, "simple").count("Exchange")
+
+
+def _ts(day, h=0, m=0):
+    return dt.datetime(2024, 1, day, h, m)
+
+
+EV = "user_id long, ts timestamp, event_id long, event_type string"
+
+
+# ------------------------------------------------------------------ funnel
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, _ts(1, 9), 1, "view"),
+        (1, _ts(1, 10), 2, "click"),
+        (1, _ts(1, 11), 3, "purchase"),
+        # u2: purchase BEFORE any view/click -> only stage 1 (late view)
+        (2, _ts(2, 8), 4, "purchase"),
+        (2, _ts(2, 9), 5, "view"),
+        # u3: view then purchase with no intervening click -> stage 1
+        (3, _ts(3, 9), 6, "view"),
+        (3, _ts(3, 10), 7, "purchase"),
+        # u4: never views -> excluded entirely
+        (4, _ts(4, 9), 8, "click"),
+        (4, _ts(4, 10), 9, "purchase"),
+        # u5: view+click, click's purchase arrives first by tie-break order
+        (5, _ts(5, 9), 10, "view"),
+        (5, _ts(5, 9), 11, "click"),  # same ts as view, later event_id
+        (5, _ts(5, 10), 12, "purchase"),
+    ]
+    return spark.createDataFrame(rows, EV)
+
+
+def test_funnel_stages(funnel_events):
+    out = funnel(
+        funnel_events,
+        ["view", "click", "purchase"],
+        order_cols=["ts", "event_id"],
+    )
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["stage"] == 3
+    assert got[1]["step3_ts"] == _ts(1, 11)
+    # u2's purchase precedes its view: not counted
+    assert got[2]["stage"] == 1 and got[2]["step2_ts"] is None
+    # u3 skipped click: purchase can't qualify
+    assert got[3]["stage"] == 1 and got[3]["step3_ts"] is None
+    # u5: click at the same ts as view but a later event_id IS strictly
+    # after in (ts, event_id) order -> qualifies
+    assert got[5]["stage"] == 3
+
+
+def test_funnel_single_shuffle(funnel_events):
+    out = funnel(
+        funnel_events,
+        ["view", "click", "purchase"],
+        order_cols=["ts", "event_id"],
+    )
+    # window partitioning is reused by the closing groupBy(user)
+    assert n_exchanges(out) == 1
+
+
+def test_funnel_needs_two_steps(funnel_events):
+    with pytest.raises(ValueError):
+        funnel(funnel_events, ["view"])
+
+
+# ------------------------------------------------------- cohort retention
+def test_cohort_retention_weekly(spark):
+    rows = [
+        # u1 first active week of Jan 1 (Mon), returns weeks +1 and +3
+        (1, _ts(2)), (1, _ts(3)), (1, _ts(10)), (1, _ts(24)),
+        # u2 same cohort, never returns
+        (2, _ts(4)),
+        # u3 cohort of Jan 8, returns week +1
+        (3, _ts(9)), (3, _ts(16)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, period="week")
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in out.collect()
+    }
+    w1, w2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
+    assert got == {
+        (w1, 0): 2,  # u1, u2
+        (w1, 1): 1,  # u1
+        (w1, 3): 1,  # u1
+        (w2, 0): 1,  # u3
+        (w2, 1): 1,  # u3
+    }
+
+
+def test_cohort_window_input_is_preaggregated(spark):
+    df = spark.createDataFrame([(1, _ts(2))], "user_id long, ts timestamp")
+    plan = plan_of(cohort_retention(df), "simple")
+    # the distinct (user, period) aggregate must sit BELOW the window:
+    # the window's child chain contains a HashAggregate
+    win_at = plan.index("Window")
+    assert "HashAggregate" in plan[win_at:], plan
+
+
+# ----------------------------------------------------------- anomaly gate
+def test_anomaly_hours_flags_spike(spark):
+    rows = []
+    # 10 quiet hours of 5 events, one spike hour of 50 -> |z| >= 2
+    for h in range(10):
+        rows += [("click", _ts(1, h, m)) for m in range(5)]
+    rows += [("click", _ts(1, 10, m)) for m in range(50)]
+    # a constant type: stddev 0 -> never flagged
+    rows += [("view", _ts(1, h)) for h in range(5)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = anomaly_hours(df, z_threshold=2.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "click" and r["hour"] == _ts(1, 10)
+    assert r["cnt"] == 50 and r["zscore"] > 2
+
+
+def test_anomaly_window_runs_over_hourly_series(spark):
+    df = spark.createDataFrame(
+        [("click", _ts(1))], "event_type string, ts timestamp"
+    )
+    plan = plan_of(anomaly_hours(df), "simple")
+    # events reduce to the hourly series before the stats window
+    assert plan.index("HashAggregate") > plan.index("Window"), plan
+
+
+# ------------------------------------------------------ lateness quarantine
+def test_late_events_flags_only_past_watermark(spark):
+    rows = [
+        # arrival order = event_id; event-times mostly advance
+        (1, _ts(1, 10), 1),
+        (1, _ts(1, 12), 2),
+        (1, _ts(1, 11, 45), 3),   # 15 min late: within the 30-min delay
+        (1, _ts(1, 11), 4),       # 60 min late: quarantined
+        (2, _ts(1, 9), 5),        # first arrival per key: no HWM, never late
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = late_events(
+        df, ["user_id"], arrival_col="event_id", max_delay_ms=1_800_000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 4
+    assert r["hwm_ts"] == _ts(1, 12)
+    assert r["lateness_ms"] == 3_600_000
+
+
+def test_late_events_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1)], "user_id long, ts timestamp, event_id long"
+    )
+    out = late_events(df, ["user_id"])
+    assert n_exchanges(out) == 1
