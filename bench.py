@@ -155,16 +155,21 @@ def compact_result_line(full: dict, budget: int = STDOUT_LINE_BUDGET) -> str:
 
     The full dict always lands in BENCH_LAST.json; this governs only the
     stdout line the driver parses. Shrink order (least information lost
-    first): drop queries_cold, round floats to 2 decimals, drop replay
-    detail counters, and as a last resort drop per-query timings (they
-    remain in the file).
+    first): drop pretty separators, drop queries_cold, round floats to 2
+    decimals, drop replay detail counters, and as a last resort drop
+    per-query timings (they remain in the file).
     """
     d = dict(full)
     line = json.dumps(d)
     if len(line) <= budget:
         return line
+    # compact separators: pure whitespace, zero information lost
+    compact = {"separators": (",", ":")}
+    line = json.dumps(d, **compact)
+    if len(line) <= budget:
+        return line
     d.pop("queries_cold", None)
-    line = json.dumps(d)
+    line = json.dumps(d, **compact)
     if len(line) <= budget:
         return line
 
@@ -173,16 +178,16 @@ def compact_result_line(full: dict, budget: int = STDOUT_LINE_BUDGET) -> str:
 
     d["queries"] = {k: r2(v) for k, v in d.get("queries", {}).items()}
     d["replay_samples_sec"] = [r2(v) for v in d.get("replay_samples_sec", [])]
-    line = json.dumps(d)
+    line = json.dumps(d, **compact)
     if len(line) <= budget:
         return line
     for key in ("final_rows", "batches", "events", "total_sec"):
         d.pop(key, None)
-        line = json.dumps(d)
+        line = json.dumps(d, **compact)
         if len(line) <= budget:
             return line
     d["queries"] = {"_see": "BENCH_LAST.json"}
-    return json.dumps(d)
+    return json.dumps(d, **compact)
 
 
 def main() -> None:
