@@ -2523,6 +2523,135 @@ WHERE floor((epoch_us(hwm_ts) - epoch_us(ts)) / 1000) > 1800000
 """
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation over lineitem — detail rows,
+    per-returnflag subtotals, and the grand total in ONE pass (Spark plans
+    a single Expand + hash aggregate, partial agg map-side; never three
+    scans). grouping_id disambiguates subtotal levels from genuine NULL
+    group values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+        )
+        .select(
+            "gid",
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            "sum_qty",
+            "sum_disc_price",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (groupBy.pivot with an EXPLICIT value
+    list — no driver-side distinct pass to discover columns, which at
+    100 TB would be a full extra scan; one hash aggregate, map-side
+    combined). Missing combinations surface as 0, not NULL."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers that never placed an order.
+    Catalyst plans a broadcast/hash LEFT ANTI on the key — the probe side
+    streams, no null-aware fallback needed (keys are non-null)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (operators/sessionize.py sliding_agg):
+    1-hour windows every 30 minutes per event_type — each event fans out
+    to exactly window/slide=2 instances in a zero-shuffle projection, then
+    ONE map-side-combined hash aggregate."""
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        sliding_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return sliding_agg(
+        ev, ["event_type"], window="1 hour", slide="30 minutes"
+    )
+
+
+_SLIDING_SQL = """
+WITH inst AS (
+  SELECT e.event_type, e.value,
+         time_bucket(INTERVAL '30 minutes', e.ts)
+             - i.i * INTERVAL '30 minutes' AS window_start,
+         e.ts AS ts
+  FROM events e CROSS JOIN (SELECT unnest(range(2)) AS i) i
+  WHERE e.ts < time_bucket(INTERVAL '30 minutes', e.ts)
+                - i.i * INTERVAL '30 minutes' + INTERVAL '1 hour'
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       CAST(window_start + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+           AS value_milli_sum
+FROM inst
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2597,6 +2726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "anomaly_hours": q_anomaly_hours,
         "late_events": q_late_events,
+        "rollup_pricing": q_rollup_pricing,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "customers_without_orders": q_customers_without_orders,
+        "sliding_hourly": q_sliding_hourly,
     }
 
 
@@ -2662,6 +2795,10 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "anomaly_hours": _ANOMALY_SQL,
         "late_events": _LATE_EVENTS_SQL,
+        "rollup_pricing": _ROLLUP_SQL,
+        "pivot_event_matrix": _PIVOT_SQL,
+        "customers_without_orders": _ANTI_SQL,
+        "sliding_hourly": _SLIDING_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

@@ -186,6 +186,16 @@ def compact_result_line(full: dict, budget: int = STDOUT_LINE_BUDGET) -> str:
         line = json.dumps(d, **compact)
         if len(line) <= budget:
             return line
+    # 0.1 s timing resolution + drop the non-contract cores field before
+    # surrendering the per-query map entirely
+    d.pop("cores", None)
+    d["queries"] = {
+        k: round(v, 1) if isinstance(v, float) else v
+        for k, v in d.get("queries", {}).items()
+    }
+    line = json.dumps(d, **compact)
+    if len(line) <= budget:
+        return line
     d["queries"] = {"_see": "BENCH_LAST.json"}
     return json.dumps(d, **compact)
 

@@ -131,3 +131,49 @@ def tumbling_agg(
         *keys,
         *agg_cols,
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    aggs: list | None = None,
+) -> DataFrame:
+    """Hopping (sliding) event-time window aggregation — ``tumbling_agg``'s
+    overlapping twin, same ``F.window`` bucketing as the streaming path so
+    backfill == live stream for hopping rollups too.
+
+    Every event lands in ``window/slide`` consecutive windows (Spark's
+    ``F.window(ts, window, slide)`` explodes the covering instances —
+    epoch-aligned slide grid, half-open ``[start, start+window)``). The
+    aggregates default to the same exact integerized forms as
+    ``tumbling_agg`` (count + floor-milli value sum — order-independent,
+    no float-SUM nondeterminism).
+
+    100-TB shape: the instance explode is a zero-shuffle projection that
+    fans each row out ×(window/slide) — a CONSTANT factor chosen by the
+    caller, not data-dependent — followed by ONE hash aggregate with
+    map-side combine; the exchange moves one partial row per
+    (key, window instance) per task, O(#buckets × overlap), never
+    O(#events × overlap).
+    """
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+        if "value" in df.columns:
+            aggs.append(
+                F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                .cast("long")
+                .alias("value_milli_sum")
+            )
+    win = F.window(F.col(ts_col), window, slide)
+    out = df.groupBy(win.alias("_w"), *keys).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "_w" and c not in keys]
+    return out.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )

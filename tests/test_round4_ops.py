@@ -301,3 +301,48 @@ def test_column_quantiles_approx_mode_is_partial_agg(spark):
     vals = {r["quantile"]: r["value"] for r in out.collect()}
     # GK sketch at this accuracy on 1k rows is exact to the rank
     assert vals[0.5] == pytest.approx(np.percentile(range(1000), 50), abs=1.0)
+
+
+# ------------------------------------------------------------- sliding
+def test_sliding_agg_covering_instances(spark):
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        sliding_agg,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:40:00", 1.5),
+            ("u1", "2024-01-01 00:10:00", 2.0),
+        ],
+        "u string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["u"], str(r["window_start"])): r
+        for r in sliding_agg(
+            ev, ["u"], ts_col="ts", window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    # 00:10 covers [23:30, 00:30) and [00:00, 01:00);
+    # 00:40 covers [00:00, 01:00) and [00:30, 01:30)
+    assert set(out) == {
+        ("u1", "2023-12-31 23:30:00"),
+        ("u1", "2024-01-01 00:00:00"),
+        ("u1", "2024-01-01 00:30:00"),
+    }
+    both = out[("u1", "2024-01-01 00:00:00")]
+    assert both["n_events"] == 2 and both["value_milli_sum"] == 3500
+    assert out[("u1", "2023-12-31 23:30:00")]["n_events"] == 1
+    assert str(both["window_end"]) == "2024-01-01 01:00:00"
+
+
+def test_sliding_agg_plan_single_exchange_no_window(spark):
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        sliding_agg,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:01", 1.0)], "u string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sliding_agg(ev, ["u"], ts_col="ts")
+    assert n_exchanges(out) == 1
+    assert "Window" not in plan_of(out), plan_of(out)
