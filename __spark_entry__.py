@@ -2652,6 +2652,368 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_offset_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC offset-continuity summary (operators/changes.py offset_islands):
+    per-key gaps-and-islands over the event_id axis — the coverage twin of
+    offset_audit. island = offset - row_number() is constant within a
+    consecutive run, so the whole report is ONE window shuffle; both
+    downstream groupBys are clustered by the window's partitioning and add
+    no Exchange."""
+    from embulk_output_bigquery_java_spark.operators.changes import (
+        offset_islands,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return offset_islands(ev, ["user_id"], "event_id")
+
+
+_OFFSET_ISLANDS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(event_id AS BIGINT) AS off FROM events
+),
+r AS (
+  SELECT user_id, off,
+         off - row_number() OVER (PARTITION BY user_id ORDER BY off)
+             AS island
+  FROM d
+),
+i AS (
+  SELECT user_id, island, count(*) AS len, min(off) AS lo, max(off) AS hi
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_offsets,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       min(lo) AS first_offset,
+       max(hi) AS last_offset,
+       CAST(max(hi) - min(lo) + 1 - sum(len) AS BIGINT) AS n_missing,
+       CAST(max(len) AS BIGINT) AS max_island_len
+FROM i GROUP BY user_id
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (operators/profile.py
+    value_histogram): zero-shuffle bin projection, ONE map-side-combined
+    hash aggregate whose output is O(#bins), and a share window over that
+    tiny aggregate only — the distribution probe that sizes quantile bands
+    and salt counts without sorting the corpus."""
+    from embulk_output_bigquery_java_spark.operators.profile import (
+        value_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return value_histogram(
+        ev, "value", bin_width=25.0, group_cols=["event_type"]
+    )
+
+
+_VALUE_HIST_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type,
+       bin * 25.0 AS bin_lo,
+       (bin + 1) * 25.0 AS bin_hi,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
+             6) AS share
+FROM b
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verdict near-dup pairs (operators/text_dedup.py
+    edit_distance_pairs): prefix blocking bounds the candidate blocks,
+    a length-gap lower bound prunes before the DP, and the Levenshtein DP
+    itself is a JVM builtin over a bounded prefix — the explainable
+    verification pass after the probabilistic MinHash/SimHash sweeps."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        edit_distance_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return edit_distance_pairs(
+        d,
+        block_cols=["lang"],
+        prefix_len=24,
+        verify_len=256,
+        max_dist=16,
+        max_block=200,
+    )
+
+
+_EDIT_DIST_SQL = r"""
+WITH nd AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id AS id, lang, substring(t, 1, 24) AS pfx,
+         substring(t, 1, 256) AS body, length(t) AS len
+  FROM nd
+),
+keys AS (
+  SELECT lang, pfx FROM base GROUP BY 1, 2
+  HAVING count(*) > 1 AND count(*) <= 200
+),
+kept AS (
+  SELECT base.* FROM base JOIN keys USING (lang, pfx)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.body, b.body) AS INTEGER) AS edit_dist,
+       a.len AS len_a, b.len AS len_b
+FROM kept a JOIN kept b
+  ON a.lang = b.lang AND a.pfx = b.pfx AND a.id < b.id
+WHERE abs(a.len - b.len) <= 16
+  AND levenshtein(a.body, b.body) <= 16
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated aggregate filter (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average, revenue by brand. The
+    correlated subquery 'WHERE l_quantity < 0.2 * (SELECT avg(...) WHERE
+    same part)' becomes ONE per-part aggregate joined back on the same
+    key — both sides hash-partition on l_partkey, so the join adds no
+    extra shuffle over the agg. The threshold compare is done in exact
+    integer algebra (qm*5*n < sum_qm ⟺ q < 0.2*avg) so no float ulp can
+    flip a boundary row between engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") * 1000).cast("long").alias("qm"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qm").alias("sum_qm"), F.count(F.lit(1)).alias("n")
+    )
+    small = li.join(stats, on="l_partkey").where(
+        F.col("qm") * 5 * F.col("n") < F.col("sum_qm")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        small.join(
+            F.broadcast(part),
+            small["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+WITH q AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 1000) AS BIGINT) AS qm,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+s AS (
+  SELECT l_partkey, sum(qm) AS sum_qm, count(*) AS n
+  FROM q GROUP BY 1
+),
+f AS (
+  SELECT q.l_partkey, q.cents
+  FROM q JOIN s USING (l_partkey)
+  WHERE q.qm * 5 * s.n < s.sum_qm
+)
+SELECT p.p_brand,
+       CAST(sum(f.cents) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM f JOIN part p ON p.p_partkey = f.l_partkey
+GROUP BY 1
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-k (TPC-H Q3 shape): BUILDING-segment orders
+    not yet shipped at the cutoff, ranked by discounted revenue. Both
+    dimension filters are pushed to the scans; customer joins orders on
+    custkey, lineitem joins on orderkey (the one big co-keyed shuffle);
+    the top 10 is a distributed TakeOrderedAndProject, never a global
+    sort. Revenue is exact integer cents with a deterministic orderkey
+    tie-break."""
+    cutoff = "1998-06-01"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long").alias("disc_cents"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("disc_cents").cast("long").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SHIP_PRIO_SQL = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume by year (TPC-H Q7 shape): revenue between
+    supplier nation and customer nation. The two nation legs and supplier
+    are broadcast (tiny dims); lineitem⋈orders is the single big co-keyed
+    shuffle; customer joins orders on custkey. Year extraction and the
+    revenue integerization are zero-shuffle projections."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("disc_cents"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("disc_cents").cast("long").alias("revenue_cents"))
+    )
+
+
+_NATION_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders — all four aggregation levels of
+    (status, priority) in ONE Expand + map-side-combined hash aggregate
+    (the rollup query's full-lattice sibling). grouping_id separates
+    subtotal levels from genuine NULLs; money is exact integer cents."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "gid", "o_orderstatus", "o_orderpriority", "n_orders",
+            "total_cents",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT CAST(grouping(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window catalog: per-nation account-balance
+    quartile (ntile), percent_rank, and cume_dist in ONE window pass
+    (shared partition+order spec = one shuffle, one sort). The order key
+    includes c_custkey so ties are deterministic across engines — an
+    ntile over a non-unique order is not a well-defined query."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_NTILE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2730,6 +3092,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_matrix": q_pivot_event_matrix,
         "customers_without_orders": q_customers_without_orders,
         "sliding_hourly": q_sliding_hourly,
+        "offset_islands": q_offset_islands,
+        "value_histogram": q_value_histogram,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "small_qty_revenue": q_small_qty_revenue,
+        "shipping_priority": q_shipping_priority,
+        "nation_trade_volume": q_nation_trade_volume,
+        "cube_order_stats": q_cube_order_stats,
+        "ntile_acctbal": q_ntile_acctbal,
     }
 
 
@@ -2799,6 +3169,14 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_matrix": _PIVOT_SQL,
         "customers_without_orders": _ANTI_SQL,
         "sliding_hourly": _SLIDING_SQL,
+        "offset_islands": _OFFSET_ISLANDS_SQL,
+        "value_histogram": _VALUE_HIST_SQL,
+        "edit_distance_pairs": _EDIT_DIST_SQL,
+        "small_qty_revenue": _SMALL_QTY_SQL,
+        "shipping_priority": _SHIP_PRIO_SQL,
+        "nation_trade_volume": _NATION_TRADE_SQL,
+        "cube_order_stats": _CUBE_SQL,
+        "ntile_acctbal": _NTILE_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

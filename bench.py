@@ -196,6 +196,21 @@ def compact_result_line(full: dict, budget: int = STDOUT_LINE_BUDGET) -> str:
     line = json.dumps(d, **compact)
     if len(line) <= budget:
         return line
+    # final fallback: keep the SLOWEST queries (the ones a reader acts
+    # on), as many as fit, and say how many were cut. The full map is in
+    # BENCH_LAST.json either way.
+    ranked = sorted(
+        d.get("queries", {}).items(),
+        key=lambda kv: -(kv[1] if isinstance(kv[1], (int, float)) else 0),
+    )
+    keep = len(ranked)
+    while keep > 0:
+        d["queries"] = dict(ranked[:keep])
+        d["queries_omitted"] = len(ranked) - keep
+        line = json.dumps(d, **compact)
+        if len(line) <= budget:
+            return line
+        keep -= 5
     d["queries"] = {"_see": "BENCH_LAST.json"}
     return json.dumps(d, **compact)
 

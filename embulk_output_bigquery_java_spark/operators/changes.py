@@ -323,3 +323,74 @@ def offset_audit(
         kind.alias(kind_col),
     )
     return out.where(F.col(kind_col).isNotNull())
+
+
+def offset_islands(
+    df: DataFrame,
+    part_cols: list[str],
+    offset_col: str,
+) -> DataFrame:
+    """Gaps-and-islands continuity summary of a per-key offset sequence.
+
+    The companion to :func:`offset_audit`: where the audit flags *ordering*
+    violations row by row, this summarizes *coverage* — how contiguous each
+    key's offset sequence is. A binlog tail that dropped a chunk (connector
+    restart without rewind, compacted topic segment) shows up as extra
+    islands / missing offsets per key, the coarse-grained signal an
+    operator alarms on before diffing row-level. The reference's analog is
+    the load-time row accounting around each job (W4 counts,
+    BigqueryClient.java load error budget); this is the offset-axis version
+    a changelog consumer needs.
+
+    Islands are maximal runs of consecutive integers. The classic trick:
+    ``island = offset - row_number()`` along each key's offset order is
+    constant within a run, so islands fall out of ONE window pass with no
+    self-join.
+
+    Output (one row per key): ``part_cols + [n_offsets, n_islands,
+    first_offset, last_offset, n_missing, max_island_len]`` where
+    ``n_missing = (last-first+1) - n_offsets`` counts holes strictly inside
+    the observed span. Duplicate offsets within a key are a *different*
+    defect (offset_audit reports them); here they are collapsed first so
+    the island algebra stays exact.
+
+    100-TB shape: ONE shuffle. The stream is explicitly hash-partitioned
+    by ``part_cols`` up front; the duplicate collapse (an aggregate on
+    key+offset), the window, and both downstream aggregations are all
+    clustered by that same partitioning, so EnsureRequirements inserts no
+    further Exchange (asserted in tests). Letting dropDuplicates pick its
+    own partitioning would shuffle the full stream TWICE — once on
+    (key, offset), again on key for the window. A hot key is ordinary
+    window skew, inherent to per-key ordering: pre-split by offset range
+    before auditing a pathological single-key stream. The per-key output
+    is O(#keys), tiny next to the stream.
+    """
+    if not part_cols:
+        raise ValueError("offset_islands requires part_cols")
+    from pyspark.sql import Window
+
+    off = F.col(offset_col).cast("long")
+    dedup = (
+        df.select(*part_cols, off.alias("_off"))
+        .repartition(*[F.col(c) for c in part_cols])
+        .dropDuplicates([*part_cols, "_off"])
+    )
+    w = Window.partitionBy(*part_cols).orderBy(F.col("_off").asc())
+    runs = dedup.withColumn(
+        "_island", F.col("_off") - F.row_number().over(w)
+    )
+    per_island = runs.groupBy(*part_cols, "_island").agg(
+        F.count(F.lit(1)).alias("_len"),
+        F.min("_off").alias("_lo"),
+        F.max("_off").alias("_hi"),
+    )
+    return per_island.groupBy(*part_cols).agg(
+        F.sum("_len").cast("long").alias("n_offsets"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.min("_lo").alias("first_offset"),
+        F.max("_hi").alias("last_offset"),
+        (
+            F.max("_hi") - F.min("_lo") + F.lit(1) - F.sum("_len")
+        ).cast("long").alias("n_missing"),
+        F.max("_len").cast("long").alias("max_island_len"),
+    )

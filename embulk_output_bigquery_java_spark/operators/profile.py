@@ -272,3 +272,54 @@ def column_quantiles(
         F.col("_p.quantile").alias("quantile"),
         F.round(F.col("_p.value"), round_to).alias("value"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bin_width: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column — the distribution probe
+    that sizes everything else (quantile bands, anomaly thresholds, skew
+    salts) without a sort or a sketch.
+
+    Bin assignment is a zero-shuffle projection ``bin = floor(value /
+    bin_width)``; the count is ONE map-side-combined hash aggregate whose
+    output is O(#bins), not O(rows). The per-bin ``share`` is computed by a
+    window over that tiny aggregated relation — never over the corpus
+    (same agg-below-window discipline as heavy_hitters).
+
+    NULL values are excluded from bins (they have no position on the axis);
+    callers wanting the null rate take it from profile_table in the same
+    telemetry pass. ``bin_lo``/``bin_hi`` are emitted as doubles so the
+    result is plottable without re-deriving edges.
+
+    100-TB shape: one scan, one partial-agg shuffle of #bins-sized
+    partials, window over O(#bins × #groups) rows. The window's own
+    Exchange re-hashes ONLY the aggregated bins (deliberately NOT avoided
+    by pre-partitioning the corpus on group_cols: that would shuffle the
+    full input and concentrate a hot group on one task — two tiny
+    post-agg exchanges beat one corpus-sized skewed one). Degenerate
+    bin_width (≤0) is rejected loudly rather than producing a single
+    mega-bin.
+    """
+    if not (bin_width > 0):
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    groups = list(group_cols or [])
+    v = F.col(col).cast("double")
+    binned = df.where(v.isNotNull()).select(
+        *groups, F.floor(v / F.lit(float(bin_width))).alias("bin")
+    )
+    agg = binned.groupBy(*groups, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    return agg.select(
+        *groups,
+        (F.col("bin") * F.lit(float(bin_width))).alias("bin_lo"),
+        ((F.col("bin") + 1) * F.lit(float(bin_width))).alias("bin_hi"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )

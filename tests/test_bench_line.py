@@ -46,19 +46,30 @@ def _full(queries):
     }
 
 
-def test_real_query_names_fit_budget_with_timings_kept():
+def test_real_query_names_fit_budget_slowest_kept():
     entry = _load("entry_mod", os.path.join(_ROOT, "__spark_entry__.py"))
     names = list(entry.queries().keys())
     assert len(names) >= 45
-    line = bench.compact_result_line(_full({n: 12.345 for n in names}))
+    # distinct timings so "slowest-first" is checkable
+    qs = {n: 5.0 + i / 10 for i, n in enumerate(names)}
+    line = bench.compact_result_line(_full(qs))
     assert len(line) <= bench.STDOUT_LINE_BUDGET
     d = json.loads(line)
     # contract fields survive shrinking
     for key in ("metric", "value", "unit", "events_per_s",
                 "replay_samples_sec", "host_calib_mh_s", "sf"):
         assert key in d, key
-    # per-query timings survive at the real query count
-    assert set(d["queries"]) == set(names)
+    got = d["queries"]
+    assert "_see" not in got
+    # at the real query count the line either keeps everything or keeps
+    # the SLOWEST prefix and says how many were cut
+    if set(got) != set(names):
+        kept = len(got)
+        assert d["queries_omitted"] == len(names) - kept
+        slowest = sorted(qs, key=lambda n: -qs[n])[:kept]
+        assert set(got) == set(slowest)
+        # a useful floor: at least half the suite stays visible inline
+        assert kept >= len(names) // 2
 
 
 @pytest.mark.parametrize("n_queries", [0, 10, 51, 120, 400])

@@ -1,0 +1,172 @@
+"""Round-4 batch 3: offset gaps-and-islands, fixed-width value histogram,
+and edit-distance-verified near-dup pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_bigquery_java_spark.operators.changes import offset_islands
+from embulk_output_bigquery_java_spark.operators.profile import value_histogram
+from embulk_output_bigquery_java_spark.operators.text_dedup import (
+    edit_distance_pairs,
+)
+
+from tests.test_plans_physical import plan_of
+
+
+def n_exchanges(df) -> int:
+    return plan_of(df, "simple").count("Exchange")
+
+
+# --------------------------------------------------------- offset islands
+@pytest.fixture(scope="module")
+def offsets(spark):
+    rows = (
+        # key 'a': runs [1..3], [7..8], [12] -> 3 islands, 6 offsets,
+        # span 1..12 -> 6 missing; duplicate offset 2 collapses first
+        [("a", o) for o in (1, 2, 2, 3, 7, 8, 12)]
+        # key 'b': one contiguous run [5..9]
+        + [("b", o) for o in (5, 6, 7, 8, 9)]
+    )
+    return spark.createDataFrame(rows, "k string, off long")
+
+
+def test_offset_islands_semantics(offsets):
+    out = {r["k"]: r for r in offset_islands(offsets, ["k"], "off").collect()}
+    a = out["a"]
+    assert (a["n_offsets"], a["n_islands"]) == (6, 3)
+    assert (a["first_offset"], a["last_offset"]) == (1, 12)
+    assert a["n_missing"] == 6  # 4,5,6,9,10,11
+    assert a["max_island_len"] == 3
+    b = out["b"]
+    assert (b["n_offsets"], b["n_islands"], b["n_missing"]) == (5, 1, 0)
+    assert b["max_island_len"] == 5
+
+
+def test_offset_islands_single_shuffle(offsets):
+    # dedup + window + both groupBys all cluster on k: exactly ONE
+    # Exchange in the whole plan (dropDuplicates partial-aggregates
+    # map-side into the same hash partitioning the window needs).
+    out = offset_islands(offsets, ["k"], "off")
+    assert n_exchanges(out) == 1
+
+
+def test_offset_islands_requires_parts(offsets):
+    with pytest.raises(ValueError):
+        offset_islands(offsets, [], "off")
+
+
+# --------------------------------------------------------- value histogram
+@pytest.fixture(scope="module")
+def values(spark):
+    rows = [("x", 0.0), ("x", 9.9), ("x", 10.0), ("x", 25.0), ("y", -0.1),
+            ("y", None)]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_value_histogram_bins_and_share(values):
+    out = value_histogram(values, "v", bin_width=10.0, group_cols=["g"])
+    rows = {(r["g"], r["bin_lo"]): r for r in out.collect()}
+    # x: [0,10) holds 0.0 and 9.9; [10,20) holds 10.0; [20,30) holds 25.0
+    assert rows[("x", 0.0)]["n"] == 2
+    assert rows[("x", 10.0)]["n"] == 1
+    assert rows[("x", 20.0)]["n"] == 1
+    assert rows[("x", 0.0)]["share"] == pytest.approx(0.5, abs=1e-9)
+    assert rows[("x", 0.0)]["bin_hi"] == 10.0
+    # negative values floor downward: -0.1 lands in [-10, 0)
+    assert rows[("y", -10.0)]["n"] == 1
+    # NULL excluded entirely: y has exactly one bin with share 1.0
+    assert rows[("y", -10.0)]["share"] == 1.0
+    assert len([k for k in rows if k[0] == "y"]) == 1
+
+
+def test_value_histogram_agg_below_window(values):
+    # the share window must run over the aggregated bins, not the corpus:
+    # the Window's input is the (tiny) aggregate. 2 Exchanges total, and
+    # BOTH sit above the partial HashAggregate — i.e. both move O(#bins)
+    # partials, never raw rows (plans print top-down, so "above" in the
+    # dataflow = earlier Exchange indices than the partial agg's index).
+    out = value_histogram(values, "v", bin_width=10.0, group_cols=["g"])
+    plan = plan_of(out, "simple")
+    assert n_exchanges(out) == 2
+    # plans print top-down (consumers first): the Window must sit ABOVE
+    # every aggregate node (its input is the aggregated bins), and both
+    # Exchanges must sit above the partial aggregate (the bottom-most
+    # HashAggregate) — i.e. they move O(#bins) partials, never raw rows.
+    assert plan.index("Window") < plan.index("HashAggregate")
+    last_partial = plan.rindex("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    second_exchange = plan.index("Exchange", first_exchange + 1)
+    assert first_exchange < last_partial and second_exchange < last_partial
+
+
+def test_value_histogram_rejects_bad_width(values):
+    with pytest.raises(ValueError):
+        value_histogram(values, "v", bin_width=0.0)
+
+
+# ---------------------------------------------------- edit-distance pairs
+@pytest.fixture(scope="module")
+def docs(spark):
+    prefix = "the quick brown fox jumps over the lazy dog "
+    rows = [
+        # near-dup pair sharing the 24-char prefix, small tail edit
+        (1, "en", prefix + "alpha beta gamma"),
+        (2, "en", prefix + "alpha beta gamm"),
+        # same prefix but totally different (and long) tail -> dist > max
+        (3, "en", prefix + "x" * 200),
+        # same text, different lang block -> never paired with 1/2
+        (4, "de", prefix + "alpha beta gamma"),
+        # singleton prefix -> block dropped (no pair possible)
+        (5, "en", "completely different text here today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_edit_distance_pairs_semantics(docs):
+    out = edit_distance_pairs(
+        docs, block_cols=["lang"], prefix_len=24, verify_len=256,
+        max_dist=5, max_block=10,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["edit_dist"]) for r in out] == [
+        (1, 2, 1)
+    ]
+    r = out[0]
+    assert r["len_a"] == r["len_b"] + 1
+
+
+def test_edit_distance_pairs_length_gap_prunes(docs):
+    # doc 3 differs from 1 by ~185 chars of length: the |len| gap filter
+    # must remove the pair before the DP, so it never appears even with a
+    # huge verify budget.
+    out = edit_distance_pairs(
+        docs, block_cols=["lang"], prefix_len=24, verify_len=10_000,
+        max_dist=5, max_block=10,
+    )
+    ids = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 3) not in ids and (2, 3) not in ids
+
+
+def test_edit_distance_pairs_block_cap_drops_whole_block(spark):
+    # 4 docs share a prefix; max_block=3 drops the ENTIRE block (no
+    # sampled subset), so zero pairs — deterministic recall trade.
+    rows = [(i, "en", "shared prefix goes here padding " + str(i))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = edit_distance_pairs(
+        df, block_cols=["lang"], prefix_len=24, max_dist=16, max_block=3
+    )
+    assert out.count() == 0
+    # raising the cap re-admits the block
+    out2 = edit_distance_pairs(
+        df, block_cols=["lang"], prefix_len=24, max_dist=16, max_block=10
+    )
+    assert out2.count() == 6  # C(4,2)
+
+
+def test_edit_distance_pairs_no_window_no_nested_loop(docs):
+    out = edit_distance_pairs(docs, block_cols=["lang"])
+    plan = plan_of(out, "simple")
+    assert "Window" not in plan
+    # blocking must plan as a hash/sort-merge equality join, never a
+    # nested-loop over the corpus
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
