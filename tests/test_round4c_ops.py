@@ -80,18 +80,14 @@ def test_value_histogram_bins_and_share(values):
 
 
 def test_value_histogram_agg_below_window(values):
-    # the share window must run over the aggregated bins, not the corpus:
-    # the Window's input is the (tiny) aggregate. 2 Exchanges total, and
-    # BOTH sit above the partial HashAggregate — i.e. both move O(#bins)
-    # partials, never raw rows (plans print top-down, so "above" in the
-    # dataflow = earlier Exchange indices than the partial agg's index).
-    out = value_histogram(values, "v", bin_width=10.0, group_cols=["g"])
-    plan = plan_of(out, "simple")
-    assert n_exchanges(out) == 2
-    # plans print top-down (consumers first): the Window must sit ABOVE
+    # the share window must run over the aggregated bins, not the corpus.
+    # Plans print top-down (consumers first): the Window must sit ABOVE
     # every aggregate node (its input is the aggregated bins), and both
     # Exchanges must sit above the partial aggregate (the bottom-most
     # HashAggregate) — i.e. they move O(#bins) partials, never raw rows.
+    out = value_histogram(values, "v", bin_width=10.0, group_cols=["g"])
+    plan = plan_of(out, "simple")
+    assert n_exchanges(out) == 2
     assert plan.index("Window") < plan.index("HashAggregate")
     last_partial = plan.rindex("HashAggregate")
     first_exchange = plan.index("Exchange")
@@ -170,3 +166,50 @@ def test_edit_distance_pairs_no_window_no_nested_loop(docs):
     # blocking must plan as a hash/sort-merge equality join, never a
     # nested-loop over the corpus
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- entry query plan shapes
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_small_qty_revenue_plan(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_small_qty_revenue(spark, SF0001), "simple")
+    # part dim is broadcast; the per-part stats join is a co-keyed
+    # shuffle join (both sides hash on l_partkey), never a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_shipping_priority_plan(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_shipping_priority(spark, SF0001), "simple")
+    # top-10 must be a distributed TakeOrderedAndProject, not Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # both dimension filters reach the parquet scans
+    formatted = plan_of(e.q_shipping_priority(spark, SF0001), "formatted")
+    assert "PushedFilters" in formatted
+
+
+def test_cube_order_stats_single_expand(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_cube_order_stats(spark, SF0001), "simple")
+    # the full grouping lattice comes from ONE Expand + one agg pair,
+    # never a union of per-level scans
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan") == 1
+
+
+def test_ntile_acctbal_one_window_pass(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_ntile_acctbal(spark, SF0001), "simple")
+    # all three rank functions share one window spec: one Window node,
+    # one Exchange, one Sort
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
