@@ -427,42 +427,76 @@ def minhash_lsh_pairs(
     )
     banded = banded_signatures(sig, num_hashes=num_hashes, bands=bands)
     # materialize the (tiny: docs x bands rows) banded signatures: the
-    # bucket-size cap and the a x b self-join would otherwise re-evaluate
-    # the full signature pipeline once per reference — at 100 TB the
+    # bucket-size cap count and the member-list aggregate would otherwise
+    # re-evaluate the full signature pipeline once each — at 100 TB the
     # signature table IS the index and is always persisted
     from pyspark.storagelevel import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # cap BEFORE collecting member lists: collect_set over an uncapped
+    # degenerate bucket (every empty doc sharing one band hash) would
+    # materialize an O(corpus) array in one aggregation buffer — the cap
+    # keeps every bucket list bounded by config before it is built
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size,
                           stats_out=cap_stats)
 
+    # ONE aggregate turns the banded stream into sorted bucket member
+    # lists; candidate pairs AND the verify-id set both derive from it.
+    # The previous shape (a x b self-join on the band key, then a second
+    # collect_set aggregate for the verify ids) shuffled the banded table
+    # three more times for the same information — measured ~1.5 s of pure
+    # exchange overhead at bench scale, and strictly more data movement
+    # at any scale. Bucket lists are bounded by max_bucket_size (above),
+    # so the in-array pair expansion is the same O(bucket^2) the join
+    # would emit, minus the shuffle.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    # Explicit-count repartition after the distinct: candidate rows are
+    # 16-byte id pairs, so AQE coalesces them to a handful of partitions —
+    # but each row EXPANDS ~300x in the verify join (two shingle arrays +
+    # array_intersect), an amplification AQE's byte-based sizing cannot
+    # see. Measured at sf0.1: the un-repartitioned verify ran 464k pairs
+    # on 4 tasks, 49 s; spread on defaultParallelism it uses every core.
+    # Partitioning BY id_a lets the first verify join reuse the layout.
+    par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "bh"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
+        .repartition(par, F.col("id_a"))
     )
     # verify with exact Jaccard on the true shingle sets — computed ONLY
     # for docs that sit in a colliding band bucket (semi-join prune).
     # Why pruning matters at 100 TB: the verify joins shuffle full
     # shingle ARRAYS (~5x the text itself), so an unpruned `sets` ships
     # the whole corpus, shingled, through TWO exchanges; pruned, only
-    # candidate docs pay that. The candidate ids come straight from the
-    # persisted banded table's >=2-member buckets (every member of such
-    # a bucket appears in some pair, and vice versa) — one small
-    # aggregate over cache, no second evaluation of the pair self-join.
+    # candidate docs pay that. No distinct on the probe side: left_semi
+    # tolerates duplicate build rows (a doc colliding in several bands),
+    # and an extra exchange to dedup them costs more than it saves.
     # `sets` is the DF consumed twice (id_a and id_b sides), so IT is
     # what gets persisted — candidates only, tiny by construction.
-    cand_ids = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_set("id").alias("_ids"))
-        .where(F.size("_ids") >= 2)
-        .select(F.explode("_ids").alias(id_col))
-        .distinct()
-    )
+    cand_ids = buckets.select(F.explode("_ids").alias(id_col))
+    # Same amplification story for the shingle build: the semi-join output
+    # is slim doc rows (AQE packs them tight; a single-file bench corpus
+    # is ONE split), but each row then pays the shingle+array_distinct
+    # projection. Spread it before the heavy work.
     sets = (
         df.join(cand_ids, on=id_col, how="left_semi")
+        .repartition(par, F.col(id_col))
         .select(
             F.col(id_col).alias("id"),
             shingles(F.col(text_col), shingle_k).alias("sh"),
