@@ -3014,6 +3014,154 @@ WINDOW w AS (PARTITION BY c_nationkey
 """
 
 
+def q_props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: parse the events.props JSON
+    column with a TYPED from_json schema (JVM-side Jackson — no Python in
+    the row path, and a typed schema beats get_json_object string
+    round-trips), then aggregate the extracted field per event type in one
+    map-side-combined pass. The pattern every CDC payload pipeline needs:
+    wire JSON → typed column → relational aggregate."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count_distinct("k").cast("long").alias("k_distinct"),
+        )
+    )
+
+
+_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+FROM e GROUP BY 1
+"""
+
+
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each order's trailing-7-day revenue for its
+    customer — a VALUE-based frame (orders 0-6 days back), not a row
+    count, so gaps in order days are handled correctly. One window
+    shuffle; day arithmetic and cents integerization are exact, so the
+    frame boundary cannot drift between engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("cents").over(w).cast("long").alias("rev_7d_cents"),
+    )
+
+
+_ROLLING_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(datediff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day,
+       CAST(sum(cents) OVER (
+           PARTITION BY o_custkey ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rev_7d_cents
+FROM o
+"""
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (entity-resolution 'golden record'): per
+    duplicate group, keep the canonical id (min) AND elect the richest
+    representative (longest text, id tie-break) plus group telemetry.
+    The election and the group aggregate share ONE window/agg partitioning
+    on the group hash — no self-join back to the corpus. Groups use the
+    same coarse 16-char-prefix hash as exact_dup_groups so the testdata
+    has non-trivial groups."""
+    from pyspark.sql import Window
+
+    from embulk_output_bigquery_java_spark.operators.text_dedup import _norm
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    h = F.sha2(F.substring(_norm(F.col("text")), 1, 16), 256)
+    base = d.select(h.alias("content_hash"), "doc_id", "lang", "n_chars")
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("doc_id").alias("keep_id"),
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
+                "richest_id"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("n_chars"))).alias(
+                "richest_n_chars"
+            ),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+_GOLDEN_RECORD_SQL = r"""
+WITH base AS (
+  SELECT sha256(substring(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), 1, 16)) AS content_hash,
+         doc_id, lang, n_chars
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM base
+)
+SELECT content_hash,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(doc_id) AS keep_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS richest_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS richest_n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM ranked
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3100,6 +3248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "cube_order_stats": q_cube_order_stats,
         "ntile_acctbal": q_ntile_acctbal,
+        "props_extract_stats": q_props_extract_stats,
+        "rolling_7d_revenue": q_rolling_7d_revenue,
+        "golden_record": q_golden_record,
     }
 
 
@@ -3177,6 +3328,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume": _NATION_TRADE_SQL,
         "cube_order_stats": _CUBE_SQL,
         "ntile_acctbal": _NTILE_SQL,
+        "props_extract_stats": _PROPS_SQL,
+        "rolling_7d_revenue": _ROLLING_SQL,
+        "golden_record": _GOLDEN_RECORD_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

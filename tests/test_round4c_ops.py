@@ -213,3 +213,54 @@ def test_ntile_acctbal_one_window_pass(spark):
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
     assert plan.count("Sort") == 1
+
+
+def test_props_extract_stats_plan(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_props_extract_stats(spark, SF0001), "simple")
+    # typed from_json stays JVM-side: no Python/Arrow eval node, and the
+    # distinct-count rides the same aggregate (Expand), no extra scan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Scan") == 1
+
+
+def test_rolling_7d_revenue_plan(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_rolling_7d_revenue(spark, SF0001), "simple")
+    # a RANGE frame is still one window pass: one Window, one Exchange
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_rolling_7d_revenue_gap_semantics(spark):
+    # value-based frame: a gap wider than 7 days must NOT carry revenue
+    import datetime
+
+    rows = [
+        (1, 10, datetime.datetime(1995, 1, 1), 100.0),
+        (2, 10, datetime.datetime(1995, 1, 7), 50.0),   # day 6: in range
+        (3, 10, datetime.datetime(1995, 1, 20), 10.0),  # gap: alone
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+              "o_totalprice double",
+    )
+    import __spark_entry__ as e
+    from unittest import mock
+
+    with mock.patch.object(e, "_t", lambda s, d, n: df):
+        out = {r["o_orderkey"]: r["rev_7d_cents"]
+               for r in e.q_rolling_7d_revenue(spark, "x").collect()}
+    assert out == {1: 10000, 2: 15000, 3: 1000}
+
+
+def test_golden_record_one_corpus_partitioning(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_golden_record(spark, SF0001), "simple")
+    # election window and group aggregate share the content_hash
+    # partitioning: exactly one Exchange touches corpus rows
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
