@@ -131,3 +131,117 @@ def test_quantization_bounds_and_scale_recovery(spark, vec):
         scale = m / 127.0
         for x, v in zip(vec, q):
             assert abs(v * scale - x) <= scale / 2 + 1e-9 * m
+
+
+# ---------------------------------------------------------- offset islands
+offsets_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)),  # (key, offset)
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(**SETTINGS)
+@given(pairs=offsets_strategy)
+def test_offset_islands_matches_python_runs(spark, pairs):
+    """Island count / lengths / missing equal a direct python computation
+    over the distinct sorted offsets of each key, for arbitrary streams
+    (duplicates, arbitrary order, singleton keys)."""
+    from embulk_output_bigquery_java_spark.operators.changes import (
+        offset_islands,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=k, off=o) for k, o in pairs]
+    )
+    got = {
+        r.k: (r.n_offsets, r.n_islands, r.first_offset, r.last_offset,
+              r.n_missing, r.max_island_len)
+        for r in offset_islands(df, ["k"], "off").collect()
+    }
+    by_key: dict[int, set[int]] = {}
+    for k, o in pairs:
+        by_key.setdefault(k, set()).add(o)
+    for k, offs in by_key.items():
+        s = sorted(offs)
+        runs, cur = [], 1
+        for a, b in zip(s, s[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        exp = (
+            len(s), len(runs), s[0], s[-1],
+            (s[-1] - s[0] + 1) - len(s), max(runs),
+        )
+        assert got[k] == exp, (k, got[k], exp)
+
+
+# --------------------------------------------------------- value histogram
+values_strategy = st.lists(
+    st.floats(-50, 50, allow_nan=False, width=32), min_size=1, max_size=60
+)
+
+
+@settings(**SETTINGS)
+@given(vals=values_strategy, width=st.sampled_from([0.5, 3.0, 10.0]))
+def test_value_histogram_counts_match_python(spark, vals, width):
+    """Bin counts equal a floor-division python histogram; shares sum to 1
+    (within float tolerance) for any values and bin width."""
+    from embulk_output_bigquery_java_spark.operators.profile import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([Row(v=float(x)) for x in vals])
+    out = value_histogram(df, "v", bin_width=width).collect()
+    got = {round(r.bin_lo, 6): r.n for r in out}
+    exp: dict[float, int] = {}
+    for x in vals:
+        b = math.floor(float(x) / width) * width
+        exp[round(b, 6)] = exp.get(round(b, 6), 0) + 1
+    assert got == exp
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+
+
+# ----------------------------------------------------- edit distance pairs
+@settings(**SETTINGS)
+@given(
+    tail_a=st.text("ab", min_size=0, max_size=8),
+    tail_b=st.text("ab", min_size=0, max_size=8),
+)
+def test_edit_distance_pairs_matches_python_dp(spark, tail_a, tail_b):
+    """For two docs sharing a prefix block, the reported distance equals a
+    classic python DP over the normalized bounded bodies."""
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        edit_distance_pairs,
+    )
+
+    prefix = "sharedprefixblockfortesting twelve "
+    a, b = prefix + tail_a, prefix + tail_b
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b)]
+    )
+    out = edit_distance_pairs(
+        df, prefix_len=24, verify_len=256, max_dist=100, max_block=10
+    ).collect()
+
+    def dp(x: str, y: str) -> int:
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (cx != cy),
+                ))
+            prev = cur
+        return prev[-1]
+
+    def norm(x: str) -> str:
+        # mirror text_dedup._norm: lower, trim, collapse whitespace
+        return " ".join(x.lower().split())
+
+    assert len(out) == 1
+    assert out[0].edit_dist == dp(norm(a), norm(b))
