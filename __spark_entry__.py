@@ -3163,6 +3163,96 @@ HAVING count(*) > 1
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: first-order event-type transition matrix. Each
+    user's stream is ordered once (ONE window shuffle, lag(1)); the
+    transition counts are a map-side-combined aggregate over the
+    (from,to) pairs, and the per-from share window runs over the tiny
+    aggregated matrix — never the event stream. The (ts, event_id)
+    compound order makes ties deterministic across engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                            "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    agg = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    share_w = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(share_w), 6).alias("p"),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+agg AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS p
+FROM agg
+"""
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: does nation determine market
+    segment for any customer cohort? Reports every determinant value
+    that maps to >1 dependent value — the data-quality probe that
+    catches merge-key collisions and denormalization drift before a
+    load (the relational analog of the engine's key-collision audits).
+    ONE map-side-combined aggregate over (det, dep) then a tiny rollup
+    per det; output O(#violating determinants)."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    pairs = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dep_values"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.max_by("c_mktsegment", F.struct("n_rows", "c_mktsegment"))
+            .alias("majority_value"),
+        )
+        .where(F.col("n_dep_values") > 1)
+    )
+
+
+_FD_SQL = """
+WITH pairs AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+  FROM customer GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY n_rows DESC, c_mktsegment DESC)
+            AS rn
+  FROM pairs
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_dep_values,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       max(CASE WHEN rn = 1 THEN c_mktsegment END) AS majority_value
+FROM ranked
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3252,6 +3342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract_stats": q_props_extract_stats,
         "rolling_7d_revenue": q_rolling_7d_revenue,
         "golden_record": q_golden_record,
+        "event_transitions": q_event_transitions,
+        "fd_violations": q_fd_violations,
     }
 
 
@@ -3332,6 +3424,8 @@ def oracle_sql() -> dict[str, str]:
         "props_extract_stats": _PROPS_SQL,
         "rolling_7d_revenue": _ROLLING_SQL,
         "golden_record": _GOLDEN_RECORD_SQL,
+        "event_transitions": _TRANSITIONS_SQL,
+        "fd_violations": _FD_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

@@ -264,3 +264,33 @@ def test_golden_record_one_corpus_partitioning(spark):
     # partitioning: exactly one Exchange touches corpus rows
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_event_transitions_agg_below_share_window(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_event_transitions(spark, SF0001), "simple")
+    # two Windows total (lag over the stream, share over the matrix) and
+    # the share window's input is the aggregate — in top-down print the
+    # share Window sits above the first HashAggregate
+    assert plan.count("Window") == 2
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_fd_violations_semantics(spark):
+    import __spark_entry__ as e
+    from unittest import mock
+
+    rows = [
+        (1, "A"), (1, "A"), (1, "B"),          # violation: A majority
+        (2, "C"), (2, "C"),                     # clean -> excluded
+        (3, "D"), (3, "E"), (3, "E"), (3, "D"), # tie 2-2 -> E (desc name)
+    ]
+    df = spark.createDataFrame(rows, "c_nationkey int, c_mktsegment string")
+    with mock.patch.object(e, "_t", lambda s, d, n: df):
+        out = {r["c_nationkey"]: r
+               for r in e.q_fd_violations(spark, "x").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["majority_value"] == "A"
+    assert (out[1]["n_dep_values"], out[1]["n_rows"]) == (2, 3)
+    assert out[3]["majority_value"] == "E"
