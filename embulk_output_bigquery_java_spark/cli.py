@@ -627,6 +627,50 @@ def cmd_delete_where(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Table telemetry in two scans (the reference's around-load row-count
+    checks generalized): a one-pass per-column profile (null rate,
+    cardinality, min/max — HLL by default) plus top-k heavy hitters over
+    the named columns (the skew probe that sizes salted-join/AQE
+    decisions). Optional fixed-width histogram of a numeric expression."""
+    from .operators.profile import (
+        heavy_hitters,
+        profile_table,
+        value_histogram,
+    )
+
+    spark = get_spark("cdc-profile", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    df = table.read()
+    out: dict = {"version": table.version}
+    out["columns"] = [r.asDict() for r in profile_table(df).collect()]
+    hot_cols = [c for c in (args.hot_cols or "").split(",")
+                if c and c in df.columns]
+    if hot_cols:
+        out["heavy_hitters"] = [
+            r.asDict() for r in heavy_hitters(df, hot_cols, k=args.k).collect()
+        ]
+    if args.hist_col:
+        if args.hist_col not in df.columns:
+            print(f"profile error: no column {args.hist_col!r}",
+                  file=sys.stderr)
+            return 2
+        dt = dict(df.dtypes)[args.hist_col]
+        if not (dt in ("int", "bigint", "smallint", "tinyint", "float",
+                       "double") or dt.startswith("decimal")):
+            print(f"profile error: --hist-col {args.hist_col!r} is {dt}, "
+                  "not numeric", file=sys.stderr)
+            return 2
+        out["histogram"] = [
+            r.asDict()
+            for r in value_histogram(
+                df, args.hist_col, bin_width=args.bin_width
+            ).orderBy("bin_lo").collect()
+        ]
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc-engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -825,6 +869,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="only delete unreferenced files older than this "
                         "(protects in-flight pipelined writes)")
     e.set_defaults(fn=cmd_expire)
+
+    pr = sub.add_parser(
+        "profile",
+        help="per-column telemetry: null/cardinality/min-max profile, "
+             "heavy hitters (skew probe), optional histogram",
+    )
+    pr.add_argument("--table-root", required=True)
+    pr.add_argument("--hot-cols", default="repo,lang",
+                    help="comma-separated columns for top-k heavy hitters "
+                         "(missing columns skipped)")
+    pr.add_argument("--k", type=int, default=10)
+    pr.add_argument("--hist-col", default=None,
+                    help="numeric column for a fixed-width histogram")
+    pr.add_argument("--bin-width", type=float, default=1000.0)
+    pr.add_argument("--cores", type=int, default=4)
+    pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1018,7 +1018,7 @@ def edit_distance_pairs(
     ).select(*key_cols)
     kept = base.join(kept_keys, on=key_cols, how="inner")
     a, b = kept.alias("a"), kept.alias("b")
-    pair_cond = F.col(f"a._id") < F.col(f"b._id")
+    pair_cond = F.col("a._id") < F.col("b._id")
     cand = a.join(b, on=key_cols, how="inner").where(pair_cond)
     # length gap is a lower bound on edit distance: prune before the DP
     cand = cand.where(

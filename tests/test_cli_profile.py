@@ -1,0 +1,55 @@
+"""cdc-engine profile: per-column telemetry over a lake table — one-pass
+profile, heavy hitters for skew sizing, optional numeric histogram with a
+loud non-numeric rejection (ANSI casts would otherwise throw mid-job)."""
+
+import json
+
+from embulk_output_bigquery_java_spark import cli
+
+
+def _replay(tmp_path, events=4000):
+    args = [
+        "replay", "--table-root", str(tmp_path / "t"),
+        "--events", str(events), "--batch-size", str(events // 2),
+        "--repos", "20", "--paths-per-repo", "10",
+        "--checkpoint", str(tmp_path / "ck.json"), "--cores", "4",
+    ]
+    assert cli.main(args) == 0
+
+
+def test_profile_columns_and_heavy_hitters(spark, tmp_path, capsys):
+    _replay(tmp_path)
+    capsys.readouterr()
+    assert cli.main([
+        "profile", "--table-root", str(tmp_path / "t"),
+        "--hot-cols", "repo,lang,nope", "--k", "3", "--cores", "4",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cols = {c["column"] for c in out["columns"]}
+    assert {"repo", "path", "commit", "lang", "content"} <= cols
+    by_col = {c["column"]: c for c in out["columns"]}
+    assert by_col["repo"]["n_nulls"] == 0
+    assert 0 < by_col["repo"]["n_distinct"] <= 25
+    # heavy hitters: k=3 per existing column; the unknown column is skipped
+    hh_cols = {h["column"] for h in out["heavy_hitters"]}
+    assert hh_cols == {"repo", "lang"}
+    top_repo = [h for h in out["heavy_hitters"] if h["column"] == "repo"]
+    assert len(top_repo) == 3
+    assert top_repo[0]["rank"] == 1
+    # zipf-hot stream: the top repo holds a measurable share
+    assert top_repo[0]["share"] > 0.05
+
+
+def test_profile_histogram_and_nonnumeric_rejection(spark, tmp_path, capsys):
+    _replay(tmp_path)
+    capsys.readouterr()
+    # no numeric column in the repos schema -> string col must exit 2
+    assert cli.main([
+        "profile", "--table-root", str(tmp_path / "t"),
+        "--hist-col", "commit", "--cores", "4",
+    ]) == 2
+    capsys.readouterr()
+    assert cli.main([
+        "profile", "--table-root", str(tmp_path / "t"),
+        "--hist-col", "missing_col", "--cores", "4",
+    ]) == 2
