@@ -3253,6 +3253,71 @@ HAVING count(*) > 1
 """
 
 
+def q_priority_semi_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (TPC-H Q4 shape): orders in a date window that
+    HAVE at least one lineitem shipped after the order date — EXISTS as a
+    LEFT SEMI hash join (probe side streams, no fan-out duplication the
+    way an inner join + distinct would), date filter pushed to the orders
+    scan."""
+    cutoff_lo, cutoff_hi = "1996-01-01", "1996-07-01"
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(cutoff_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(cutoff_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate")
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        late,
+        (orders["o_orderkey"] == late["l_orderkey"])
+        & (late["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+_PRIORITY_SEMI_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY 1
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (TPC-H Q13 shape): how many customers placed
+    exactly k orders, INCLUDING the zero-order customers a plain inner
+    join would silently drop — LEFT OUTER + count(non-null key) preserves
+    them. Two-level aggregation; both levels map-side combined, the
+    second over O(#customers) then O(#distinct counts) rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_CUST_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3344,6 +3409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "event_transitions": q_event_transitions,
         "fd_violations": q_fd_violations,
+        "priority_semi_count": q_priority_semi_count,
+        "customer_order_distribution": q_customer_order_distribution,
     }
 
 
@@ -3426,6 +3493,8 @@ def oracle_sql() -> dict[str, str]:
         "golden_record": _GOLDEN_RECORD_SQL,
         "event_transitions": _TRANSITIONS_SQL,
         "fd_violations": _FD_SQL,
+        "priority_semi_count": _PRIORITY_SEMI_SQL,
+        "customer_order_distribution": _CUST_DIST_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

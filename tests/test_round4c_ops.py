@@ -294,3 +294,28 @@ def test_fd_violations_semantics(spark):
     assert out[1]["majority_value"] == "A"
     assert (out[1]["n_dep_values"], out[1]["n_rows"]) == (2, 3)
     assert out[3]["majority_value"] == "E"
+
+
+def test_priority_semi_count_plan(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_priority_semi_count(spark, SF0001), "simple")
+    # EXISTS must plan as LEFT SEMI (no fan-out + distinct), and the date
+    # window must reach the orders scan
+    assert "LeftSemi" in plan
+    formatted = plan_of(e.q_priority_semi_count(spark, SF0001), "formatted")
+    assert "PushedFilters" in formatted
+
+
+def test_customer_order_distribution_keeps_zero_order_customers(spark):
+    import __spark_entry__ as e
+    from unittest import mock
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame([(1,), (1,), (3,)], "o_custkey long")
+    tables = {"customer": cust, "orders": orders}
+    with mock.patch.object(e, "_t", lambda s, d, n: tables[n]):
+        out = {r["c_count"]: r["custdist"]
+               for r in e.q_customer_order_distribution(spark, "x").collect()}
+    # customer 2 has zero orders and must appear in the k=0 bucket
+    assert out == {2: 1, 1: 1, 0: 1}
