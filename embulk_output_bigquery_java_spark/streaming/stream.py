@@ -178,3 +178,133 @@ def windowed_counts(
         .agg(F.count("*").alias("n_events"))
         .select("win.start", "win.end", "op", "n_events")
     )
+
+
+def stateful_sessionizer(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cross-batch gap sessionization — the streaming twin of the batch
+    ``operators/sessionize.py::sessionize`` (same inclusive-gap boundary
+    rule), as a custom stateful operator over Spark's managed state store.
+
+    Why stateful: a session can span micro-batches, so the open session's
+    (start, last_ts, n_events) must live in keyed state between triggers.
+    A session closes two ways:
+
+    - **by data**: a later event for the key arrives more than ``gap``
+      after the session's last event — the closed session is emitted in
+      that trigger;
+    - **by time**: no event arrives and the event-time watermark passes
+      last_ts + gap — Spark fires an ``EventTimeTimeout`` for the key and
+      the open session is flushed. Restarts resume both paths exactly
+      (state + timeouts are checkpointed with the query).
+
+    Output (append mode): ``keys + (session_start, session_end, n_events,
+    duration_s)`` — one row per CLOSED session.
+
+    Input-hint compliance: the per-group work is vectorized pandas — the
+    boundary scan is ``diff() > gap`` + ``cumsum`` (no per-row Python),
+    group rollups via ``groupby``; Arrow moves the batches.
+
+    100-TB shape: state is three longs per ACTIVE key, hash-partitioned
+    across executors by the grouping key; emitted rows are O(#closed
+    sessions). Watermark bounds how long a silent key holds state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("session_start", T.TimestampType(), False),
+            T.StructField("session_end", T.TimestampType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("duration_s", T.DoubleType(), False),
+        ]
+    )
+
+    def _emit(key, sess_list):
+        return pd.DataFrame(
+            [
+                {
+                    **{k: key[i] for i, k in enumerate(keys)},
+                    "session_start": pd.Timestamp(s[0], unit="us"),
+                    "session_end": pd.Timestamp(s[1], unit="us"),
+                    "n_events": int(s[2]),
+                    "duration_s": (s[1] - s[0]) / 1e6,
+                }
+                for s in sess_list
+            ]
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s = state.get
+            state.remove()
+            yield _emit(key, [s])
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        # pandas timestamps are ns ints; work on the µs grid
+        ts = (
+            batch[ts_col].sort_values(kind="mergesort").astype("int64")
+            // 1000
+        ).reset_index(drop=True)
+        # vectorized segmentation: boundary where the gap is EXCEEDED
+        # (inclusive boundary rule, same as batch sessionize)
+        bounds = (ts.diff() > gap_us).cumsum().fillna(0)
+        segs = (
+            pd.DataFrame({"t": ts, "g": bounds})
+            .groupby("g")["t"]
+            .agg(["min", "max", "count"])
+        )
+        sessions = [
+            [int(r["min"]), int(r["max"]), int(r["count"])]
+            for _, r in segs.iterrows()
+        ]
+        if state.exists:
+            cur = list(state.get)
+            first = sessions[0]
+            if first[0] - cur[1] <= gap_us:
+                # batch's first segment extends the open session
+                sessions[0] = [
+                    min(cur[0], first[0]), max(cur[1], first[1]),
+                    cur[2] + first[2],
+                ]
+            else:
+                sessions.insert(0, cur)
+        *closed, open_s = sessions
+        state.update((open_s[0], open_s[1], open_s[2]))
+        # flush the open session if the watermark passes last_ts + gap
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(open_s[1] // 1000 + gap_us // 1000, wm_ms + 1)
+        )
+        if closed:
+            yield _emit(key, closed)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(k) for k in keys])
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("start_us", T.LongType(), False),
+                    T.StructField("last_us", T.LongType(), False),
+                    T.StructField("n", T.LongType(), False),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -222,3 +222,95 @@ def test_streaming_debezium_wire_tail_matches_batch_replay(
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_stateful_sessionizer_matches_batch_sessionize(spark, tmp_path):
+    """Streaming gap sessionization equals the batch operator: every
+    session CLOSED by the stream (by-data closes in-trigger; the final
+    open session per key stays in state under availableNow) matches the
+    batch sessionize/rollup on the same events."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        session_rollup,
+    )
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stateful_sessionizer,
+    )
+
+    # three users, deliberate gaps; chunk split in the middle of u1's
+    # second session so it spans micro-batches
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def ev(u, minutes):
+        return (u, base + pd.Timedelta(minutes=minutes))
+
+    events = [
+        # u1: session A = [0, 10, 20]; session B = [80, 95]; open C = [200]
+        ev(1, 0), ev(1, 10), ev(1, 20), ev(1, 80), ev(1, 95), ev(1, 200),
+        # u2: one long session [5, 30, 55] then open [300]
+        ev(2, 5), ev(2, 30), ev(2, 55), ev(2, 300),
+        # u3: single open session [50]
+        ev(3, 50),
+    ]
+    pdf = pd.DataFrame(events, columns=["user_id", "ts"])
+    df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    # chunk on event index so u1's session B is split across batches
+    chunks = [pdf.iloc[:4], pdf.iloc[4:]]
+    for i, part in enumerate(chunks):
+        tmp_out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(part).coalesce(1).write.parquet(tmp_out)
+        (pq,) = glob.glob(f"{tmp_out}/part-*.parquet")
+        dst = f"{src}/chunk-{i:03d}.parquet"
+        os.rename(pq, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sessionizer(
+        stream, keys=("user_id",), gap="30 minutes", watermark="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM sess_out ORDER BY user_id, session_start"
+    ).toPandas()
+
+    # batch truth: sessionize + rollup. The stream closes sessions two
+    # ways — by data (a later event beyond the gap) and by TIMEOUT (the
+    # final watermark, max event time 05:00 minus the 1-minute delay,
+    # passes last_ts + gap). Only u2's last session (ends 05:00, timeout
+    # 05:30 > watermark 04:59) is still open; everything else must be
+    # emitted and equal the batch rollup.
+    rolled = session_rollup(
+        df, ["user_id"], gap_ms=30 * 60 * 1000
+    ).toPandas()
+    last_idx = rolled.groupby("user_id")["session_idx"].transform("max")
+    still_open = (rolled["user_id"] == 2) & (rolled["session_idx"] == last_idx)
+    exp = (
+        rolled[~still_open]
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(exp) == 5
+    for c in ("user_id", "session_start", "n_events"):
+        assert list(got[c]) == list(exp[c]), c
+    assert list(got["session_end"]) == list(exp["session_end"])
+    # u1: 20 min, 15 min, singleton; u2: 50 min; u3: singleton
+    assert list(got["duration_s"]) == [1200.0, 900.0, 0.0, 3000.0, 0.0]
