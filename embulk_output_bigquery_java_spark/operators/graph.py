@@ -80,10 +80,15 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # seed labels with min(id, min in-neighbor): identical to the state
+    # after one propagation round over identity labels, for the cost of
+    # the node-distinct aggregate the identity init needed anyway — every
+    # run converges exactly one round earlier (rounds = diameter, and
+    # dup-cluster diameters are 1-2, so this is a 30-50% round cut)
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("_nmin"))
+        .select("id", F.least(F.col("id"), F.col("_nmin")).alias("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels.count()
