@@ -308,3 +308,95 @@ def stateful_sessionizer(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stateful_offset_audit(
+    changes: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("repo", "path"),
+    watch_col: str = "seq",
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Cross-batch offset-order audit — the streaming twin of the batch
+    ``operators/changes.py::offset_audit``. The batch form can only see
+    violations INSIDE one frame; a tail that regresses *between*
+    micro-batches (connector rewound past its acknowledged position,
+    landing files replayed out of order) looks clean to it. This operator
+    keeps each key's high-water mark in managed state and emits one row
+    per violating event, classified ``regression`` (watch value below the
+    stored HWM) or ``duplicate`` (equal to it).
+
+    Within a micro-batch the check is vectorized (``cummax`` against the
+    running maximum, shifted by one so an event is judged against
+    strictly-preceding events only — same NULL-strict, first-event-exempt
+    semantics as the batch audit). State: ONE long per key.
+
+    Output (append): ``keys + (watch_col, prev_hwm, violation)``.
+
+    100-TB shape: state hash-partitions by key across executors; emitted
+    rows are O(#violations) (ideally none). The operator NEVER blocks the
+    pipeline — it is a monitoring tap to run beside the merge, mirroring
+    the reference's count-don't-silently-absorb policy (W4 budget).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = [changes.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField(watch_col, T.LongType(), True),
+            T.StructField("prev_hwm", T.LongType(), True),
+            T.StructField("violation", T.StringType(), False),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        # judge along the caller's explicit arrival order — the rows of a
+        # group arrive in arbitrary shuffle order, same reason the batch
+        # audit takes order_cols
+        batch = batch.sort_values(
+            list(order_cols), kind="mergesort"
+        ).reset_index(drop=True)
+        w = batch[watch_col].astype("int64")
+        # HWM over strictly-preceding events of this batch, seeded by the
+        # stored cross-batch HWM (or -inf sentinel for a first sighting)
+        seed = state.get[0] if state.exists else None
+        prev = w.cummax().shift(1)
+        if seed is not None:
+            prev = prev.fillna(seed).clip(lower=seed)
+        kind = np.where(
+            prev.isna(), None,
+            np.where(w < prev, "regression",
+                     np.where(w == prev, "duplicate", None)),
+        )
+        hwm = int(w.max()) if seed is None else max(int(w.max()), int(seed))
+        state.update((hwm,))
+        mask = pd.notna(kind)
+        if mask.any():
+            out = pd.DataFrame(
+                {
+                    **{k: batch[k][mask] for k in keys},
+                    watch_col: w[mask],
+                    "prev_hwm": prev[mask].astype("int64"),
+                    "violation": pd.Series(kind)[mask],
+                }
+            )
+            yield out
+
+    return (
+        changes.groupBy(*[F.col(k) for k in keys])
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [T.StructField("hwm", T.LongType(), False)]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -314,3 +314,71 @@ def test_stateful_sessionizer_matches_batch_sessionize(spark, tmp_path):
     assert list(got["session_end"]) == list(exp["session_end"])
     # u1: 20 min, 15 min, singleton; u2: 50 min; u3: singleton
     assert list(got["duration_s"]) == [1200.0, 900.0, 0.0, 3000.0, 0.0]
+
+
+def test_stateful_offset_audit_catches_cross_batch_regression(spark, tmp_path):
+    """The streaming audit flags a watch-value regression that happens
+    BETWEEN micro-batches — invisible to the batch offset_audit run on
+    either frame alone — plus in-batch duplicates; first sightings and
+    clean keys emit nothing."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stateful_offset_audit,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+
+    def rows(*triples):
+        return pd.DataFrame(
+            [
+                {"repo": r, "path": "f", "seq": s,
+                 "ts": base + pd.Timedelta(minutes=m)}
+                for r, s, m in triples
+            ]
+        )
+
+    # batch 0: r1 seq 10,20 ; r2 seq 5
+    # batch 1: r1 seq 15 (REGRESSION vs cross-batch HWM 20),
+    #          r2 seq 5 (duplicate vs batch-0 HWM), r3 seq 1 (first: clean)
+    chunks = [
+        rows(("r1", 10, 0), ("r1", 20, 1), ("r2", 5, 2)),
+        rows(("r1", 15, 10), ("r2", 5, 11), ("r3", 1, 12)),
+    ]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    for i, pdf in enumerate(chunks):
+        tmp_out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp_out)
+        (pq,) = glob.glob(f"{tmp_out}/part-*.parquet")
+        dst = f"{src}/chunk-{i:03d}.parquet"
+        os.rename(pq, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    schema = spark.createDataFrame(chunks[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_offset_audit(stream, keys=("repo", "path"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("audit_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT repo, seq, prev_hwm, violation FROM audit_out "
+        "ORDER BY repo, seq"
+    ).collect()
+    assert [(r["repo"], r["seq"], r["prev_hwm"], r["violation"])
+            for r in got] == [
+        ("r1", 15, 20, "regression"),
+        ("r2", 5, 5, "duplicate"),
+    ]
