@@ -671,6 +671,76 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Training-data export of the live table: optional secret redaction
+    (zero-shuffle projection), deterministic global shuffle → shard
+    assignment (map-only, no global sort), then one file set per shard —
+    parquet partitioned by shard, or per-shard gzip'd JSONL. Deterministic
+    given (table state, seed): re-runs and backfills produce identical
+    shards, so downstream training jobs can resume against them."""
+    import os as _os
+
+    from .operators.packing import shuffle_shards
+    from .operators.redact import redact_secrets
+    from .sources.jsonl import export_jsonl
+
+    spark = get_spark("cdc-export", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    df = table.read()
+    n_redactions = None
+    if args.redact:
+        if "content" not in df.columns:
+            print("export error: --redact needs a 'content' column",
+                  file=sys.stderr)
+            return 2
+        red = redact_secrets(df, text_col="content", with_counts=True)
+        from pyspark.sql import functions as F
+
+        n_redactions = red.agg(
+            F.sum("n_redactions").cast("long")
+        ).first()[0] or 0
+        df = red.select(*df.columns)
+    # a synthetic surrogate id: shuffle_shards needs a stable numeric id;
+    # hash the merge keys (stable across re-reads of the same state)
+    from pyspark.sql import functions as F
+
+    keys = table.merge_keys or df.columns[:1]
+    # bounded to 31 bits: the Knuth-multiplicative shuffle key works in
+    # exact (ANSI) long arithmetic, so the id must leave headroom for the
+    # 2^31.3 multiplier
+    df = df.withColumn(
+        "_xid",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(2 ** 31)),
+    )
+    sharded = shuffle_shards(
+        df, n_shards=args.shards, id_col="_xid", seed=args.seed,
+        with_position=False,
+    ).drop("_xid", "shuffle_key")
+    out_rows = None
+    if args.format == "parquet":
+        sharded.repartition(args.shards, F.col("shard")).write.mode(
+            "error"
+        ).partitionBy("shard").parquet(args.out)
+    else:
+        for s in range(args.shards):
+            part = sharded.where(F.col("shard") == s).drop("shard")
+            export_jsonl(
+                part.coalesce(1),
+                _os.path.join(args.out, f"shard={s:05d}"),
+                compression="gzip",
+            )
+    out = {
+        "shards": args.shards,
+        "format": args.format,
+        "out": args.out,
+        "rows": table.count_exact(),
+    }
+    if n_redactions is not None:
+        out["n_redactions"] = int(n_redactions)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc-engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -885,6 +955,22 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--bin-width", type=float, default=1000.0)
     pr.add_argument("--cores", type=int, default=4)
     pr.set_defaults(fn=cmd_profile)
+
+    ex = sub.add_parser(
+        "export",
+        help="training-data export: optional redaction, deterministic "
+             "shuffle-sharding, parquet or gzip'd JSONL per shard",
+    )
+    ex.add_argument("--table-root", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument("--seed", type=int, default=0)
+    ex.add_argument("--redact", action="store_true",
+                    help="scrub credential-shaped strings from 'content'")
+    ex.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl"])
+    ex.add_argument("--cores", type=int, default=4)
+    ex.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)
