@@ -3318,6 +3318,69 @@ FROM per_cust GROUP BY 1
 """
 
 
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per hour (operators/interval.py
+    concurrency_profile): sessions from the 6-hour-gap rollup become ±1
+    deltas; the sweep line is decomposed into a bucket-partitioned
+    within-hour running sum (corpus-scale, parallel) plus a tiny
+    cross-bucket carry prefix — never a single-partition global window."""
+    from embulk_output_bigquery_java_spark.operators.interval import (
+        concurrency_profile,
+    )
+    from embulk_output_bigquery_java_spark.operators.sessionize import (
+        session_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sessions = session_rollup(
+        ev, ["user_id"], order_cols=["ts", "event_id"],
+        gap_ms=21_600_000,
+    )
+    return concurrency_profile(sessions, bucket="1 hour")
+
+
+_CONCURRENCY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) <= 21600000
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), tagged AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sessions AS (
+  SELECT min(ts) AS session_start, max(ts) AS session_end
+  FROM tagged GROUP BY user_id, session_idx
+), deltas AS (
+  SELECT session_start AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT session_end AS t, -1 AS d FROM sessions
+), b AS (
+  SELECT time_bucket(INTERVAL '1 hour', t) AS bucket_start, t, d FROM deltas
+), run AS (
+  SELECT bucket_start, t, d,
+         SUM(d) OVER (PARTITION BY bucket_start ORDER BY t ASC, d DESC
+                      ROWS UNBOUNDED PRECEDING) AS r
+  FROM b
+), per AS (
+  SELECT bucket_start, SUM(d) AS net, MAX(r) AS maxr,
+         SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts,
+         SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_ends
+  FROM run GROUP BY 1
+)
+SELECT CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+       CAST(n_starts AS BIGINT) AS n_starts,
+       CAST(n_ends AS BIGINT) AS n_ends,
+       CAST(COALESCE(SUM(net) OVER (ORDER BY bucket_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + GREATEST(maxr, 0) AS BIGINT) AS peak_concurrent
+FROM per
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3411,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": q_fd_violations,
         "priority_semi_count": q_priority_semi_count,
         "customer_order_distribution": q_customer_order_distribution,
+        "session_concurrency": q_session_concurrency,
     }
 
 
@@ -3495,6 +3559,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_violations": _FD_SQL,
         "priority_semi_count": _PRIORITY_SEMI_SQL,
         "customer_order_distribution": _CUST_DIST_SQL,
+        "session_concurrency": _CONCURRENCY_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

@@ -98,3 +98,81 @@ def overlap_join(
         F.greatest(F.col(left_start), F.col(rs)) / bin_width
     )
     return joined.where(overlap & first_shared_bin).drop(_BIN)
+
+
+def concurrency_profile(
+    intervals: DataFrame,
+    *,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Peak concurrent intervals per time bucket — the sweep line,
+    decomposed so it scales.
+
+    The textbook sweep (±1 deltas, one GLOBAL ordered running sum) puts
+    the whole corpus through a single-partition window — the classic
+    accidental serialization. This version splits it in two exact levels:
+
+    1. **within bucket** (corpus-scale, parallel): running sum of deltas
+       ordered by (t, +1-before--1) inside each bucket — a window
+       partitioned by bucket, so every bucket runs on its own task;
+    2. **across buckets** (tiny): each bucket's net delta, prefix-summed
+       over bucket order, gives the carry-in level; the bucket's true
+       peak is ``carry_in + greatest(0, max within-bucket running)``
+       (the ``0`` covers a bucket whose first deltas are ends — the
+       pre-existing level IS the maximum then).
+
+    The decomposition is exact: global running at any point = carry_in +
+    within-bucket running. Ties at one instant are resolved +1 before -1
+    (touching intervals count as concurrent); the per-bucket max is
+    invariant to the remaining intra-tie order (a +1 run's max is its
+    final value, a -1 run's its first).
+
+    Output: one row per bucket CONTAINING endpoints: ``bucket_start,
+    n_starts, n_ends, peak_concurrent``. A bucket fully inside a long
+    interval emits no row (its level is the neighboring carry — callers
+    wanting a dense series range-join against a calendar).
+
+    100-TB shape: one union projection, ONE corpus-scale window
+    partitioned by bucket, then everything downstream is O(#buckets).
+    """
+    from pyspark.sql import Window
+
+    deltas = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    )
+    b = deltas.select(
+        F.window("t", bucket)["start"].alias("bucket_start"), "t", "d"
+    )
+    w_in = (
+        Window.partitionBy("bucket_start")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = b.withColumn("r", F.sum("d").over(w_in))
+    per = run.groupBy("bucket_start").agg(
+        F.sum("d").alias("_net"),
+        F.max("r").alias("_maxr"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_starts"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ends"),
+    )
+    w_b = (
+        Window.orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per.select(
+        "bucket_start",
+        "n_starts",
+        "n_ends",
+        (
+            F.coalesce(F.sum("_net").over(w_b), F.lit(0))
+            + F.greatest(F.col("_maxr"), F.lit(0))
+        ).cast("long").alias("peak_concurrent"),
+    )

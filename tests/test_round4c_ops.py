@@ -319,3 +319,79 @@ def test_customer_order_distribution_keeps_zero_order_customers(spark):
                for r in e.q_customer_order_distribution(spark, "x").collect()}
     # customer 2 has zero orders and must appear in the k=0 bucket
     assert out == {2: 1, 1: 1, 0: 1}
+
+
+# ------------------------------------------------ concurrency profile
+def test_concurrency_profile_semantics(spark):
+    import datetime as dt
+
+    from embulk_output_bigquery_java_spark.operators.interval import (
+        concurrency_profile,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 0, 0)
+
+    def m(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    # hour 0: A[0,10], B[5,50], C[40,70] -> peaks: A+B overlap = 2
+    # hour 1: C still open (carry 1), D[65,80] -> peak 2; E starts 110
+    #         ends hour 2 at 130 -> hour 1 peak before D ends: C+D=2,
+    #         then E: after D(80) and C(70) end -> level 1
+    rows = [
+        (m(0), m(10)), (m(5), m(50)), (m(40), m(70)),
+        (m(65), m(80)), (m(110), m(130)),
+    ]
+    df = spark.createDataFrame(
+        rows, "session_start timestamp, session_end timestamp"
+    )
+    out = {r["bucket_start"].minute + r["bucket_start"].hour * 60: r
+           for r in concurrency_profile(df, bucket="1 hour").collect()}
+    h0, h1, h2 = out[0], out[60], out[120]
+    assert (h0["n_starts"], h0["n_ends"], h0["peak_concurrent"]) == (3, 2, 2)
+    assert (h1["n_starts"], h1["n_ends"], h1["peak_concurrent"]) == (2, 2, 2)
+    assert (h2["n_starts"], h2["n_ends"], h2["peak_concurrent"]) == (0, 1, 1)
+
+
+def test_concurrency_profile_carry_only_bucket_first_event_is_end(spark):
+    import datetime as dt
+
+    from embulk_output_bigquery_java_spark.operators.interval import (
+        concurrency_profile,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 0, 0)
+    # two long sessions start hour 0; one ends mid hour 2: hour 2's first
+    # delta is an END, so its peak must be the CARRY level (2), not the
+    # within-bucket running max (which is negative)
+    rows = [
+        (T0, T0 + dt.timedelta(minutes=125)),
+        (T0 + dt.timedelta(minutes=1), T0 + dt.timedelta(minutes=200)),
+    ]
+    df = spark.createDataFrame(
+        rows, "session_start timestamp, session_end timestamp"
+    )
+    out = {r["bucket_start"].hour: r["peak_concurrent"]
+           for r in concurrency_profile(df, bucket="1 hour").collect()}
+    assert out[0] == 2
+    assert out[2] == 2  # carry-in level, first in-bucket delta is an end
+    assert out[3] == 1
+
+
+def test_concurrency_profile_corpus_window_partitioned_by_bucket(spark):
+    import datetime as dt
+
+    from embulk_output_bigquery_java_spark.operators.interval import (
+        concurrency_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 1, 0, 30))],
+        "session_start timestamp, session_end timestamp",
+    )
+    plan = plan_of(concurrency_profile(df), "simple")
+    # two Windows: the corpus-scale one partitioned by bucket, the tiny
+    # carry prefix over the aggregated buckets — and the aggregate sits
+    # between them (carry window ABOVE the agg in top-down print)
+    assert plan.count("Window") == 2
+    assert plan.index("Window") < plan.index("HashAggregate")
