@@ -4,7 +4,7 @@ entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
 oracle_sql()   — DuckDB-equivalent ANSI SQL per query; every queries()
-                 entry is value-checked (79 at round 4). All but four
+                 entry is value-checked (84 at round 4). All but four
                  against live ANSI-SQL re-derivations
                  (incl. the media suite, the recursive-CTE components
                  oracle, the Debezium wire-format parse, and the MOR
