@@ -4,7 +4,7 @@ entry(spark)   — flagship: CDC LWW-dedup + merge-apply plan on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data operator suite), each (spark, sf_dir) -> DF.
 oracle_sql()   — DuckDB-equivalent ANSI SQL per query; every queries()
-                 entry is value-checked (84 at round 4). All but four
+                 entry is value-checked (86 at round 4). All but four
                  against live ANSI-SQL re-derivations
                  (incl. the media suite, the recursive-CTE components
                  oracle, the Debezium wire-format parse, and the MOR
@@ -3381,6 +3381,114 @@ FROM per
 """
 
 
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: lag(1) over each
+    user's (ts, event_id)-ordered stream (ONE window shuffle), exact
+    integer-second gaps, then exact percentiles per type — the latency
+    telemetry that sizes session gaps and watermark delays. percentile()
+    uses the same linear interpolation as DuckDB's quantile_cont, so the
+    oracle mirrors it exactly."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                            "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike (the
+    # events table is NTZ; unix_micros would reject it) — exact integer
+    # microseconds, then one deterministic double division
+    prev = F.lag("ts").over(w)
+    gaps = ev.select(
+        "event_type",
+        prev.alias("_prev"),
+        F.col("ts").alias("_cur"),
+    ).select(
+        "event_type",
+        (
+            F.expr("timestampdiff(MICROSECOND, _prev, _cur)")
+            / F.lit(1_000_000)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+        F.max("gap_s").alias("max_s"),
+    )
+
+
+_INTER_EVENT_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+             AS DOUBLE) / 1000000 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+       max(gap_s) AS max_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — gaps-and-islands
+    on the DAY grid: distinct active days, day − row_number constant
+    within a streak. Same one-shuffle discipline as offset_islands (the
+    stream is pre-hashed on the user so the dedup, window, and both
+    rollups share a single Exchange)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    days = (
+        ev.repartition(F.col("user_id"))
+        .dropDuplicates(["user_id", "day"])
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    runs = days.withColumn("_streak", F.col("day") - F.row_number().over(w))
+    per_streak = runs.groupBy("user_id", "_streak").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return per_streak.groupBy("user_id").agg(
+        F.sum("_len").cast("long").alias("n_active_days"),
+        F.max("_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events
+),
+runs AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day ASC)
+             AS streak
+  FROM days
+),
+per AS (
+  SELECT user_id, streak, count(*) AS len FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM per GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3475,6 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_semi_count": q_priority_semi_count,
         "customer_order_distribution": q_customer_order_distribution,
         "session_concurrency": q_session_concurrency,
+        "inter_event_gaps": q_inter_event_gaps,
+        "activity_streaks": q_activity_streaks,
     }
 
 
@@ -3560,6 +3670,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_semi_count": _PRIORITY_SEMI_SQL,
         "customer_order_distribution": _CUST_DIST_SQL,
         "session_concurrency": _CONCURRENCY_SQL,
+        "inter_event_gaps": _INTER_EVENT_SQL,
+        "activity_streaks": _STREAKS_SQL,
         # minhash/simhash/LSH: hash-family values are engine-specific
         # (xxhash64 / sha256 hyperplanes have no DuckDB mirror), but fully
         # deterministic — checked against pinned sf0.01 goldens instead of

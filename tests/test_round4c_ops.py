@@ -395,3 +395,37 @@ def test_concurrency_profile_corpus_window_partitioned_by_bucket(spark):
     # between them (carry window ABOVE the agg in top-down print)
     assert plan.count("Window") == 2
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_activity_streaks_single_shuffle(spark):
+    import __spark_entry__ as e
+
+    out = e.q_activity_streaks(spark, SF0001)
+    # same one-Exchange discipline as offset_islands: pre-hash on user,
+    # dedup/window/rollups all reuse it (the file scan itself adds none)
+    assert plan_of(out, "simple").count("Exchange") == 1
+
+
+def test_inter_event_gaps_semantics(spark):
+    import datetime as dt
+    from unittest import mock
+
+    import __spark_entry__ as e
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 10, "a", T0),
+        (2, 10, "a", T0 + dt.timedelta(seconds=10)),
+        (3, 10, "a", T0 + dt.timedelta(seconds=40)),  # gaps 10, 30
+        (4, 20, "a", T0),                              # first: no gap
+        (5, 20, "b", T0 + dt.timedelta(seconds=5)),    # gap 5 under b
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    with mock.patch.object(e, "_t", lambda s, d, n: df):
+        out = {r["event_type"]: r
+               for r in e.q_inter_event_gaps(spark, "x").collect()}
+    a = out["a"]
+    assert (a["n_gaps"], a["p50_s"], a["max_s"]) == (2, 20.0, 30.0)
+    assert out["b"]["n_gaps"] == 1 and out["b"]["p50_s"] == 5.0
