@@ -678,11 +678,8 @@ def cmd_export(args: argparse.Namespace) -> int:
     parquet partitioned by shard, or per-shard gzip'd JSONL. Deterministic
     given (table state, seed): re-runs and backfills produce identical
     shards, so downstream training jobs can resume against them."""
-    import os as _os
-
     from .operators.packing import shuffle_shards
     from .operators.redact import redact_secrets
-    from .sources.jsonl import export_jsonl
 
     spark = get_spark("cdc-export", cores=args.cores)
     table = LakeTable(spark, args.table_root)
@@ -716,19 +713,27 @@ def cmd_export(args: argparse.Namespace) -> int:
         df, n_shards=args.shards, id_col="_xid", seed=args.seed,
         with_position=False,
     ).drop("_xid", "shuffle_key")
-    out_rows = None
     if args.format == "parquet":
         sharded.repartition(args.shards, F.col("shard")).write.mode(
             "error"
         ).partitionBy("shard").parquet(args.out)
     else:
-        for s in range(args.shards):
-            part = sharded.where(F.col("shard") == s).drop("shard")
-            export_jsonl(
-                part.coalesce(1),
-                _os.path.join(args.out, f"shard={s:05d}"),
-                compression="gzip",
-            )
+        # ONE job: JSON-encode the payload (shard column excluded from the
+        # rows — it is the directory), then partitionBy writes every
+        # shard=N/ directory in a single pass. A per-shard filter loop
+        # would rescan the table once per shard.
+        payload_cols = [c for c in sharded.columns if c != "shard"]
+        lines = sharded.select(
+            "shard",
+            F.to_json(F.struct(*payload_cols)).alias("value"),
+        )
+        (
+            lines.repartition(args.shards, F.col("shard"))
+            .write.mode("error")
+            .partitionBy("shard")
+            .option("compression", "gzip")
+            .text(args.out)
+        )
     out = {
         "shards": args.shards,
         "format": args.format,
