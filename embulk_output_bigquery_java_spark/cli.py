@@ -681,26 +681,36 @@ def cmd_export(args: argparse.Namespace) -> int:
     from .operators.packing import shuffle_shards
     from .operators.redact import redact_secrets
 
+    # --seed feeds the Knuth-multiplicative shuffle key, evaluated in exact
+    # ANSI long arithmetic over (id + seed): a negative seed makes the
+    # dividend negative (Spark % keeps the dividend's sign → shard=-N
+    # partition directories), and a seed beyond 2^31 can overflow the long
+    # multiply mid-job. Reject both up front.
+    if not (0 <= args.seed < 2 ** 31):
+        print(f"export error: --seed must be in [0, 2^31), got {args.seed}",
+              file=sys.stderr)
+        return 2
     spark = get_spark("cdc-export", cores=args.cores)
     table = LakeTable(spark, args.table_root)
     df = table.read()
-    n_redactions = None
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    redacted = False
     if args.redact:
         if "content" not in df.columns:
             print("export error: --redact needs a 'content' column",
                   file=sys.stderr)
             return 2
-        red = redact_secrets(df, text_col="content", with_counts=True)
-        from pyspark.sql import functions as F
-
-        n_redactions = red.agg(
-            F.sum("n_redactions").cast("long")
-        ).first()[0] or 0
-        df = red.select(*df.columns)
+        # keep the per-row n_redactions column IN the export plan: the
+        # total is collected by observe() riding the write job, so the
+        # redaction regex projection — the most expensive scan of the
+        # export — runs ONCE, not once for the aggregate and again
+        # (unpersisted) for the write
+        df = redact_secrets(df, text_col="content", with_counts=True)
+        redacted = True
     # a synthetic surrogate id: shuffle_shards needs a stable numeric id;
     # hash the merge keys (stable across re-reads of the same state)
-    from pyspark.sql import functions as F
-
     keys = table.merge_keys or df.columns[:1]
     # bounded to 31 bits: the Knuth-multiplicative shuffle key works in
     # exact (ANSI) long arithmetic, so the id must leave headroom for the
@@ -713,6 +723,18 @@ def cmd_export(args: argparse.Namespace) -> int:
         df, n_shards=args.shards, id_col="_xid", seed=args.seed,
         with_position=False,
     ).drop("_xid", "shuffle_key")
+    # row count (and redaction total) observed on the write job itself —
+    # no separate counting scan of the table
+    obs = Observation("export")
+    metrics = [F.count(F.lit(1)).cast("long").alias("rows")]
+    if redacted:
+        metrics.append(
+            F.coalesce(F.sum("n_redactions"), F.lit(0))
+            .cast("long").alias("n_redactions")
+        )
+    sharded = sharded.observe(obs, *metrics)
+    if redacted:
+        sharded = sharded.drop("n_redactions")
     if args.format == "parquet":
         sharded.repartition(args.shards, F.col("shard")).write.mode(
             "error"
@@ -734,14 +756,15 @@ def cmd_export(args: argparse.Namespace) -> int:
             .option("compression", "gzip")
             .text(args.out)
         )
+    got = obs.get
     out = {
         "shards": args.shards,
         "format": args.format,
         "out": args.out,
-        "rows": table.count_exact(),
+        "rows": int(got["rows"]),
     }
-    if n_redactions is not None:
-        out["n_redactions"] = int(n_redactions)
+    if redacted:
+        out["n_redactions"] = int(got["n_redactions"])
     print(json.dumps(out))
     return 0
 

@@ -370,8 +370,15 @@ def offset_islands(
     from pyspark.sql import Window
 
     off = F.col(offset_col).cast("long")
+    # NULL offsets (including strings that cast('long') to NULL) carry no
+    # position and are excluded BEFORE the dedup: they would otherwise form
+    # a NULL island whose _len inflates n_offsets/n_islands while the
+    # min/max span ignores it, driving n_missing negative. Flagging NULL
+    # positions is offset_audit's job (NULL-strict 'regression' policy);
+    # this summary is defined over known positions only.
     dedup = (
         df.select(*part_cols, off.alias("_off"))
+        .where(off.isNotNull())
         .repartition(*[F.col(c) for c in part_cols])
         .dropDuplicates([*part_cols, "_off"])
     )

@@ -271,16 +271,26 @@ def stateful_sessionizer(
             for _, r in segs.iterrows()
         ]
         if state.exists:
+            # Re-segment with the stored open session as an interval in the
+            # sorted timeline (NOT a special case on the first segment): a
+            # late event arriving strictly BEFORE the stored session — legal
+            # whenever the watermark delay exceeds the gap — must form its
+            # own session unless it is genuinely within gap of it, exactly
+            # as the batch sessionizer would. The merge pass is over
+            # SEGMENTS (bounded by #sessions, not rows), so no per-row
+            # Python is introduced.
             cur = list(state.get)
-            first = sessions[0]
-            if first[0] - cur[1] <= gap_us:
-                # batch's first segment extends the open session
-                sessions[0] = [
-                    min(cur[0], first[0]), max(cur[1], first[1]),
-                    cur[2] + first[2],
-                ]
-            else:
-                sessions.insert(0, cur)
+            sessions.append([cur[0], cur[1], cur[2]])
+            sessions.sort(key=lambda s: (s[0], s[1]))
+            merged = [sessions[0]]
+            for s in sessions[1:]:
+                last = merged[-1]
+                if s[0] - last[1] <= gap_us:
+                    last[1] = max(last[1], s[1])
+                    last[2] += s[2]
+                else:
+                    merged.append(s)
+            sessions = merged
         *closed, open_s = sessions
         state.update((open_s[0], open_s[1], open_s[2]))
         # flush the open session if the watermark passes last_ts + gap
@@ -362,26 +372,43 @@ def stateful_offset_audit(
         batch = batch.sort_values(
             list(order_cols), kind="mergesort"
         ).reset_index(drop=True)
-        w = batch[watch_col].astype("int64")
-        # HWM over strictly-preceding events of this batch, seeded by the
-        # stored cross-batch HWM (or -inf sentinel for a first sighting)
+        # Arrow delivers a nullable long column as float64 with NaN, so a
+        # bare astype("int64") would crash the whole query on the first
+        # NULL seq value. Work on exact int64 with INT64_MIN as the
+        # "absent" sentinel (a genuine watch value of INT64_MIN is out of
+        # scope): NULL watch values are emitted as 'regression' whenever a
+        # predecessor HWM exists — the batch audit's NULL-strict policy —
+        # and exempt only as a key's very first sighting; they never
+        # advance the HWM.
+        wv = batch[watch_col]
+        notnull = wv.notna().to_numpy()
+        absent = np.iinfo(np.int64).min
+        vals = wv.fillna(absent).astype("int64").to_numpy()
         seed = state.get[0] if state.exists else None
-        prev = w.cummax().shift(1)
+        run = np.maximum.accumulate(vals)
+        prev = np.concatenate(([absent], run[:-1]))
         if seed is not None:
-            prev = prev.fillna(seed).clip(lower=seed)
+            prev = np.maximum(prev, np.int64(seed))
+        has_prev = prev != absent
         kind = np.where(
-            prev.isna(), None,
-            np.where(w < prev, "regression",
-                     np.where(w == prev, "duplicate", None)),
+            ~has_prev, None,
+            np.where(~notnull, "regression",
+                     np.where(vals < prev, "regression",
+                              np.where(vals == prev, "duplicate", None))),
         )
-        hwm = int(w.max()) if seed is None else max(int(w.max()), int(seed))
-        state.update((hwm,))
+        nn = vals[notnull]
+        if len(nn):
+            hwm = int(nn.max()) if seed is None else max(int(nn.max()),
+                                                         int(seed))
+            state.update((hwm,))
+        elif seed is not None:
+            state.update((int(seed),))
         mask = pd.notna(kind)
         if mask.any():
             out = pd.DataFrame(
                 {
                     **{k: batch[k][mask] for k in keys},
-                    watch_col: w[mask],
+                    watch_col: wv[mask].astype("Int64"),
                     "prev_hwm": prev[mask].astype("int64"),
                     "violation": pd.Series(kind)[mask],
                 }

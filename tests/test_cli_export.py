@@ -62,3 +62,15 @@ def test_export_jsonl_gzip_and_redaction(spark, tmp_path, capsys):
                 assert {"repo", "path", "commit", "content"} <= set(row)
                 n += 1
     assert n == out["rows"]
+
+
+def test_export_rejects_bad_seed(tmp_path, capsys):
+    # negative seed would shard into shard=-N directories (sign-of-dividend
+    # %); seed >= 2^31 overflows the Knuth multiply under ANSI mode
+    for bad in ("-1", str(2 ** 31)):
+        assert cli.main([
+            "export", "--table-root", str(tmp_path / "t"),
+            "--out", str(tmp_path / "o"), "--shards", "2",
+            "--seed", bad, "--cores", "4",
+        ]) == 2
+        assert "--seed" in capsys.readouterr().err

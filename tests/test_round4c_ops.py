@@ -429,3 +429,20 @@ def test_inter_event_gaps_semantics(spark):
     a = out["a"]
     assert (a["n_gaps"], a["p50_s"], a["max_s"]) == (2, 20.0, 30.0)
     assert out["b"]["n_gaps"] == 1 and out["b"]["p50_s"] == 5.0
+
+
+def test_offset_islands_ignores_null_offsets(spark):
+    # NULL offsets (and strings that cast('long') to NULL) carry no
+    # position: they must not form a NULL island or drive n_missing
+    # negative — flagging them is offset_audit's job.
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("a", None), ("a", 5)],
+        "k string, off long",
+    )
+    (r,) = offset_islands(df, ["k"], "off").collect()
+    assert (r["n_offsets"], r["n_islands"]) == (3, 2)
+    assert (r["first_offset"], r["last_offset"]) == (1, 5)
+    assert r["n_missing"] == 2  # 3, 4
+    # all-null key vanishes entirely (no known positions)
+    allnull = spark.createDataFrame([("z", None)], "k string, off long")
+    assert offset_islands(allnull, ["k"], "off").count() == 0

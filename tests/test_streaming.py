@@ -382,3 +382,142 @@ def test_stateful_offset_audit_catches_cross_batch_regression(spark, tmp_path):
         ("r1", 15, 20, "regression"),
         ("r2", 5, 5, "duplicate"),
     ]
+
+
+def test_stateful_offset_audit_null_seq_emits_regression(spark, tmp_path):
+    """A NULL watch value must not crash the query (Arrow hands a nullable
+    long column to pandas as float64+NaN): with a stored predecessor HWM it
+    is emitted as 'regression' (batch NULL-strict policy); as a key's very
+    first sighting it is exempt; it never advances the HWM."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stateful_offset_audit,
+    )
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+
+    def rows(*triples):
+        return [
+            ("%s" % r, "f", s, base + dt.timedelta(minutes=m))
+            for r, s, m in triples
+        ]
+
+    # batch 0: r1 seq 10 ; r4 seq NULL (first sighting: exempt)
+    # batch 1: r1 seq NULL (regression vs HWM 10), r1 seq 11 (clean),
+    #          r4 seq NULL again (still no HWM: exempt), r4 seq 3 (first
+    #          real value: clean)
+    chunks = [
+        rows(("r1", 10, 0), ("r4", None, 1)),
+        rows(("r1", None, 10), ("r1", 11, 11), ("r4", None, 12),
+             ("r4", 3, 13)),
+    ]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    for i, data in enumerate(chunks):
+        tmp_out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(tmp_out)
+        (pq,) = glob.glob(f"{tmp_out}/part-*.parquet")
+        dst = f"{src}/chunk-{i:03d}.parquet"
+        os.rename(pq, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_offset_audit(stream, keys=("repo", "path"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("audit_null_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT repo, seq, prev_hwm, violation FROM audit_null_out"
+    ).collect()
+    assert [(r["repo"], r["seq"], r["prev_hwm"], r["violation"])
+            for r in got] == [("r1", None, 10, "regression")]
+
+
+def test_stateful_sessionizer_late_event_before_stored_session(spark,
+                                                               tmp_path):
+    """With watermark delay > gap, a late event arriving strictly BEFORE
+    the stored open session must form its OWN session (batch semantics) —
+    not be merged into the stored one."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stateful_sessionizer,
+    )
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def ev(m):
+        return (1, base + pd.Timedelta(minutes=m))
+
+    # batch 0 leaves u1's open session [100, 110] in state; batch 1
+    # delivers a LATE event at minute 10 (legal: watermark delay 120 min
+    # > 30 min gap) plus minute 300 which closes everything before it.
+    chunks = [
+        pd.DataFrame([ev(100), ev(110)], columns=["user_id", "ts"]),
+        pd.DataFrame([ev(10), ev(300)], columns=["user_id", "ts"]),
+    ]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    for i, pdf in enumerate(chunks):
+        tmp_out = str(tmp_path / f"p{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp_out)
+        (pq,) = glob.glob(f"{tmp_out}/part-*.parquet")
+        dst = f"{src}/chunk-{i:03d}.parquet"
+        os.rename(pq, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame(chunks[0]).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sessionizer(
+        stream, keys=("user_id",), gap="30 minutes",
+        watermark="120 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT session_start, session_end, n_events FROM sess_late_out "
+        "ORDER BY session_start"
+    ).toPandas()
+    # closed: [10,10] singleton AND [100,110] as separate sessions;
+    # [300] stays open in state
+    assert len(got) == 2
+    assert list(got["n_events"]) == [1, 2]
+    assert got["session_start"].iloc[0] == base + pd.Timedelta(minutes=10)
+    assert got["session_end"].iloc[0] == base + pd.Timedelta(minutes=10)
+    assert got["session_start"].iloc[1] == base + pd.Timedelta(minutes=100)
+    assert got["session_end"].iloc[1] == base + pd.Timedelta(minutes=110)
