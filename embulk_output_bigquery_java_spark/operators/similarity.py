@@ -384,7 +384,7 @@ def semantic_dedup_keep(
     n_centroids: int | None = None,
     centroid_stride: int | None = None,
     corpus_count: int | None = None,
-    max_cell_size: int | None = None,
+    max_cell_size: int | str | None = "auto",
     cap_stats=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
@@ -400,7 +400,15 @@ def semantic_dedup_keep(
     exchange on cid for the self-join, shuffle-bounded label propagation
     for grouping, one anti join to apply the drop set. ``max_cell_size``
     caps degenerate cells (a hot centroid under skewed embeddings) with
-    the same documented recall trade as the LSH caps.
+    the same documented recall trade as the LSH caps — and it is ON BY
+    DEFAULT (``"auto"`` = 4 x stride, i.e. 4x the expected cell size under
+    the sqrt sizing): an uncapped hot cell re-creates the |cell|² blowup
+    the clustering exists to prevent. Cells a healthy embedding
+    distribution produces sit far below 4x stride, so the default changes
+    nothing on non-degenerate corpora (the oracle-checked driver query
+    runs capped); pass ``None`` to force uncapped, an int for an explicit
+    bound, and a :class:`~.text_dedup.CapStats` as ``cap_stats`` to audit
+    what a firing cap dropped.
 
     The assignment is persisted for the whole run: the pair self-join
     reads it twice and the components stage iterates over its pairs —
@@ -409,6 +417,16 @@ def semantic_dedup_keep(
     """
     from pyspark.storagelevel import StorageLevel
 
+    if max_cell_size == "auto":
+        # 4x the expected cell size; needs n, so count once here and feed
+        # the same n downstream (ivf_assign would otherwise re-count)
+        if corpus_count is None:
+            corpus_count = corpus.count()
+        if centroid_stride is not None:
+            stride = max(int(centroid_stride), 1)
+        else:
+            _, stride = ivf_sizing(corpus_count, n_centroids=n_centroids)
+        max_cell_size = 4 * stride
     assigned = ivf_assign(
         corpus, vec_col=vec_col, id_col=id_col,
         n_centroids=n_centroids, centroid_stride=centroid_stride,

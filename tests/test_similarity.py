@@ -297,3 +297,47 @@ def test_ivf_assign_broadcast_gated_by_centroid_count(spark, emb):
     b = {(r.vec_id, r.cid)
          for r in ivf_assign(emb, centroids=unhinted).collect()}
     assert a == b
+
+
+def test_semantic_dedup_default_cap_bounds_hot_cell(spark):
+    """The DEFAULT run is capped (max_cell_size='auto' = 4 x stride): a hot
+    centroid under skewed embeddings — 300 identical vectors collapsing
+    into one cell — is dropped WHOLE instead of re-creating the |cell|²
+    pair blowup; pairs in healthy cells are still found, and CapStats
+    surfaces the recall trade."""
+    import numpy as np
+
+    from embulk_output_bigquery_java_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+    from embulk_output_bigquery_java_spark.operators.text_dedup import (
+        CapStats,
+    )
+
+    rng = np.random.default_rng(7)
+    hot = rng.normal(size=8)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(100)
+    ] + [(i, [float(x) for x in hot]) for i in range(100, 400)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    dup0 = corpus.where(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    aug = corpus.unionByName(dup0)  # n=401 -> stride 20, auto cap 80
+
+    stats = CapStats()
+    kept = {
+        r.vec_id
+        for r in semantic_dedup_keep(
+            aug, threshold=0.9999, cap_stats=stats
+        ).select("vec_id").collect()
+    }
+    # hot cell (~301 members > 80) dropped whole: none of its identical
+    # vectors were deduped — the documented recall trade
+    assert set(range(100, 400)) <= kept
+    # healthy cell still dedupes: the planted exact duplicate of id 0 lost
+    assert 0 in kept and 1_000_000 not in kept
+    assert stats.filled and stats.capped_buckets >= 1
+    assert stats.capped_members >= 300
