@@ -52,16 +52,28 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     on_max_iter: str = "raise",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(id, comp) for every node appearing in ``pairs``; ``comp`` is the
     minimum id of the node's connected component.
 
-    Rounds needed = component diameter; near-dup clusters are dense, so
-    convergence in 2-5 rounds is the norm. If ``max_iter`` is exhausted
-    with labels still changing, the result is NOT a fixpoint:
-    ``on_max_iter='raise'`` (default) raises :class:`ComponentsNotConverged`;
-    ``'warn'`` logs and returns the partial labels (every node still maps
-    into its true component's id set, only group-splits are possible).
+    ``algorithm``:
+
+    - ``'label'`` — min-label propagation (rounds = component diameter;
+      near-dup clusters are dense, so 2-5 rounds is the norm). If
+      ``max_iter`` is exhausted with labels still changing the result is
+      NOT a fixpoint: ``on_max_iter='raise'`` (default) raises
+      :class:`ComponentsNotConverged`; ``'warn'`` logs and returns the
+      partial labels (every node still maps into its true component's id
+      set, only group-splits are possible).
+    - ``'star'`` — alternating small-star/large-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14): O(log²
+      n) rounds regardless of diameter, the right plan when one
+      boilerplate mega-cluster makes the graph deep.
+    - ``'auto'`` (default) — label propagation, FALLING BACK to star when
+      ``max_iter`` is exhausted: a 100-TB dedup job must not die because
+      one giant component's diameter beat the round budget
+      (availability; the r4 verdict item).
 
     The returned DataFrame is persisted (callers usually fan multiple
     actions off it); call ``.unpersist()`` when done — the helpers in this
@@ -69,9 +81,15 @@ def connected_components(
     """
     if on_max_iter not in ("raise", "warn"):
         raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"algorithm must be 'auto', 'label' or 'star', got {algorithm!r}"
+        )
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
+    if algorithm == "star":
+        return _star_components(edges)
     # symmetrize once; propagation then only needs one direction per round
     edges = (
         edges.unionByName(
@@ -139,15 +157,128 @@ def connected_components(
             msg = (
                 f"connected_components did not converge in {max_iter} rounds "
                 f"({changed} labels still moving) — a component's diameter "
-                "exceeds max_iter; raise max_iter (rounds = diameter)"
+                "exceeds max_iter"
             )
+            if algorithm == "auto":
+                # availability over purity: one deep component (a
+                # boilerplate mega-cluster) must not kill the whole dedup
+                # job — finish with the diameter-independent star rounds
+                log.warning(
+                    "%s — falling back to small-star/large-star", msg
+                )
+                labels.unpersist()
+                return _star_components(edges)
             if on_max_iter == "raise":
                 labels.unpersist()
-                raise ComponentsNotConverged(msg)
+                raise ComponentsNotConverged(msg + "; raise max_iter "
+                                             "(rounds = diameter)")
             log.warning("%s — returning PARTIAL labels", msg)
         return labels
     finally:
         edges.unpersist()
+
+
+def _star_components(edges: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    rewires every node toward the minimum of a neighborhood, converging in
+    O(log² n) rounds — independent of component DIAMETER — to a star
+    forest whose center is each component's minimum id. The giant-
+    component path: a 10^6-node chain costs ~log rounds here vs 10^6
+    label-propagation rounds.
+
+    Per round: large-star (larger neighbors → min of closed neighborhood;
+    one partial-aggregated groupBy + one join over the symmetrized set)
+    then small-star (self + smaller neighbors → their minimum; same shape
+    over the larger→smaller orientation). The canonical (a<b, distinct)
+    edge set is persisted per round and the fixpoint test is EXACT — equal
+    cardinality plus empty set-difference — never a checksum. Returns
+    (id, comp), persisted, the same contract as label propagation.
+    """
+    raw = edges
+    # every round references E ~12x through sym/large/small (sym = E x2,
+    # large = sym x2, new_e = large x3), so the LOGICAL plan would grow
+    # ~12^round — eager localCheckpoint EVERY round keeps it flat; rounds
+    # are O(log n), so the per-round materialization is the algorithm's
+    # own cost, not overhead
+    E = (
+        edges.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = E.count()
+    # 64 alternations is a backstop far beyond the O(log² n) bound of any
+    # addressable graph, not a tunable
+    for _rnd in range(64):
+        if n_edges == 0:
+            break
+        sym = E.unionByName(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star: connect every LARGER neighbor to the minimum of the
+        # closed neighborhood; output edges (m, v) keep m < v
+        lmin = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least("a", "_mn").alias("m"))
+        )
+        large = (
+            sym.join(lmin, on="a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("a"), "b")
+            .distinct()
+        )
+        # small-star: each node connects itself and its smaller neighbors
+        # to their minimum
+        smin = large.groupBy("b").agg(F.min("a").alias("m"))
+        new_e = (
+            large.join(smin, on="b")
+            .where(F.col("a") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .unionByName(
+                smin.select(F.col("m").alias("a"), F.col("b").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cnt = new_e.count()
+        converged = cnt == n_edges and new_e.subtract(E).count() == 0
+        E, n_edges = new_e, cnt
+        if converged:
+            break
+    else:
+        raise ComponentsNotConverged(
+            "small-star/large-star exceeded 64 rounds — not a real graph"
+        )
+    # fixpoint E is a star forest (root, v): every node of the ORIGINAL
+    # edge set gets its root; isolated nodes (self-pairs only) label
+    # themselves — same contract as label propagation
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    star = (
+        E.select(F.col("b").alias("id"), F.col("a").alias("comp"))
+        .unionByName(
+            E.select(F.col("a").alias("id"), F.col("a").alias("comp"))
+        )
+        .groupBy("id")
+        .agg(F.min("comp").alias("comp"))
+    )
+    labels = (
+        nodes.join(star, on="id", how="left")
+        .select(
+            "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    E.unpersist()
+    return labels
 
 
 def dedup_keep_canonical(

@@ -36,3 +36,48 @@ def test_dedup_keep_canonical(spark):
     )
     # components {0,3,5} -> keep 0; {1,4} -> keep 1; 2 untouched
     assert kept == [0, 1, 2]
+
+
+def test_star_components_match_label_propagation(spark):
+    import random
+
+    from embulk_output_bigquery_java_spark.operators.graph import (
+        _star_components,
+    )
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(80)}
+    pairs = _pairs(spark, [(a, b) for a, b in edges if a != b] or [(0, 1)])
+    label = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="label").collect()
+    }
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == label and star
+
+
+def test_deep_chain_auto_falls_back_to_star(spark):
+    # path graph 1-2-...-30: diameter 29 > default max_iter 20. 'label'
+    # raises loudly; the DEFAULT ('auto') finishes via the star rounds —
+    # one deep component must not kill a 100-TB dedup job.
+    import pytest
+
+    from embulk_output_bigquery_java_spark.operators.graph import (
+        ComponentsNotConverged,
+    )
+
+    chain = _pairs(spark, [(i, i + 1) for i in range(1, 30)])
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(chain, algorithm="label").collect()
+    got = {r["id"]: r["comp"] for r in connected_components(chain).collect()}
+    assert got == {i: 1 for i in range(1, 31)}
+
+
+def test_components_rejects_bad_algorithm(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
