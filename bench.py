@@ -143,6 +143,19 @@ def host_calibration(cores: int, iters: int = 400_000) -> float:
     return round(cores * iters / (time.monotonic() - t0) / 1e6, 2)
 
 
+#: pinned mid-range host window (BASELINE.md documents the 2-4x hypervisor
+#: swing; recorded round calibrations span ~15.7-36.2 MH/s). Normalized
+#: throughput = raw x PIN / calib makes rounds captured in different
+#: weather comparable: it says "what this replay would have done at the
+#: pinned window", higher calib -> normalized below raw and vice versa.
+#: per-core: the recorded rounds calibrated at 32 cores, so the pinned
+#: window is 27/32 MH/s/core and scales with SPARK_GRAFT_CPUS
+CALIB_PIN_MH_S_PER_CORE = 27.0 / 32
+#: below this the window is the worst recorded weather (r4 was captured at
+#: 15.7 MH/s on 32 cores); the replay sample set gets ONE retry after
+#: re-measuring
+CALIB_FLOOR_MH_S_PER_CORE = 20.0 / 32
+
 # The driver records only a bounded tail of stdout (~2000 chars in r3);
 # a result line longer than that is truncated from the FRONT and fails to
 # parse. Budget leaves slack for the trailing newline and any stray
@@ -181,7 +194,8 @@ def compact_result_line(full: dict, budget: int = STDOUT_LINE_BUDGET) -> str:
     line = json.dumps(d, **compact)
     if len(line) <= budget:
         return line
-    for key in ("final_rows", "batches", "events", "total_sec"):
+    for key in ("final_rows", "batches", "events", "total_sec",
+                "host_calib_samples_mh_s", "calib_pin_mh_s"):
         d.pop(key, None)
         line = json.dumps(d, **compact)
         if len(line) <= budget:
@@ -243,7 +257,7 @@ def main() -> None:
         os.makedirs(warm_dir, exist_ok=True)
         run_replay(spark, min(100_000, n_events), 1, warm_dir)
 
-        calib = host_calibration(cpus)
+        calibs = [host_calibration(cpus)]
 
         t0 = time.monotonic()
         # best-of-k replays (fresh table each): this virtualized host's
@@ -253,13 +267,25 @@ def main() -> None:
         repeats = int(os.environ.get("BENCH_REPLAY_REPEATS", "3"))
         replay = None
         replay_all = []
-        for i in range(max(1, repeats)):
-            att_dir = os.path.join(workdir, f"attempt{i}")
-            os.makedirs(att_dir, exist_ok=True)
-            att = run_replay(spark, n_events, batches, att_dir)
-            replay_all.append(att["elapsed_s"])
-            if replay is None or att["elapsed_s"] < replay["elapsed_s"]:
-                replay = att
+
+        def _sample_set(tag):
+            nonlocal replay
+            for i in range(max(1, repeats)):
+                att_dir = os.path.join(workdir, f"{tag}{i}")
+                os.makedirs(att_dir, exist_ok=True)
+                att = run_replay(spark, n_events, batches, att_dir)
+                replay_all.append(att["elapsed_s"])
+                if replay is None or att["elapsed_s"] < replay["elapsed_s"]:
+                    replay = att
+
+        _sample_set("attempt")
+        # weather gate (r4 verdict item 4): a sample set captured entirely
+        # in a sub-floor window (like r4's 15.7 MH/s) gets one more chance
+        # — re-measure the host and rerun the set; best-of keeps whichever
+        # window was honest
+        if calibs[0] < CALIB_FLOOR_MH_S_PER_CORE * cpus:
+            calibs.append(host_calibration(cpus))
+            _sample_set("retry")
         if os.environ.get("BENCH_SKIP_QUERIES"):
             queries, queries_cold = {}, {}
         else:
@@ -274,7 +300,17 @@ def main() -> None:
             "batches": replay["batches"],
             "final_rows": replay["final_rows"],
             "replay_samples_sec": replay_all,
-            "host_calib_mh_s": calib,
+            "host_calib_mh_s": max(calibs),
+            "host_calib_samples_mh_s": calibs,
+            # weather-comparable throughput: raw x PIN / calib (conserva-
+            # tively against the BEST calib measured, so a weak window
+            # never inflates the normalized number beyond what the pinned
+            # window would have delivered)
+            "events_per_s_normalized": round(
+                replay["events_per_s"] * CALIB_PIN_MH_S_PER_CORE * cpus
+                / max(calibs), 1
+            ),
+            "calib_pin_mh_s": round(CALIB_PIN_MH_S_PER_CORE * cpus, 2),
             "cores": cpus,
             "queries": queries,
             "queries_cold": queries_cold,
