@@ -490,12 +490,32 @@ ORDER BY event_type
 def q_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-matrix edges on real columns: long->STRING (C7), double->INTEGER
     32-bit truncation (C8), timestamp->INTEGER epoch-millis (C20),
-    timestamp->STRING default format (C22), string->STRING (C15)."""
+    timestamp->STRING default format (C22), string->STRING (C15) — plus a
+    RECORD column option with nested ``fields`` (beyond the reference's
+    BigqueryColumnOption.java:52 TODO): a struct of (uid, amount, at) cast
+    recursively per-subfield, then flattened so the oracle compare stays
+    on scalar columns."""
     from embulk_output_bigquery_java_spark.config import ColumnOption
     from embulk_output_bigquery_java_spark.functions.casts import cast_expr
     from pyspark.sql import types as T
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "payload",
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("value").alias("amount"),
+            F.col("ts").alias("at"),
+        ),
+    )
+    rec_opt = ColumnOption(
+        "payload", "RECORD",
+        fields={
+            "uid": ColumnOption("uid", "STRING"),
+            "amount": ColumnOption("amount", "INTEGER"),
+            "at": ColumnOption("at", "INTEGER"),
+        },
+    )
+    rec = cast_expr("payload", ev.schema["payload"].dataType, rec_opt)
     return ev.select(
         F.col("event_id"),
         cast_expr("user_id", T.LongType(), ColumnOption("user_id", "STRING")
@@ -507,6 +527,9 @@ def q_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cast_expr("ts", T.TimestampType(), ColumnOption("ts", "STRING")
                   ).alias("ts_str"),
         cast_expr("event_type", T.StringType(), None).alias("event_type"),
+        rec.getField("uid").alias("rec_uid"),
+        rec.getField("amount").alias("rec_amount"),
+        rec.getField("at").alias("rec_at"),
     )
 
 
@@ -516,7 +539,10 @@ SELECT event_id,
        CAST(TRUNC(value) AS BIGINT) AS value_int,
        epoch_ms(ts) AS ts_millis,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f +00:00') AS ts_str,
-       event_type
+       event_type,
+       CAST(user_id AS VARCHAR) AS rec_uid,
+       CAST(TRUNC(value) AS BIGINT) AS rec_amount,
+       epoch_ms(ts) AS rec_at
 FROM events
 """
 

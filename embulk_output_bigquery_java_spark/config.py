@@ -49,7 +49,10 @@ class ColumnType(str, Enum):
     TIMESTAMP = "TIMESTAMP"
     DATETIME = "DATETIME"
     DATE = "DATE"
-    RECORD = "RECORD"  # declared but unimplemented in reference (TODO: fields)
+    RECORD = "RECORD"  # reference declares-but-TODOs nested fields
+    # (BigqueryColumnOption.java:52 "// TODO: fields"); the engine
+    # implements them — ColumnOption.fields drives a recursive struct
+    # projection (functions/casts.py::_record_expr)
     NUMERIC = "NUMERIC"
 
 
@@ -105,6 +108,13 @@ class ColumnOption:
     timezone: str = DEFAULT_TIMEZONE
     description: str | None = None
     scale: int = 9  # NUMERIC scale default — BigqueryColumnOption.java:48-50
+    #: nested per-subfield options for a RECORD column — the reference
+    #: declares this and leaves it TODO (BigqueryColumnOption.java:52
+    #: ``// TODO: fields``); the engine implements it. Accepts the
+    #: reference's list-of-options form or a {name: option} dict; values
+    #: may be plain dicts (coerced here). Subfields may themselves be
+    #: RECORDs — the cast recurses to any depth.
+    fields: dict[str, "ColumnOption"] | list | None = None
 
     def __post_init__(self) -> None:
         if isinstance(self.type, str):
@@ -114,6 +124,23 @@ class ColumnOption:
                 raise ConfigError(f"unknown column type {self.type!r}") from exc
         if self.mode not in ("NULLABLE", "REQUIRED", "REPEATED"):
             raise ConfigError(f"invalid column mode {self.mode!r}")
+        if self.fields is not None:
+            if isinstance(self.fields, list):
+                coerced = [
+                    ColumnOption(**f) if isinstance(f, dict) else f
+                    for f in self.fields
+                ]
+                self.fields = {f.name: f for f in coerced}
+            else:
+                self.fields = {
+                    k: ColumnOption(name=k, **v) if isinstance(v, dict) else v
+                    for k, v in self.fields.items()
+                }
+            if self.type is not None and self.type is not ColumnType.RECORD:
+                raise ConfigError(
+                    f"column {self.name!r}: nested fields require type "
+                    f"RECORD, not {self.type.value}"
+                )
 
 
 @dataclass

@@ -137,9 +137,13 @@ def cast_expr(
     *,
     default_timestamp_format: str = DEFAULT_TIMESTAMP_FORMAT,
     as_string: bool = False,
+    base: Column | None = None,
 ) -> Column:
-    """Build the projection expression for one column (one C-matrix edge)."""
-    col = F.col(name)
+    """Build the projection expression for one column (one C-matrix edge).
+
+    ``base`` overrides the source expression (used by the RECORD recursion
+    to point at a struct subfield instead of a top-level column)."""
+    col = base if base is not None else F.col(name)
     kind = source_kind(src_type)
     target = (opt.type if opt and opt.type else None) or DEFAULT_TARGET[kind]
     tz = opt.timezone if opt else "UTC"
@@ -147,7 +151,12 @@ def cast_expr(
     scale = opt.scale if opt else 9
     mode = opt.mode if opt else "NULLABLE"
 
-    if mode == "REPEATED":
+    if target is ColumnType.RECORD or (opt is not None and opt.fields):
+        out = _record_expr(
+            col, src_type, name, opt, mode, default_timestamp_format,
+            as_string,
+        )
+    elif mode == "REPEATED":
         # BigQuery REPEATED = array column (BigqueryColumnOption.java:31-33;
         # the reference only declares the mode on the Field and lets
         # BigQuery enforce it — BigqueryClient.java:823-828). Engine-side:
@@ -185,6 +194,76 @@ def cast_expr(
             )
         )
     return out.alias(name)
+
+
+def _record_expr(
+    col: Column, src_type: T.DataType, name: str,
+    opt: ColumnOption | None, mode: str, default_ts_fmt: str,
+    as_string: bool,
+) -> Column:
+    """RECORD column option with explicit nested ``fields`` — beyond the
+    reference's TODO (BigqueryColumnOption.java:52 ``// TODO: fields``): a
+    recursive struct projection cast BY NAME (the same by-name discipline
+    as functions/reconcile.py — Spark's positional struct cast cannot do
+    this), so nested options (type / mode / timestamp_format / scale /
+    description) apply per subfield at any depth; subfields without an
+    option PASS THROUGH UNCHANGED (type and shape preserved — jsonifying
+    an unmentioned nested array/struct via the top-level json->STRING
+    default would be surprising inside a declared RECORD).
+    ``mode='REPEATED'`` expects
+    ``array<struct>`` and casts each element through a transform lambda.
+    A NULL struct stays NULL (C28 passthrough), it never becomes a struct
+    of NULLs. ``as_string=True`` emits ``to_json`` of the TYPED nested
+    projection (the JSONL load-file form). Still one zero-shuffle Catalyst
+    projection — the recursion builds expressions, not plans."""
+    from ..config import ConfigError
+
+    sub_opts = (opt.fields if opt else None) or {}
+
+    def _struct_of(base: Column, st: T.StructType) -> Column:
+        unknown = set(sub_opts) - {f.name for f in st.fields}
+        if unknown:
+            raise ConfigError(
+                f"column {name!r}: nested field options "
+                f"{sorted(unknown)} not in struct "
+                f"{st.simpleString()}"
+            )
+        return F.struct(
+            *[
+                cast_expr(
+                    f.name, f.dataType, sub_opts[f.name],
+                    default_timestamp_format=default_ts_fmt,
+                    as_string=False,
+                    base=base.getField(f.name),
+                )
+                if f.name in sub_opts
+                else base.getField(f.name).alias(f.name)
+                for f in st.fields
+            ]
+        )
+
+    if mode == "REPEATED":
+        if not (
+            isinstance(src_type, T.ArrayType)
+            and isinstance(src_type.elementType, T.StructType)
+        ):
+            raise NotSupportedTypeError(
+                f"column {name!r}: REPEATED RECORD requires array<struct>, "
+                f"got {src_type.simpleString()}"
+            )
+        st = src_type.elementType
+        # F.transform materializes the lambda into an expression eagerly,
+        # so unknown-subfield validation still happens at plan time
+        out = F.transform(col, lambda x: _struct_of(x, st))
+    else:
+        if not isinstance(src_type, T.StructType):
+            raise NotSupportedTypeError(
+                f"column {name!r}: RECORD requires a struct source, "
+                f"got {src_type.simpleString()}"
+            )
+        out = _struct_of(col, src_type)
+    out = F.when(col.isNull(), F.lit(None)).otherwise(out)
+    return F.to_json(out) if as_string else out
 
 
 def _edge(

@@ -263,3 +263,131 @@ def test_repeated_mode_unsupported_element_type():
     opt = ColumnOption("c", type="NUMERIC", mode="REPEATED")
     with pytest.raises(NotSupportedTypeError, match="element type"):
         cast_expr("c", T.ArrayType(T.StringType()), opt)
+
+
+# ------------------------------------------------------------- RECORD/fields
+def test_record_nested_fields_cast(spark):
+    # beyond the reference's TODO (BigqueryColumnOption.java:52): nested
+    # column options drive a recursive struct projection
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload=Row(uid=7, amount=2.9, tag="x")),
+            Row(id=2, payload=None),
+        ],
+        "id long, payload struct<uid:long, amount:double, tag:string>",
+    )
+    opt = ColumnOption(
+        "payload", "RECORD",
+        fields={
+            "uid": ColumnOption("uid", "STRING"),
+            "amount": ColumnOption("amount", "INTEGER"),
+        },
+    )
+    out = df.select(
+        "id",
+        cast_expr("payload", df.schema["payload"].dataType, opt),
+    ).orderBy("id").collect()
+    assert out[0]["payload"].asDict() == {"uid": "7", "amount": 2, "tag": "x"}
+    # C28: a NULL struct stays NULL, never a struct of NULLs
+    assert out[1]["payload"] is None
+    dt = dict(
+        df.select(cast_expr("payload", df.schema["payload"].dataType, opt))
+        .dtypes
+    )["payload"]
+    assert dt == "struct<uid:string,amount:bigint,tag:string>"
+
+
+def test_record_two_level_and_repeated(spark):
+    from pyspark.sql import Row
+
+    schema = (
+        "id long, payload struct<inner:struct<n:long>, xs:array<double>>, "
+        "items array<struct<q:double>>"
+    )
+    df = spark.createDataFrame(
+        [Row(id=1, payload=Row(inner=Row(n=5), xs=[1.5, 2.0]),
+             items=[Row(q=3.7), Row(q=-1.2)])],
+        schema,
+    )
+    opt = ColumnOption(
+        "payload", "RECORD",
+        fields={
+            "inner": ColumnOption(
+                "inner", "RECORD",
+                fields={"n": ColumnOption("n", "STRING")},
+            ),
+        },
+    )
+    rep = ColumnOption(
+        "items", "RECORD", mode="REPEATED",
+        fields={"q": ColumnOption("q", "INTEGER")},
+    )
+    row = df.select(
+        cast_expr("payload", df.schema["payload"].dataType, opt),
+        cast_expr("items", df.schema["items"].dataType, rep),
+    ).first()
+    assert row["payload"]["inner"]["n"] == "5"
+    assert row["payload"]["xs"] == [1.5, 2.0]
+    assert [r["q"] for r in row["items"]] == [3, -1]
+
+
+def test_record_validation_errors(spark):
+    from embulk_output_bigquery_java_spark.config import ConfigError
+
+    st = T.StructType([T.StructField("a", T.LongType())])
+    # unknown nested field name: loud at plan time
+    with pytest.raises(ConfigError, match="nested field options"):
+        cast_expr(
+            "p", st,
+            ColumnOption("p", "RECORD",
+                         fields={"zz": ColumnOption("zz", "STRING")}),
+        )
+    # RECORD on a non-struct source
+    with pytest.raises(NotSupportedTypeError, match="struct source"):
+        cast_expr("p", T.LongType(), ColumnOption("p", "RECORD"))
+    # REPEATED RECORD on a non-array<struct>
+    with pytest.raises(NotSupportedTypeError, match="array<struct>"):
+        cast_expr(
+            "p", T.ArrayType(T.LongType()),
+            ColumnOption("p", "RECORD", mode="REPEATED"),
+        )
+    # fields on a non-RECORD type: config error at option build
+    with pytest.raises(ConfigError, match="require type RECORD"):
+        ColumnOption("p", "STRING",
+                     fields={"a": ColumnOption("a", "STRING")})
+
+
+def test_record_as_string_is_json(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(payload=Row(uid=7, ok=True))],
+        "payload struct<uid:long, ok:boolean>",
+    )
+    opt = ColumnOption(
+        "payload", "RECORD",
+        fields={"uid": ColumnOption("uid", "STRING")},
+    )
+    got = df.select(
+        cast_expr("payload", df.schema["payload"].dataType, opt,
+                  as_string=True)
+    ).first()["payload"]
+    import json as _json
+
+    assert _json.loads(got) == {"uid": "7", "ok": True}
+
+
+def test_record_list_form_and_dict_coercion():
+    # the reference's List<BigqueryColumnOption> form and plain-dict values
+    opt = ColumnOption(
+        "p", "RECORD",
+        fields=[{"name": "a", "type": "STRING"},
+                ColumnOption("b", "INTEGER")],
+    )
+    assert set(opt.fields) == {"a", "b"}
+    assert opt.fields["a"].type.value == "STRING"
+    opt2 = ColumnOption("p", "RECORD", fields={"a": {"type": "FLOAT"}})
+    assert opt2.fields["a"].name == "a"
+    assert opt2.fields["a"].type.value == "FLOAT"
