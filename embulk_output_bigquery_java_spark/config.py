@@ -161,6 +161,12 @@ class IngestConfig:
     max_bad_records: int = 0  # PluginTask.java:103-105
     abort_on_error: bool | None = None  # derived — BigqueryTaskBuilder.java:56-60
     retries: int = 5  # PluginTask.java:152-154
+    #: SQL dialect for TYPE NAMES only (PluginTask.java:147-150, default
+    #: false like the reference): the engine's Spark types are identical
+    #: under both dialects — BigqueryClient.java:865-899 maps the same six
+    #: source kinds to BOOL/INT64/FLOAT64 (standard) vs BOOLEAN/INTEGER/
+    #: FLOAT (legacy). functions/casts.py::sql_type_name renders them.
+    enable_standard_sql: bool = False
     retry_initial_backoff_s: float = 2.0  # BigqueryClient.java:327-331
     retry_max_backoff_s: float = 10.0
     default_timestamp_format: str = DEFAULT_TIMESTAMP_FORMAT

@@ -70,6 +70,37 @@ DEFAULT_TARGET = {
     "json": ColumnType.STRING,
 }
 
+#: BigQuery type-NAME tables per SQL dialect (BigqueryClient.java:865-886
+#: standard, :883-899 legacy; selected by ``enable_standard_sql``,
+#: PluginTask.java:147-150). The engine's Spark types are IDENTICAL under
+#: both dialects — only the rendered name differs.
+STANDARD_SQL_TYPE_NAME = {
+    "boolean": "BOOL",
+    "long": "INT64",
+    "double": "FLOAT64",
+    "string": "STRING",
+    "timestamp": "TIMESTAMP",
+    "json": "STRING",
+}
+LEGACY_SQL_TYPE_NAME = {
+    "boolean": "BOOLEAN",
+    "long": "INTEGER",
+    "double": "FLOAT",
+    "string": "STRING",
+    "timestamp": "TIMESTAMP",
+    "json": "STRING",
+}
+
+
+def sql_type_name(dt: T.DataType, *, standard_sql: bool = False) -> str:
+    """Dialect-correct BigQuery type name for a Spark source type —
+    the ``getStandardSQLTypeNameByEmbulkType`` / ``getLegacySQLTypeName-
+    ByEmbulkType`` pair (BigqueryClient.java:865-899). Unknown types raise
+    ``NotSupportedTypeError`` (the reference's "never reach here")."""
+    table = STANDARD_SQL_TYPE_NAME if standard_sql else LEGACY_SQL_TYPE_NAME
+    return table[source_kind(dt)]
+
+
 _TS_OUT = "yyyy-MM-dd HH:mm:ss.SSSSSS xxx"  # %Y-%m-%d %H:%M:%S.%6N %:z
 _DT_OUT = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # no zone
 _DATE_OUT = "yyyy-MM-dd"

@@ -391,3 +391,35 @@ def test_record_list_form_and_dict_coercion():
     opt2 = ColumnOption("p", "RECORD", fields={"a": {"type": "FLOAT"}})
     assert opt2.fields["a"].name == "a"
     assert opt2.fields["a"].type.value == "FLOAT"
+
+
+def test_sql_type_name_dialect_tables():
+    """Golden from BigqueryClient.java:865-899: same six source kinds,
+    dialect changes only the NAME (enable_standard_sql, default false)."""
+    from embulk_output_bigquery_java_spark.functions.casts import (
+        sql_type_name,
+    )
+
+    cases = [
+        (T.BooleanType(), "BOOL", "BOOLEAN"),
+        (T.LongType(), "INT64", "INTEGER"),
+        (T.IntegerType(), "INT64", "INTEGER"),
+        (T.DoubleType(), "FLOAT64", "FLOAT"),
+        (T.StringType(), "STRING", "STRING"),
+        (T.TimestampType(), "TIMESTAMP", "TIMESTAMP"),
+        (T.MapType(T.StringType(), T.StringType()), "STRING", "STRING"),
+    ]
+    for dt, std, legacy in cases:
+        assert sql_type_name(dt, standard_sql=True) == std
+        assert sql_type_name(dt) == legacy  # reference default: legacy
+    with pytest.raises(NotSupportedTypeError):
+        sql_type_name(T.BinaryType())
+
+
+def test_enable_standard_sql_config_roundtrip():
+    from embulk_output_bigquery_java_spark.config import IngestConfig
+
+    cfg = IngestConfig(table="t")
+    assert cfg.enable_standard_sql is False  # PluginTask default
+    cfg2 = IngestConfig(table="t", enable_standard_sql=True)
+    assert cfg2.enable_standard_sql is True
