@@ -1936,6 +1936,108 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_stream_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM == BATCH: the streaming stateful sessionizer
+    (streaming/stream.py::stateful_sessionizer, applyInPandasWithState +
+    EventTimeTimeout) run over the SAME events table the batch sessionize
+    oracle reads, chunked into 3 time-ordered micro-batches so sessions
+    genuinely span batches and cross-batch state does the stitching. One
+    far-future sentinel event per user closes every real session BY DATA
+    inside the run; the sentinel singleton sessions stay open in state and
+    are excluded from the output. The oracle recomputes the batch session
+    rollup relationally — the hash match IS the stream-parity claim.
+
+    The chunking/global-sort here is FIXTURE PREP for the streaming run
+    (sf0.01 driver scale), not the measured operator."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stateful_sessionizer,
+    )
+
+    # watermarks require TIMESTAMP; the table stores TIMESTAMP_NTZ. The
+    # session tz is pinned UTC so the cast preserves the wall time; the
+    # output casts back to NTZ for the oracle compare.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    stats = ev.agg(F.max("ts").alias("mx"), F.count("*").alias("n")).first()
+    sentinel_ts = stats["mx"] + timedelta(hours=60)  # >> the 6 h gap
+    sent = (
+        ev.select("user_id").distinct()
+        .withColumn("ts", F.lit(sentinel_ts))
+    )
+    wo = Window.orderBy("ts", "user_id")
+    chunked = ev.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_chunk", (((F.col("_rn") - 1) * 3) / stats["n"]).cast("int")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream-parity-")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    for i in range(3):
+        part = chunked.where(F.col("_chunk") == i).select("user_id", "ts")
+        if i == 2:
+            part = part.unionByName(sent)
+        out = os.path.join(tmp, f"p{i}")
+        part.coalesce(1).write.parquet(out)
+        (pq,) = glob.glob(f"{out}/part-*.parquet")
+        dst = os.path.join(landing, f"chunk-{i:03d}.parquet")
+        os.rename(pq, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sessions = stateful_sessionizer(
+        stream, keys=("user_id",), gap="6 hours", watermark="1 minute"
+    )
+    qname = f"sess_parity_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(qname).where(F.col("session_start") < F.lit(sentinel_ts))
+    wsi = Window.partitionBy("user_id").orderBy("session_start")
+    return res.select(
+        "user_id",
+        F.row_number().over(wsi).cast("long").alias("session_idx"),
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_STREAM_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) <= 21600000
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a fixed query-term bag (operators/text_rank.py);
     outputs are integers only, ordering by round(score,6) + doc_id."""
@@ -3524,57 +3626,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Insertion order IS the driver's correctness window (it records the
+    first ~50 entries). Round-5 rotation (r4 VERDICT item 1): the 36
+    queries rounds 1-4 never got a driver row for, plus this round's new
+    `stream_sessionize_parity`, come FIRST; a 13-query representative core
+    — including every query whose code changed this round (cast_matrix:
+    nested RECORD; semantic_dedup: default cell cap; near_dup_components:
+    star fallback) — fills the window to 50. The tail queries all hold
+    green rows from earlier rounds (CORRECTNESS_r01-r04; per-query round
+    map in COVERAGE.md) and stay pinned by tests/test_entry_oracle.py,
+    which runs EVERY entry against its oracle."""
     return {
-        "lww_dedup_maxby": q_lww_dedup_maxby,
-        "lww_dedup_window": q_lww_dedup_window,
-        "cdc_merge_apply": q_cdc_merge_apply,
-        "debezium_parse": q_debezium_parse,
-        "table_changes_feed": q_table_changes,
-        "ivm_counts": q_ivm_counts,
-        "mor_rule_fold": q_mor_rule_fold,
-        "cast_matrix": q_cast_matrix,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "topk_orders_per_customer": q_topk_orders_per_customer,
-        "sort_limit": q_sort_limit,
-        "set_ops_union_except": q_set_ops_union_except,
-        "doc_token_counts": q_doc_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_quality": q_doc_quality,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "doc_repetition": q_doc_repetition,
-        "chunk_documents": q_chunk_documents,
-        "dup_spans": q_dup_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "asof_join_events": q_asof_join_events,
-        "pack_sequences": q_pack_sequences,
-        "stratified_cap": q_stratified_cap,
-        "shuffle_shards": q_shuffle_shards,
-        "mixture_sample": q_mixture_sample,
-        "export_pipeline": q_export_pipeline,
-        "novel_docs": q_novel_docs,
-        "redact_secrets": q_redact_secrets,
-        "table_profile": q_table_profile,
-        "semantic_dedup": q_semantic_dedup,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "exact_dup_groups": q_exact_dup_groups,
-        "exact_dedup_keep": q_exact_dedup_keep,
-        "ngram_jaccard": q_ngram_jaccard,
-        "contamination": q_contamination,
-        "near_dup_components": q_near_dup_components,
-        "cosine_topk": q_cosine_topk,
-        "quantized_cosine_topk": q_quantized_cosine_topk,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frame_sample,
-        "media_resize_plan": q_media_resize_plan,
-        "scd2_history": q_scd2_history,
-        "sessionize_events": q_sessionize_events,
-        "compact_changes_net": q_compact_changes,
+        # --- rotated in: no driver row before round 5 -------------------
         "salted_join_revenue": q_salted_join_revenue,
         "tumbling_hourly": q_tumbling_hourly,
         "pit_dim_lookup": q_pit_dim_lookup,
@@ -3611,6 +3674,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_concurrency": q_session_concurrency,
         "inter_event_gaps": q_inter_event_gaps,
         "activity_streaks": q_activity_streaks,
+        # --- new this round ---------------------------------------------
+        "stream_sessionize_parity": q_stream_sessionize_parity,
+        # --- representative core (all green r1-r4; includes every query
+        # --- whose code changed this round) ------------------------------
+        "cdc_merge_apply": q_cdc_merge_apply,
+        "cast_matrix": q_cast_matrix,
+        "lww_dedup_window": q_lww_dedup_window,
+        "mor_rule_fold": q_mor_rule_fold,
+        "debezium_parse": q_debezium_parse,
+        "table_changes_feed": q_table_changes,
+        "ivm_counts": q_ivm_counts,
+        "asof_join_events": q_asof_join_events,
+        "export_pipeline": q_export_pipeline,
+        "semantic_dedup": q_semantic_dedup,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "near_dup_components": q_near_dup_components,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # ---------------- driver window boundary (~50) -------------------
+        "lww_dedup_maxby": q_lww_dedup_maxby,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "sort_limit": q_sort_limit,
+        "set_ops_union_except": q_set_ops_union_except,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "chunk_documents": q_chunk_documents,
+        "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "pack_sequences": q_pack_sequences,
+        "stratified_cap": q_stratified_cap,
+        "shuffle_shards": q_shuffle_shards,
+        "mixture_sample": q_mixture_sample,
+        "novel_docs": q_novel_docs,
+        "redact_secrets": q_redact_secrets,
+        "table_profile": q_table_profile,
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_keep": q_exact_dedup_keep,
+        "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
+        "cosine_topk": q_cosine_topk,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "media_resize_plan": q_media_resize_plan,
+        "scd2_history": q_scd2_history,
+        "sessionize_events": q_sessionize_events,
+        "compact_changes_net": q_compact_changes,
     }
 
 
@@ -3661,6 +3779,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize_plan": _MEDIA_RESIZE_SQL,
         "scd2_history": _SCD2_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "stream_sessionize_parity": _STREAM_SESSIONIZE_SQL,
         "compact_changes_net": _COMPACT_CHANGES_SQL,
         "salted_join_revenue": _SALTED_JOIN_SQL,
         "tumbling_hourly": _TUMBLING_SQL,
