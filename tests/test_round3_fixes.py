@@ -314,12 +314,20 @@ def test_components_raise_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
     )
+    # label propagation alone raises loudly when max_iter < diameter
     with pytest.raises(ComponentsNotConverged):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, algorithm="label")
     # warn mode returns partial labels instead
-    labels = connected_components(chain, max_iter=2, on_max_iter="warn")
+    labels = connected_components(
+        chain, max_iter=2, on_max_iter="warn", algorithm="label"
+    )
     assert labels.count() == 13
     labels.unpersist()
+    # round-5 default ('auto'): the same budget CONVERGES via the
+    # small-star/large-star fallback instead of dying
+    auto = connected_components(chain, max_iter=2)
+    assert {r["comp"] for r in auto.collect()} == {0}
+    auto.unpersist()
     # enough rounds: converges to one component rooted at 0
     full = connected_components(chain, max_iter=15)
     assert {r["comp"] for r in full.collect()} == {0}
