@@ -2038,6 +2038,89 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_stream_offset_audit_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM == BATCH for the cross-batch offset high-water-mark audit
+    (streaming/stream.py::stateful_offset_audit): the events table chunked
+    into 3 micro-batches in global (ts, event_id) order, watching event_id
+    along each user's (ts, event_id) order — the per-key HWM carried in
+    managed state across batches makes the concatenated verdicts equal the
+    GLOBAL running-max audit, which the oracle computes relationally with
+    one MAX window over strictly-preceding rows. Chunk boundaries align
+    with the audit order, so stream order == global order per key and the
+    hash match proves the state seeding exactly."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from embulk_output_bigquery_java_spark.streaming.stream import (
+        stateful_offset_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    n = ev.count()
+    wo = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_chunk", (((F.col("_rn") - 1) * 3) / n).cast("int")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream-audit-parity-")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    for i in range(3):
+        out = os.path.join(tmp, f"p{i}")
+        chunked.where(F.col("_chunk") == i).select(
+            "user_id", "event_id", "ts"
+        ).coalesce(1).write.parquet(out)
+        (pq,) = glob.glob(f"{out}/part-*.parquet")
+        dst = os.path.join(landing, f"chunk-{i:03d}.parquet")
+        os.rename(pq, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema(
+            chunked.select("user_id", "event_id", "ts").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    audited = stateful_offset_audit(
+        stream, keys=("user_id",), watch_col="event_id",
+        order_cols=("ts", "event_id"),
+    )
+    qname = f"audit_parity_{uuid.uuid4().hex[:8]}"
+    q = (
+        audited.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "user_id", "event_id", "prev_hwm", "violation"
+    )
+
+
+_STREAM_AUDIT_SQL = """
+WITH o AS (
+  SELECT user_id, event_id,
+         MAX(event_id) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_hwm
+  FROM events
+)
+SELECT user_id, event_id, prev_hwm,
+       CASE WHEN event_id < prev_hwm THEN 'regression'
+            WHEN event_id = prev_hwm THEN 'duplicate' END AS violation
+FROM o
+WHERE prev_hwm IS NOT NULL AND event_id <= prev_hwm
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a fixed query-term bag (operators/text_rank.py);
     outputs are integers only, ordering by round(score,6) + doc_id."""
@@ -3676,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": q_activity_streaks,
         # --- new this round ---------------------------------------------
         "stream_sessionize_parity": q_stream_sessionize_parity,
+        "stream_offset_audit_parity": q_stream_offset_audit_parity,
         # --- representative core (all green r1-r4; includes every query
         # --- whose code changed this round) ------------------------------
         "cdc_merge_apply": q_cdc_merge_apply,
@@ -3690,8 +3774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "near_dup_components": q_near_dup_components,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         # ---------------- driver window boundary (~50) -------------------
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lww_dedup_maxby": q_lww_dedup_maxby,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -3780,6 +3864,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "stream_sessionize_parity": _STREAM_SESSIONIZE_SQL,
+        "stream_offset_audit_parity": _STREAM_AUDIT_SQL,
         "compact_changes_net": _COMPACT_CHANGES_SQL,
         "salted_join_revenue": _SALTED_JOIN_SQL,
         "tumbling_hourly": _TUMBLING_SQL,
