@@ -245,3 +245,47 @@ def test_edit_distance_pairs_matches_python_dp(spark, tail_a, tail_b):
 
     assert len(out) == 1
     assert out[0].edit_dist == dp(norm(a), norm(b))
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_star_components_equal_python_union_find(spark, edges):
+    """algorithm='star' (small-star/large-star) labels every node with its
+    component's minimum id — checked against a python union-find on
+    arbitrary small graphs (self-loops, duplicates, any density)."""
+    from embulk_output_bigquery_java_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert got == expected
