@@ -1999,13 +1999,23 @@ def q_stream_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, keys=("user_id",), gap="6 hours", watermark="1 minute"
     )
     qname = f"sess_parity_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", os.path.join(tmp, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # a streaming query pins its state-store partition count from the
+    # session's shuffle partitions AT START; 8 is plenty for the driver
+    # fixture (64 would spread tiny state over 64 stores x 3 batches).
+    # Restored immediately — batch queries later in the suite are
+    # unaffected (streaming pins at start, batch reads live conf).
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     q.awaitTermination(300)
     res = spark.table(qname).where(F.col("session_start") < F.lit(sentinel_ts))
     wsi = Window.partitionBy("user_id").orderBy("session_start")
@@ -2041,13 +2051,16 @@ FROM s GROUP BY user_id, session_idx
 def q_stream_offset_audit_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM == BATCH for the cross-batch offset high-water-mark audit
     (streaming/stream.py::stateful_offset_audit): the events table chunked
-    into 3 micro-batches in global (ts, event_id) order, watching event_id
-    along each user's (ts, event_id) order — the per-key HWM carried in
-    managed state across batches makes the concatenated verdicts equal the
-    GLOBAL running-max audit, which the oracle computes relationally with
-    one MAX window over strictly-preceding rows. Chunk boundaries align
-    with the audit order, so stream order == global order per key and the
-    hash match proves the state seeding exactly."""
+    into 3 micro-batches in global (ts, event_id) order, watching a
+    Knuth-scrambled derivative of event_id (the raw id is assigned in time
+    order, which would make the audit vacuously empty; the scramble is
+    exact integer arithmetic both engines reproduce and violates on ~half
+    the rows) along each user's (ts, event_id) order. The per-key HWM
+    carried in managed state across batches makes the concatenated
+    verdicts equal the GLOBAL running-max audit, which the oracle computes
+    relationally with one MAX window over strictly-preceding rows. Chunk
+    boundaries align with the audit order, so stream order == global
+    order per key and the hash match proves the state seeding exactly."""
     import glob
     import os
     import tempfile
@@ -2060,64 +2073,78 @@ def q_stream_offset_audit_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000003))
+        .cast("long").alias("watch"),
     )
     n = ev.count()
     wo = Window.orderBy("ts", "event_id")
     chunked = ev.withColumn("_rn", F.row_number().over(wo)).withColumn(
         "_chunk", (((F.col("_rn") - 1) * 3) / n).cast("int")
     )
+    cols = ["user_id", "event_id", "ts", "watch"]
     tmp = tempfile.mkdtemp(prefix="stream-audit-parity-")
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
     for i in range(3):
         out = os.path.join(tmp, f"p{i}")
         chunked.where(F.col("_chunk") == i).select(
-            "user_id", "event_id", "ts"
+            *cols
         ).coalesce(1).write.parquet(out)
         (pq,) = glob.glob(f"{out}/part-*.parquet")
         dst = os.path.join(landing, f"chunk-{i:03d}.parquet")
         os.rename(pq, dst)
         os.utime(dst, (1_700_000_000 + i * 10,) * 2)
     stream = (
-        spark.readStream.schema(
-            chunked.select("user_id", "event_id", "ts").schema
-        )
+        spark.readStream.schema(chunked.select(*cols).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
     audited = stateful_offset_audit(
-        stream, keys=("user_id",), watch_col="event_id",
+        stream, keys=("user_id",), watch_col="watch",
         order_cols=("ts", "event_id"),
     )
     qname = f"audit_parity_{uuid.uuid4().hex[:8]}"
-    q = (
-        audited.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", os.path.join(tmp, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # small fixed state-partition count for the fixture-scale stream (see
+    # q_stream_sessionize_parity); restored before any batch work
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            audited.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     q.awaitTermination(300)
     return spark.table(qname).select(
-        "user_id", "event_id", "prev_hwm", "violation"
+        "user_id", "watch", "prev_hwm", "violation"
     )
 
 
 _STREAM_AUDIT_SQL = """
-WITH o AS (
-  SELECT user_id, event_id,
-         MAX(event_id) OVER (
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 2654435761) % 1000003 AS watch
+  FROM events
+), o AS (
+  SELECT user_id, watch,
+         MAX(watch) OVER (
              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ) AS prev_hwm
-  FROM events
+  FROM w
 )
-SELECT user_id, event_id, prev_hwm,
-       CASE WHEN event_id < prev_hwm THEN 'regression'
-            WHEN event_id = prev_hwm THEN 'duplicate' END AS violation
+SELECT user_id, watch, prev_hwm,
+       CASE WHEN watch < prev_hwm THEN 'regression'
+            WHEN watch = prev_hwm THEN 'duplicate' END AS violation
 FROM o
-WHERE prev_hwm IS NOT NULL AND event_id <= prev_hwm
+WHERE prev_hwm IS NOT NULL AND watch <= prev_hwm
 """
 
 
