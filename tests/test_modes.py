@@ -263,3 +263,38 @@ def test_merge_rule_with_mor_meta_refs_rejected_at_config_time():
         merge_rule={"index": "T.index + S.index"},
         merge_strategy="mor",
     )
+
+
+def test_record_column_option_cast_in_engine(spark, tmp_table_root):
+    # nested RECORD fields option drives a recursive struct cast through
+    # the full apply_batch path (r5; beyond the reference's
+    # BigqueryColumnOption.java:52 TODO)
+    from embulk_output_bigquery_java_spark.config import ColumnOption
+
+    schema = T.StructType([
+        T.StructField("c0", T.StringType(), True),
+        T.StructField("payload", T.StructType([
+            T.StructField("uid", T.LongType(), True),
+            T.StructField("amount", T.DoubleType(), True),
+        ]), True),
+    ])
+    cfg = IngestConfig(
+        table="t", mode="append", merge_keys=["c0"], num_buckets=2,
+        column_options={
+            "payload": ColumnOption(
+                "payload", "RECORD",
+                fields={"uid": ColumnOption("uid", "STRING"),
+                        "amount": ColumnOption("amount", "INTEGER")},
+            )
+        },
+    )
+    eng = CdcEngine(spark, cfg, tmp_table_root)
+    eng.apply_batch(
+        spark.createDataFrame([("a", (7, 2.9)), ("b", None)], schema), "b1"
+    )
+    t = LakeTable(spark, tmp_table_root)
+    assert dict(t.read().dtypes)["payload"] == \
+        "struct<uid:string,amount:bigint>"
+    rows = {r.c0: r.payload for r in t.read().collect()}
+    assert rows["a"].asDict() == {"uid": "7", "amount": 2}
+    assert rows["b"] is None
